@@ -1,0 +1,144 @@
+"""Attention ops for draft-model training.
+
+The distinctive op is the EAGLE3 **TTT branch attention**: at TTT step ``t`` the
+query attends (a) fully causally to the step-0 keys/values and (b) to exactly one
+key per earlier TTT branch — the key at its *own* position — with all logits
+normalized by one joint softmax. Reference semantics:
+specforge/modeling/draft/llama3_eagle.py:717-778 (sdpa branch-cache merge) and
+the flash LSE-merge autograd at :1024-1152.
+
+Dense XLA implementation here (the reference/fallback path, and fast enough for
+S ≲ 2k); the Pallas flash kernel with the same contract lives in
+:mod:`specforge_tpu.ops.attention_pallas` and is dispatched by
+:func:`ttt_branch_attention`.
+
+GQA is handled by grouped einsums over [B, KVH, G, S, D] — no materialized
+``repeat_kv``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e38  # large-negative additive bias (finite: avoids NaN rows)
+
+
+def make_causal_bias(
+    attention_mask: Optional[jnp.ndarray],
+    batch_size: int,
+    seq_len: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Additive [B, 1, S, S] bias combining causality and key-padding.
+
+    ``attention_mask``: [B, S] with 1 = real token, 0 = padding (or None).
+    Matches ``prepare_decoder_attention_mask`` (llama3_eagle.py:190-215).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+    causal = jnp.where(col <= row, 0.0, NEG_INF).astype(dtype)
+    bias = jnp.broadcast_to(causal[None, None], (batch_size, 1, seq_len, seq_len))
+    if attention_mask is not None:
+        key_ok = attention_mask.astype(jnp.bool_)[:, None, None, :]
+        bias = jnp.where(key_ok, bias, jnp.asarray(NEG_INF, dtype))
+    return bias
+
+
+def _group_heads(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
+    """[B, H, S, D] → [B, KVH, G, S, D]."""
+    b, h, s, d = q.shape
+    return q.reshape(b, num_kv_heads, h // num_kv_heads, s, d)
+
+
+def ttt_branch_attention_reference(
+    q: jnp.ndarray,
+    keys: List[jnp.ndarray],
+    values: List[jnp.ndarray],
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense TTT branch attention.
+
+    Args:
+        q: [B, H, S, D] roped queries of the current step.
+        keys/values: per-branch [B, KVH, S, D]; branch 0 is the full causal
+            block, branches 1..t contribute one diagonal key each. The *last*
+            entry is the current step's K/V (matching the reference, which
+            appends before attending).
+        bias: [B, 1, S, S] additive bias for the causal block.
+
+    Returns:
+        [B, S, H*D] attention output in q's dtype.
+    """
+    b, h, s, d = q.shape
+    kvh = keys[0].shape[1]
+    g = h // kvh
+    scale = 1.0 / (d ** 0.5)
+    qg = _group_heads(q, kvh)
+
+    # Causal block: [B, KVH, G, S, S] in fp32.
+    w0 = jnp.einsum(
+        "bkgsd,bktd->bkgst", qg, keys[0], preferred_element_type=jnp.float32
+    ) * scale
+    w0 = w0 + bias[:, :, None].astype(jnp.float32)
+
+    extras = []
+    for ki in keys[1:]:
+        # Diagonal logits: q_s · k_{i,s} → [B, KVH, G, S]
+        wi = jnp.einsum(
+            "bkgsd,bksd->bkgs", qg, ki, preferred_element_type=jnp.float32
+        ) * scale
+        extras.append(wi[..., None])
+    logits = jnp.concatenate([w0] + extras, axis=-1) if extras else w0
+
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgst,bktd->bkgsd", p[..., :s], values[0])
+    for i, vi in enumerate(values[1:]):
+        out = out + p[..., s + i, None] * vi[:, :, None]
+    return out.reshape(b, kvh, g, s, d).reshape(b, h, s, d).transpose(
+        0, 2, 1, 3
+    ).reshape(b, s, h * d)
+
+
+def ttt_branch_attention(
+    q: jnp.ndarray,
+    keys: List[jnp.ndarray],
+    values: List[jnp.ndarray],
+    bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dispatch to the Pallas kernel on TPU (when profitable), else dense XLA."""
+    # The Pallas TTT flash kernel activates for long sequences where the dense
+    # [S, S] fp32 logits dominate HBM traffic; for now the dense path is used
+    # everywhere (kernel lands with ops/attention_pallas.py).
+    return ttt_branch_attention_reference(q, keys, values, bias)
+
+
+def masked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Plain dense attention with an additive bias (DFlash-family building block).
+
+    q: [B, H, S, D], k/v: [B, KVH, T, D], bias: broadcastable to [B, 1|H, S, T].
+    Returns [B, S, H*D].
+    """
+    b, h, s, d = q.shape
+    kvh = k.shape[1]
+    g = h // kvh
+    scale = 1.0 / (d ** 0.5)
+    qg = _group_heads(q, kvh)
+    w = jnp.einsum(
+        "bkgsd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        if bias.ndim == 4 and bias.shape[1] == 1:
+            w = w + bias[:, :, None].astype(jnp.float32)
+        else:
+            w = w + bias.reshape(b, kvh, g, *bias.shape[-2:]).astype(jnp.float32)
+    p = jax.nn.softmax(w, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgst,bktd->bkgsd", p, v)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)

@@ -1,0 +1,226 @@
+"""Teacher projection for EAGLE-family training.
+
+Given the frozen target model's full-vocab logits (or its last hidden state plus
+the frozen ``lm_head`` weight), produce the quantities the TTT loop consumes:
+
+- ``target_p``          — teacher distribution renormalized over the draft vocab
+                          (softmax of the t2d-gathered logits), the CE target.
+- ``target_p_on_draft`` — un-renormalized target probabilities restricted to the
+                          draft vocab (``exp(logit - logsumexp(full))``), used by
+                          the expected-acceptance metric/LK loss.
+- ``target_token_ids``  — full-vocab argmax token ids.
+- ``position_mask``     — ``t2d[argmax] * loss_mask``: supervise only positions
+                          whose teacher-argmax token exists in the draft vocab.
+
+Reference semantics: specforge/algorithms/eagle3/model.py:445-501 (full-vocab
+path) and specforge/core/compact_teacher.py (hidden-state path). The compact
+path here is written so XLA can stream the vocab dimension: the full-vocab
+logsumexp/argmax runs as a ``lax.scan`` over vocab chunks of the head matmul —
+the [B, S, V] fp32 logits tensor is never materialized.
+
+The t2d/d2t vocab maps follow the reference convention:
+- ``t2d``: bool [vocab]            — membership of each target token in the draft vocab.
+- ``d2t``: int  [draft_vocab]      — offset such that target_index = draft_index + d2t[draft_index].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_VOCAB_CHUNK_SIZE = 32768
+
+
+def draft_gather_indices(d2t: jnp.ndarray) -> jnp.ndarray:
+    """Target-vocab gather indices for each draft-vocab slot: ``i + d2t[i]``."""
+    v_draft = d2t.shape[0]
+    return jnp.arange(v_draft, dtype=d2t.dtype) + d2t
+
+
+def compute_target_p(
+    target_logits: jnp.ndarray,
+    t2d: jnp.ndarray,
+    d2t: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-vocab teacher projection.
+
+    Args:
+        target_logits: [B, S, V] target logits (any float dtype; upcast to f32).
+        t2d: bool [V].
+        d2t: int [V_draft].
+        loss_mask: [B, S, 1] int/float mask of supervised positions.
+
+    Returns:
+        target_p [B, S, V_draft] f32, target_p_on_draft [B, S, V_draft] f32,
+        target_token_ids [B, S] int32, position_mask [B, S, 1].
+    """
+    t = target_logits.astype(jnp.float32)
+    target_token_ids = jnp.argmax(t, axis=-1).astype(jnp.int32)
+    gather_idx = draft_gather_indices(d2t)
+    draft_logits = jnp.take(t, gather_idx, axis=-1)
+    target_p = jax.nn.softmax(draft_logits, axis=-1)
+    lse = jax.nn.logsumexp(t, axis=-1, keepdims=True)
+    target_p_on_draft = jnp.exp(draft_logits - lse)
+    in_draft = jnp.take(t2d, target_token_ids)[..., None].astype(jnp.int32)
+    position_mask = in_draft * loss_mask.astype(jnp.int32)
+    return target_p, target_p_on_draft, target_token_ids, position_mask
+
+
+def _pad_teacher(
+    target_p: jnp.ndarray,
+    target_p_on_draft: jnp.ndarray,
+    target_token_ids: jnp.ndarray,
+    length: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pad teacher tensors by ``length`` along the sequence axis.
+
+    Pad values replicate the reference exactly (eagle3/model.py:459-477):
+    target_p pads with the uniform 1/V_draft distribution (bitwise-equality
+    legacy), p_on_draft with 0, token ids with 0.
+    """
+    v_draft = target_p.shape[-1]
+    target_p_padded = jnp.pad(
+        target_p,
+        ((0, 0), (0, length), (0, 0)),
+        constant_values=1.0 / v_draft,
+    )
+    target_p_on_draft_padded = jnp.pad(
+        target_p_on_draft, ((0, 0), (0, length), (0, 0)), constant_values=0.0
+    )
+    target_token_ids_padded = jnp.pad(
+        target_token_ids, ((0, 0), (0, length)), constant_values=0
+    )
+    return target_p_padded, target_p_on_draft_padded, target_token_ids_padded
+
+
+def compute_target_p_padded(
+    target_logits: jnp.ndarray,
+    t2d: jnp.ndarray,
+    d2t: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+    length: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-vocab teacher projection padded by the TTT length."""
+    target_p, p_on_draft, token_ids, position_mask = compute_target_p(
+        target_logits, t2d, d2t, loss_mask
+    )
+    padded = _pad_teacher(target_p, p_on_draft, token_ids, length)
+    return (*padded, position_mask)
+
+
+@partial(jax.jit, static_argnames=("chunk_size",))
+def tiled_logsumexp_argmax(
+    hidden: jnp.ndarray,
+    weight: jnp.ndarray,
+    chunk_size: int = DEFAULT_VOCAB_CHUNK_SIZE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-vocab fp32 logsumexp [..., 1] and argmax [...] without [..., V] logits.
+
+    Streams the head matmul over vocab chunks with a ``lax.scan``; ties resolve
+    to the lowest index (reference: core/compact_teacher.py:57-110). The chunked
+    matmul keeps each step MXU-shaped ([.., H] @ [H, chunk]) while bounding live
+    fp32 logits to one chunk.
+    """
+    vocab_size, h = weight.shape
+    lead_shape = hidden.shape[:-1]
+    hidden2d = hidden.reshape(-1, h)
+    n_rows = hidden2d.shape[0]
+
+    pad_v = (-vocab_size) % chunk_size
+    # Pad the vocab axis with zero rows; the running max over real entries wins
+    # unless every logit is -inf, which cannot happen for finite inputs because
+    # padded logits are hidden @ 0 = 0 — guard by masking padded ids to -inf.
+    w_pad = jnp.pad(weight, ((0, pad_v), (0, 0)))
+    n_chunks = (vocab_size + pad_v) // chunk_size
+    w_chunks = w_pad.reshape(n_chunks, chunk_size, h)
+
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def step(carry, inputs):
+        run_max, run_sumexp, run_argval, run_argmax = carry
+        w_chunk, chunk_start = inputs
+        logits = jnp.dot(
+            hidden2d, w_chunk.T, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+        ids = chunk_start + jnp.arange(chunk_size, dtype=jnp.int32)
+        valid = ids < vocab_size
+        logits = jnp.where(valid[None, :], logits, neg_inf)
+
+        chunk_max = jnp.max(logits, axis=-1)
+        new_max = jnp.maximum(run_max, chunk_max)
+        run_sumexp = run_sumexp * jnp.exp(run_max - new_max) + jnp.sum(
+            jnp.exp(logits - new_max[:, None]), axis=-1
+        )
+        run_max = new_max
+
+        chunk_idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        chunk_val = jnp.take_along_axis(logits, chunk_idx[:, None], axis=-1)[:, 0]
+        take = chunk_val > run_argval  # strict > keeps the lowest global index
+        run_argmax = jnp.where(take, chunk_idx + chunk_start, run_argmax)
+        run_argval = jnp.where(take, chunk_val, run_argval)
+        return (run_max, run_sumexp, run_argval, run_argmax), None
+
+    init = (
+        jnp.full((n_rows,), neg_inf, jnp.float32),
+        jnp.zeros((n_rows,), jnp.float32),
+        jnp.full((n_rows,), neg_inf, jnp.float32),
+        jnp.zeros((n_rows,), jnp.int32),
+    )
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+    (run_max, run_sumexp, _, run_argmax), _ = jax.lax.scan(
+        step, init, (w_chunks, chunk_starts)
+    )
+    log_z = run_max + jnp.log(run_sumexp)
+    return log_z.reshape(*lead_shape, 1), run_argmax.reshape(lead_shape)
+
+
+def compute_target_p_from_hidden(
+    hidden: jnp.ndarray,
+    lm_head_weight: jnp.ndarray,
+    t2d: jnp.ndarray,
+    d2t: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+    chunk_size: int = DEFAULT_VOCAB_CHUNK_SIZE,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact teacher: reproduce :func:`compute_target_p` from last hidden states.
+
+    ``hidden`` [B, S, H], ``lm_head_weight`` [V, H]. The draft-vocab logits come
+    from a t2d-gathered head slice (an MXU matmul over [V_draft, H]); the
+    full-vocab logsumexp/argmax stream over vocab chunks.
+    Reference: core/compact_teacher.py:113-210.
+    """
+    gather_idx = draft_gather_indices(d2t)
+    draft_head = jnp.take(lm_head_weight, gather_idx, axis=0)
+    draft_logits = jnp.einsum(
+        "bsh,vh->bsv", hidden, draft_head, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+    log_z, target_token_ids = tiled_logsumexp_argmax(
+        hidden, lm_head_weight, chunk_size=chunk_size
+    )
+    target_token_ids = target_token_ids.astype(jnp.int32)
+    target_p = jax.nn.softmax(draft_logits, axis=-1)
+    target_p_on_draft = jnp.exp(draft_logits - log_z)
+    in_draft = jnp.take(t2d, target_token_ids)[..., None].astype(jnp.int32)
+    position_mask = in_draft * loss_mask.astype(jnp.int32)
+    return target_p, target_p_on_draft, target_token_ids, position_mask
+
+
+def compute_target_p_padded_from_hidden(
+    hidden: jnp.ndarray,
+    lm_head_weight: jnp.ndarray,
+    t2d: jnp.ndarray,
+    d2t: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+    length: int,
+    chunk_size: int = DEFAULT_VOCAB_CHUNK_SIZE,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact teacher with the +length TTT padding applied."""
+    target_p, p_on_draft, token_ids, position_mask = compute_target_p_from_hidden(
+        hidden, lm_head_weight, t2d, d2t, loss_mask, chunk_size=chunk_size
+    )
+    padded = _pad_teacher(target_p, p_on_draft, token_ids, length)
+    return (*padded, position_mask)
