@@ -1,0 +1,114 @@
+"""Optimizer + LR schedules.
+
+Numerically mirrors the reference BF16Optimizer (specforge/optimizer.py:12-232):
+AdamW over fp32 master parameters with global-norm clipping and linear-warmup →
+{cosine annealing | constant} schedules (specforge/lr_scheduler.py:7-150).
+
+The TPU-native shape: parameters *are* the fp32 masters (compute casts to bf16
+at use sites inside the model), so "grad copy → master step → master copy-back"
+collapses into a plain optax update; the cross-rank grad-norm all-reduce is
+implicit because grads live sharded on the mesh and ``global_norm`` contracts
+over the full (logical) tensors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    max_grad_norm: float = 0.5
+    warmup_ratio: float = 0.015
+    lr_scheduler: str = "cosine"  # cosine | constant
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+
+def build_lr_schedule(config: OptimizerConfig, total_steps: int) -> Callable:
+    """Linear warmup over ``warmup_ratio * total_steps`` then cosine/constant.
+
+    Warmup matches the reference ``(step + 1) / warmup_steps`` ramp; cosine
+    anneals to 0 over the remaining steps.
+    """
+    warmup_steps = int(config.warmup_ratio * total_steps)
+    base_lr = config.lr
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup_steps > 0:
+            warm = jnp.minimum((step + 1.0) / warmup_steps, 1.0) * base_lr
+        else:
+            warm = jnp.asarray(base_lr, jnp.float32)
+        if config.lr_scheduler == "constant":
+            after = base_lr
+        else:
+            t = jnp.clip(
+                (step - warmup_steps) / max(total_steps - warmup_steps, 1),
+                0.0,
+                1.0,
+            )
+            after = base_lr * 0.5 * (1.0 + jnp.cos(math.pi * t))
+        return jnp.where(step < warmup_steps, warm, after)
+
+    if config.lr_scheduler not in ("cosine", "constant"):
+        raise ValueError(f"unsupported lr_scheduler={config.lr_scheduler!r}")
+    return schedule
+
+
+def build_optimizer(
+    config: OptimizerConfig,
+    total_steps: int,
+    trainable_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """Clip-by-global-norm → AdamW with the warmup schedule.
+
+    ``trainable_mask``: pytree of bools matching params; False leaves (frozen,
+    e.g. the target-copied embedding) receive zero updates and no optimizer
+    state.
+    """
+    schedule = build_lr_schedule(config, total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=config.adam_b1,
+            b2=config.adam_b2,
+            eps=config.adam_eps,
+            weight_decay=config.weight_decay,
+        ),
+    )
+    if trainable_mask is not None:
+        labels = jax.tree_util.tree_map(
+            lambda trainable: "trainable" if trainable else "frozen",
+            trainable_mask,
+        )
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def embedding_freeze_mask(params: Any, freeze_embedding: bool = True) -> Any:
+    """True = trainable. Freezes any leaf whose path contains 'embed'
+    (the EAGLE3 target-copied embedding contract; P-EAGLE passes False)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_has_embed(path) -> bool:
+        return any("embed" in str(getattr(k, "key", k)).lower() for k in path)
+
+    def mask_leaf(path, _leaf):
+        return not (freeze_embedding and path_has_embed(path))
+
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [mask_leaf(path, leaf) for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

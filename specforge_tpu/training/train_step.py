@@ -1,0 +1,154 @@
+"""The jitted train step: branch-free micro-step accumulation + optimizer update.
+
+TPU-native translation of TrainerCore (specforge/training/controller.py:307-479):
+
+- FSDP ``no_sync``/boundary machinery disappears — gradients accumulate in a
+  ``lax.scan`` over the micro-batch axis inside one compiled step, and XLA
+  issues exactly one reduce-scatter per parameter at the end.
+- The ``loss_terms`` contract (global gradient normalization by the summed
+  objective denominator across the whole optimizer window and all ranks,
+  controller.py:375-395) is a division after the scan; denominators computed
+  from dp-sharded batches are already global sums under jit partitioning.
+- Ratio metrics accumulate as (numerator, denominator) pairs and divide once.
+
+Batch layout: every tensor carries a leading micro-step axis
+``[accum, per_micro_batch, ...]`` (use ``accum=1`` for single-micro steps).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from specforge_tpu.training.strategies import DraftTrainStrategy, StepContext
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    buffers: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar = optimizer steps taken
+
+    @classmethod
+    def create(cls, params, buffers, tx: optax.GradientTransformation):
+        return cls(
+            params=params,
+            buffers=buffers,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_train_step(
+    strategy: DraftTrainStrategy,
+    tx: optax.GradientTransformation,
+    *,
+    accum_steps: int = 1,
+    total_steps: Optional[int] = None,
+    metadata: Optional[Dict[str, Any]] = None,
+    lr_schedule: Optional[Callable] = None,
+    jit: bool = True,
+) -> Callable:
+    """Build ``train_step(state, batch, frozen) -> (state, metrics)``.
+
+    ``frozen``: dict of non-trainable device arrays (e.g. the target lm_head
+    weight) passed as explicit arguments so they are never baked into the
+    compiled program as constants.
+    """
+    metadata = dict(metadata or {})
+
+    def micro(params, buffers, tensors, frozen, ctx):
+        def loss_fn(p):
+            out = strategy.forward_loss(
+                {"params": p, "buffers": buffers}, tensors, frozen, ctx, metadata
+            )
+            if out.loss_terms is None:
+                grad_target = out.loss
+                denom = jnp.asarray(1.0, jnp.float32)
+                loss_display = out.loss.astype(jnp.float32)
+            else:
+                grad_target = out.loss_terms[0]
+                denom = out.loss_terms[1].astype(jnp.float32)
+                loss_display = out.loss_terms[0].astype(jnp.float32)
+            # aux must be a pytree (dict/tuple), not the StepOutput dataclass
+            stats = {
+                "loss": loss_display,
+                "metrics": {
+                    k: v.astype(jnp.float32) for k, v in out.metrics.items()
+                },
+                "ratio_num": {
+                    k: v[0].astype(jnp.float32)
+                    for k, v in out.ratio_metrics.items()
+                },
+                "ratio_den": {
+                    k: v[1].astype(jnp.float32)
+                    for k, v in out.ratio_metrics.items()
+                },
+                "denom": denom,
+            }
+            return grad_target, stats
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        return grads, stats
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], frozen):
+        ctx = StepContext(global_step=state.step, total_steps=total_steps)
+        micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+        shapes = jax.eval_shape(
+            lambda p, b, t, f: micro(p, b, t, f, ctx),
+            state.params, state.buffers, micro0, frozen,
+        )
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+
+        def scan_body(carry, micro_batch):
+            grads_acc, stats_acc = carry
+            grads, stats = micro(
+                state.params, state.buffers, micro_batch, frozen, ctx
+            )
+            carry = jax.tree_util.tree_map(
+                jnp.add, (grads_acc, stats_acc), (grads, stats)
+            )
+            return carry, None
+
+        (grads, stats), _ = jax.lax.scan(scan_body, zeros, batch)
+
+        # Static decision: strategies declare the loss_terms contract.
+        uses_loss_terms = getattr(strategy, "uses_loss_terms", False)
+
+        if uses_loss_terms:
+            norm = jnp.maximum(stats["denom"], 1e-6)
+            loss_out = stats["loss"] / norm
+        else:
+            norm = jnp.asarray(float(accum_steps), jnp.float32)
+            loss_out = stats["loss"] / norm
+        grads = jax.tree_util.tree_map(lambda g: g / norm, grads)
+
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+
+        metrics = {"train/loss": loss_out, "train/grad_norm": grad_norm}
+        for k, v in stats["metrics"].items():
+            metrics[f"train/{k}"] = v / accum_steps
+        for k in stats["ratio_num"]:
+            metrics[f"train/{k}"] = stats["ratio_num"][k] / jnp.maximum(
+                stats["ratio_den"][k], 1e-6
+            )
+        if lr_schedule is not None:
+            metrics["train/lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
