@@ -37,7 +37,11 @@ from specforge_tpu.utils import shift_pad
 
 
 class TTTOutputs(NamedTuple):
-    """Per-TTT-step arrays, each of shape [length] (loss keeps grad)."""
+    """Per-TTT-step arrays, each of shape [length] (loss keeps grad).
+
+    ``acceptance_nums``/``acceptance_denoms`` carry the masked acceptance sum
+    and mask count separately so the evaluator can reduce across batches and
+    ranks before dividing (batch-size-invariant eval contract)."""
 
     plosses: jnp.ndarray
     acceptance_rates: jnp.ndarray
@@ -46,6 +50,8 @@ class TTTOutputs(NamedTuple):
     metric_denoms: jnp.ndarray
     metric_losses: jnp.ndarray
     metric_loss_denoms: jnp.ndarray
+    acceptance_nums: jnp.ndarray
+    acceptance_denoms: jnp.ndarray
 
 
 class OnlineEagle3Model(nn.Module):
@@ -122,6 +128,7 @@ class OnlineEagle3Model(nn.Module):
 
         plosses, acceptance_rates, acces = [], [], []
         corrects, denoms, metric_losses, loss_denoms = [], [], [], []
+        acceptance_nums, acceptance_denoms = [], []
 
         for idx in range(self.length):
             step_target_p = jax.lax.dynamic_slice_in_dim(
@@ -177,6 +184,14 @@ class OnlineEagle3Model(nn.Module):
                 logits.shape[0] * logits.shape[1], jnp.float32
             )
 
+            pos_den = jnp.sum(cur_position_mask.astype(jnp.float32))
+            if self.metric_reduce_axes:
+                pos_den = jax.lax.psum(pos_den, self.metric_reduce_axes)
+            acceptance_nums.append(
+                jax.lax.stop_gradient(acceptance_rate) * pos_den
+            )
+            acceptance_denoms.append(pos_den)
+
             plosses.append(loss)
             acceptance_rates.append(jax.lax.stop_gradient(acceptance_rate))
             acces.append(acc)
@@ -198,4 +213,6 @@ class OnlineEagle3Model(nn.Module):
             metric_denoms=jnp.stack(denoms),
             metric_losses=jnp.stack(metric_losses),
             metric_loss_denoms=jnp.stack(loss_denoms),
+            acceptance_nums=jnp.stack(acceptance_nums),
+            acceptance_denoms=jnp.stack(acceptance_denoms),
         )

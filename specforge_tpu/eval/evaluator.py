@@ -1,0 +1,76 @@
+"""Batch-size-invariant evaluator.
+
+Per-position correct/denominator and acceptance numerator/denominator are
+summed over the whole eval set (and, under jit sharding, over ranks) *before*
+any division; the headline metric is
+
+    eval/simulated_acc_len = Σ_i Π_{j ≤ i} a_j
+
+with a_j the set-wide per-TTT-position acceptance rates — the expected accepted
+draft length under speculative decoding. Reference: eval/evaluator.py:27-222.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from specforge_tpu.runtime.contracts import TrainBatch
+
+
+class Evaluator:
+    def __init__(self, strategy, metadata: Optional[Dict[str, Any]] = None):
+        self.strategy = strategy
+        self.metadata = dict(metadata or {})
+        self._jitted = jax.jit(
+            lambda variables, tensors, frozen: strategy.eval_outputs(
+                variables, tensors, frozen, self.metadata
+            )
+        )
+
+    def run(
+        self,
+        variables: Dict[str, Any],
+        batches: Iterable[TrainBatch],
+        frozen: Dict[str, Any],
+    ) -> Dict[str, float]:
+        sums: Dict[str, np.ndarray] = {}
+        n_batches = 0
+        for batch in batches:
+            metadata = {**self.metadata, **batch.metadata}
+            if metadata != self.metadata:
+                # metadata participates in the trace via the strategy closure;
+                # rebuild if a batch carries different static metadata.
+                self.metadata = metadata
+                self._jitted = jax.jit(
+                    lambda variables, tensors, frozen: self.strategy.eval_outputs(
+                        variables, tensors, frozen, self.metadata
+                    )
+                )
+            out = self._jitted(variables, batch.tensors, frozen)
+            out = jax.device_get(out)
+            for key, value in out.items():
+                acc = sums.get(key)
+                sums[key] = (
+                    np.asarray(value, np.float64)
+                    if acc is None
+                    else acc + np.asarray(value, np.float64)
+                )
+            n_batches += 1
+        if n_batches == 0:
+            return {}
+
+        metrics: Dict[str, float] = {}
+        accs = sums["corrects"] / np.maximum(sums["denoms"], 1e-6)
+        rates = sums["acc_nums"] / np.maximum(sums["acc_dens"], 1e-8)
+        plosses = sums["loss_sums"] / np.maximum(sums["loss_dens"], 1e-6)
+        for i in range(len(accs)):
+            metrics[f"eval/acc_{i}"] = float(accs[i])
+            metrics[f"eval/acceptance_rate_{i}"] = float(rates[i])
+            metrics[f"eval/ploss_{i}"] = float(plosses[i])
+        metrics["eval/simulated_acc_len"] = float(
+            np.sum(np.cumprod(rates))
+        )
+        return metrics

@@ -178,3 +178,38 @@ class Eagle3TrainStrategy(DraftTrainStrategy):
         if not self.freeze_embedding:
             return draft
         return {k: v for k, v in draft.items() if "embed" not in k.lower()}
+
+    def eval_outputs(self, variables, tensors, frozen, metadata=None):
+        """Batch-size-invariant eval sums: per-TTT-position numerators and
+        denominators (divided only after reduction over the full eval set —
+        reference eval/evaluator.py:27-222)."""
+        metadata = metadata or {}
+        target_repr = metadata.get("target_repr")
+        input_ids = tensors["input_ids"]
+        target = tensors["target"]
+        loss_mask = tensors["loss_mask"]
+        if target_repr == "hidden_state":
+            head_w = frozen["target_head_weight"]
+            input_ids, target_hidden, loss_mask = target_head_preprocess(
+                input_ids, target, loss_mask
+            )
+            target = apply_target_head(head_w, target_hidden)
+        elif loss_mask.ndim == 2:
+            loss_mask = loss_mask[..., None]
+        out = self.model.apply(
+            variables,
+            input_ids,
+            tensors["attention_mask"],
+            loss_mask,
+            tensors["hidden_state"],
+            target,
+            position_ids=tensors.get("position_ids"),
+        )
+        return {
+            "corrects": out.metric_corrects,
+            "denoms": out.metric_denoms,
+            "acc_nums": out.acceptance_nums,
+            "acc_dens": out.acceptance_denoms,
+            "loss_sums": out.metric_losses * out.metric_loss_denoms,
+            "loss_dens": out.metric_loss_denoms,
+        }

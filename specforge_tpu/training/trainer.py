@@ -1,0 +1,272 @@
+"""Trainer: lifecycle orchestration around the jitted train step.
+
+Composes loader → accumulation grouping → device placement (mesh sharding) →
+train step → logging/eval/checkpointing, with mid-epoch seek/resume, durable
+ack at optimizer boundaries, and perf telemetry — the TrainerController role
+(specforge/training/controller.py:482-887) with TrainerCore already compiled
+into :func:`specforge_tpu.training.train_step.make_train_step`.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from specforge_tpu.eval.evaluator import Evaluator
+from specforge_tpu.parallel.mesh import batch_sharding
+from specforge_tpu.runtime.contracts import TrainBatch
+from specforge_tpu.training.checkpoint import (
+    CheckpointManager,
+    Progress,
+    ResumeContract,
+)
+from specforge_tpu.training.optimizer import (
+    OptimizerConfig,
+    build_lr_schedule,
+    build_optimizer,
+)
+from specforge_tpu.training.profiling import PerfCounters, ProfilingConfig, StepProfiler
+from specforge_tpu.training.strategies import DraftTrainStrategy
+from specforge_tpu.training.tracking import NoOpTracker, Tracker
+from specforge_tpu.training.train_step import TrainState, make_train_step
+
+logger = logging.getLogger("specforge_tpu.trainer")
+
+
+@dataclass
+class TrainerConfig:
+    num_epochs: int = 1
+    accum_steps: int = 1
+    log_interval: int = 10
+    eval_interval: int = 0          # optimizer steps; 0 = end of epoch only
+    checkpoint_interval: int = 0    # optimizer steps; 0 = end of epoch only
+    max_checkpoints: int = 5
+    output_dir: str = "runs"
+    run_id: str = "run"
+    resume: bool = False
+    total_steps: Optional[int] = None  # resolved from data when None
+    profiling: ProfilingConfig = field(default_factory=ProfilingConfig)
+
+
+class Trainer:
+    def __init__(
+        self,
+        strategy: DraftTrainStrategy,
+        *,
+        variables: Dict[str, Any],
+        train_loader,
+        config: TrainerConfig,
+        optimizer_config: OptimizerConfig,
+        eval_loader=None,
+        frozen: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        tracker: Optional[Tracker] = None,
+        trainable_mask=None,
+        metadata: Optional[Dict[str, Any]] = None,
+        ack_fn: Optional[Callable[[List[str], int], None]] = None,
+        world_size: int = 1,
+    ) -> None:
+        self.strategy = strategy
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.config = config
+        self.frozen = dict(frozen or {})
+        self.mesh = mesh
+        self.tracker = tracker or NoOpTracker()
+        self.metadata = dict(metadata or {})
+        self.ack_fn = ack_fn
+        self.world_size = world_size
+
+        if config.total_steps is None:
+            try:
+                per_epoch = len(train_loader) // config.accum_steps
+            except TypeError as e:
+                raise ValueError(
+                    "total_steps must be given for streaming loaders"
+                ) from e
+            config.total_steps = per_epoch * config.num_epochs
+        self.total_steps = config.total_steps
+
+        self.tx = build_optimizer(
+            optimizer_config, self.total_steps, trainable_mask=trainable_mask
+        )
+        self.lr_schedule = build_lr_schedule(optimizer_config, self.total_steps)
+        self.state = TrainState.create(
+            variables["params"], variables.get("buffers", {}), self.tx
+        )
+        self.train_step = make_train_step(
+            strategy,
+            self.tx,
+            accum_steps=config.accum_steps,
+            total_steps=self.total_steps,
+            metadata=self.metadata,
+            lr_schedule=self.lr_schedule,
+        )
+        self.checkpoints = CheckpointManager(
+            config.output_dir,
+            config.run_id,
+            max_checkpoints=config.max_checkpoints,
+        )
+        self.evaluator = Evaluator(strategy, self.metadata)
+        self.profiler = StepProfiler(config.profiling, config.run_id)
+        self.progress = Progress()
+        self._batch_sharding = (
+            batch_sharding(self.mesh) if self.mesh is not None else None
+        )
+
+    # --- contract --------------------------------------------------------
+    def resume_contract(self) -> ResumeContract:
+        return ResumeContract(
+            strategy=self.strategy.name,
+            world_size=self.world_size,
+            train_batch_size=getattr(self.train_loader, "batch_size", 0),
+            accum_steps=self.config.accum_steps,
+            total_steps=self.total_steps,
+            run_id=self.config.run_id,
+        )
+
+    # --- device placement ------------------------------------------------
+    def _device_put_batch(self, stacked: Dict[str, np.ndarray]):
+        if self._batch_sharding is None:
+            return {k: jax.device_put(v) for k, v in stacked.items()}
+        out = {}
+        for k, v in stacked.items():
+            try:
+                out[k] = jax.device_put(v, self._batch_sharding)
+            except ValueError:
+                out[k] = jax.device_put(v)  # non-divisible: replicate
+        return out
+
+    def _accum_groups(self, loader) -> Iterable[tuple]:
+        """Group ``accum_steps`` consecutive TrainBatch into one [A, B, ...]
+        stacked host batch; a trailing partial window is dropped (validated
+        up-front by the schedule)."""
+        window: List[TrainBatch] = []
+        for batch in loader:
+            window.append(batch)
+            if len(window) == self.config.accum_steps:
+                stacked = {
+                    k: np.stack([b.tensors[k] for b in window])
+                    for k in window[0].tensors
+                }
+                sample_ids = [sid for b in window for sid in b.sample_ids]
+                metadata = window[0].metadata
+                yield stacked, sample_ids, metadata
+                window = []
+
+    # --- main loop -------------------------------------------------------
+    def fit(self) -> Dict[str, float]:
+        cfg = self.config
+        batch_size_hint = 0
+        start_epoch = 0
+        if cfg.resume:
+            latest = self.checkpoints.latest_step()
+            if latest is not None:
+                self._restore(latest)
+                start_epoch = self.progress.epoch
+
+        perf = PerfCounters()
+        last_metrics: Dict[str, float] = {}
+        try:
+            for epoch in range(start_epoch, cfg.num_epochs):
+                self.progress.epoch = epoch
+                if hasattr(self.train_loader, "seek"):
+                    offset = (
+                        self.progress.samples_consumed
+                        if epoch == start_epoch
+                        else 0
+                    )
+                    self.train_loader.seek(offset)
+                if epoch != start_epoch:
+                    self.progress.samples_consumed = 0
+
+                data_t0 = time.monotonic()
+                for stacked, sample_ids, metadata in self._accum_groups(
+                    self.train_loader
+                ):
+                    perf.data_wait_s += time.monotonic() - data_t0
+                    step = int(self.state.step)
+                    self.profiler.on_step_begin(step)
+
+                    t0 = time.monotonic()
+                    batch = self._device_put_batch(stacked)
+                    self.state, metrics = self.train_step(
+                        self.state, batch, self.frozen
+                    )
+                    metrics = {
+                        k: float(v) for k, v in jax.device_get(metrics).items()
+                    }
+                    perf.compute_s += time.monotonic() - t0
+
+                    n_samples = len(sample_ids)
+                    batch_size_hint = max(batch_size_hint, n_samples)
+                    self.progress.samples_consumed += n_samples
+                    self.progress.global_step = step + 1
+                    perf.steps += 1
+                    perf.samples += n_samples
+
+                    if self.ack_fn is not None:
+                        t0 = time.monotonic()
+                        self.ack_fn(sample_ids, step + 1)
+                        perf.ack_s += time.monotonic() - t0
+
+                    self.profiler.on_step_end(step)
+                    last_metrics = metrics
+
+                    new_step = step + 1
+                    if cfg.log_interval and new_step % cfg.log_interval == 0:
+                        metrics.update(perf.window_metrics(n_samples))
+                        self.tracker.log(metrics, new_step)
+                        perf.reset()
+                    if cfg.eval_interval and new_step % cfg.eval_interval == 0:
+                        last_metrics.update(self._evaluate(new_step))
+                    if (
+                        cfg.checkpoint_interval
+                        and new_step % cfg.checkpoint_interval == 0
+                    ):
+                        self._save(new_step, batch_size_hint, last_metrics)
+                    data_t0 = time.monotonic()
+
+                # end of epoch: eval + checkpoint (progress records the NEXT
+                # position so resume starts at the following epoch)
+                eval_metrics = self._evaluate(int(self.state.step))
+                last_metrics.update(eval_metrics)
+                self.progress.epoch = epoch + 1
+                self.progress.samples_consumed = 0
+                self._save(int(self.state.step), batch_size_hint, last_metrics)
+        finally:
+            self.profiler.finalize()
+        return last_metrics
+
+    # --- eval / checkpoint ----------------------------------------------
+    def _evaluate(self, step: int) -> Dict[str, float]:
+        if self.eval_loader is None:
+            return {}
+        variables = {"params": self.state.params, "buffers": self.state.buffers}
+        metrics = self.evaluator.run(variables, self.eval_loader, self.frozen)
+        if metrics:
+            self.tracker.log(metrics, step)
+        return metrics
+
+    def _save(self, step: int, batch_size: int, metrics: Dict[str, float]):
+        self.checkpoints.save(
+            self.state, step, self.resume_contract(), self.progress, metrics
+        )
+        self.checkpoints.maybe_update_best(step, metrics)
+
+    def _restore(self, step: int) -> None:
+        template = jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
+        state, progress, _metrics = self.checkpoints.restore(
+            step, template, contract=self.resume_contract()
+        )
+        self.state = jax.tree_util.tree_map(jax.device_put, state)
+        self.progress = progress
+        logger.info(
+            "resumed %s at step %d (epoch %d, samples %d)",
+            self.config.run_id, step, progress.epoch, progress.samples_consumed,
+        )
