@@ -1,0 +1,202 @@
+"""Benchmark: EAGLE3 train-step MFU on one TPU chip.
+
+Measures the full jitted training step (compact-teacher projection + 7-step TTT
+unroll + fused CE loss + AdamW update) at a Qwen3-8B-eagle3-shaped draft config
+(configs/qwen3-8b-eagle3.json in the reference), and reports model FLOPs
+utilization against the chip's bf16 peak.
+
+Comparison anchor (BASELINE.md): the reference Domino trainer sustains 43.5-44.1%
+MFU on H200; ``vs_baseline`` is our MFU / 0.435.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# TPU peak dense bf16 TFLOP/s per chip by generation
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+BASELINE_MFU = 0.435  # reference H200 Domino trainer anchor
+
+
+def detect_peak():
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
+    for key, peak in PEAK_BF16.items():
+        if key in gen:
+            return peak, key
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16.items():
+        if key.replace("v", "v") in kind.replace(" ", ""):
+            return peak, key
+    if "v5 lite" in kind or "v5e" in kind:
+        return PEAK_BF16["v5e"], "v5e"
+    return PEAK_BF16["v5e"], "v5e?"
+
+
+def analytic_step_flops(b, s, cfg, length, target_vocab):
+    """Matmul FLOPs for one optimizer step (fwd + 2x bwd on trainable path;
+    teacher projection fwd-only), mirroring the reference's FlopCounterMode
+    accounting (bench_domino_mfu.py)."""
+    h = cfg.hidden_size
+    d = cfg.resolved_head_dim
+    heads = cfg.num_attention_heads
+    kvh = cfg.num_key_value_heads
+    inter = cfg.intermediate_size
+    vd = cfg.draft_vocab_size
+    th = cfg.resolved_target_hidden_size
+
+    def mm(m, k, n):
+        return 2.0 * m * k * n
+
+    tok = b * s
+    per_step = 0.0
+    per_step += mm(tok, 2 * h, heads * d)            # q
+    per_step += 2 * mm(tok, 2 * h, kvh * d)          # k, v
+    per_step += mm(tok, heads * d, h)                # o
+    per_step += 2.0 * b * heads * s * s * d * 2      # qk^T and pv
+    per_step += 3 * mm(tok, h, inter)                # gate, up, down
+    per_step += mm(tok, h, vd)                       # lm_head
+    fc = mm(tok, 3 * th, h)
+    train_fwd = length * per_step + fc
+    # teacher (no grad): draft-vocab head + full-vocab logsumexp stream
+    teacher = mm(tok, th, vd) + mm(tok, th, target_vocab)
+    return 3.0 * train_fwd + teacher
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    seq = int(os.environ.get("BENCH_SEQ", "768"))
+    length = int(os.environ.get("BENCH_TTT_LENGTH", "7"))
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from specforge_tpu.algorithms.eagle3.model import OnlineEagle3Model
+    from specforge_tpu.models.draft.llama_eagle3 import (
+        Eagle3Config,
+        LlamaEagle3Draft,
+    )
+    from specforge_tpu.training.optimizer import (
+        OptimizerConfig,
+        build_optimizer,
+        cast_frozen_to,
+        embedding_freeze_mask,
+    )
+    from specforge_tpu.training.strategies import Eagle3TrainStrategy
+    from specforge_tpu.training.train_step import TrainState, make_train_step
+
+    target_vocab = int(os.environ.get("BENCH_TARGET_VOCAB", "151936"))
+    cfg = Eagle3Config(
+        vocab_size=target_vocab,
+        draft_vocab_size=int(os.environ.get("BENCH_DRAFT_VOCAB", "32000")),
+        hidden_size=4096,
+        intermediate_size=12288,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        max_position_embeddings=40960,
+        rope_theta=1e6,
+    )
+
+    draft = LlamaEagle3Draft(cfg, dtype=jnp.bfloat16)
+    model = OnlineEagle3Model(draft_model=draft, length=length)
+    strategy = Eagle3TrainStrategy(model, compact_teacher=True)
+
+    rng = jax.random.PRNGKey(0)
+    print("initializing params...", file=sys.stderr)
+    # init on tiny shapes (shapes don't matter for param shapes), then batch
+    variables = jax.jit(model.init)(
+        rng,
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8, 1), jnp.int32),
+        jnp.zeros((1, 8, 3 * cfg.hidden_size), jnp.bfloat16),
+        jnp.zeros((1, 8, cfg.vocab_size), jnp.bfloat16),
+    )
+
+    mask = embedding_freeze_mask(variables["params"])
+    # frozen embedding lives in bf16 (reference keeps frozen tables in model
+    # dtype; fp32 masters exist only for trainable params)
+    params = cast_frozen_to(variables["params"], mask, jnp.bfloat16)
+    buffers = variables["buffers"]
+    variables = None  # free the fp32 originals before allocating opt state
+    tx = build_optimizer(OptimizerConfig(lr=1e-4), 1000)
+    state = TrainState.create(params, buffers, tx, trainable_mask=mask)
+    params = None
+    step_fn = make_train_step(
+        strategy, tx, accum_steps=1, total_steps=1000,
+        metadata={"target_repr": "hidden_state"},
+        trainable_mask=mask,
+    )
+
+    np_rng = np.random.default_rng(0)
+    batch_tensors = {
+        "input_ids": jnp.asarray(
+            np_rng.integers(0, cfg.vocab_size, size=(1, batch, seq))
+        ),
+        "attention_mask": jnp.ones((1, batch, seq), jnp.int32),
+        "loss_mask": jnp.asarray(
+            (np_rng.random((1, batch, seq, 1)) > 0.2).astype(np.int32)
+        ),
+        "hidden_state": jnp.asarray(
+            np_rng.normal(size=(1, batch, seq, 3 * cfg.hidden_size))
+        ).astype(jnp.bfloat16),
+        "target": jnp.asarray(
+            np_rng.normal(size=(1, batch, seq, cfg.hidden_size))
+        ).astype(jnp.bfloat16),
+    }
+    head_w = (
+        jax.random.normal(
+            jax.random.PRNGKey(1), (cfg.vocab_size, cfg.hidden_size),
+            jnp.bfloat16,
+        )
+        * 0.02
+    )
+    frozen = {"target_head_weight": head_w}
+
+    print("compiling train step...", file=sys.stderr)
+    t0 = time.monotonic()
+    state, metrics = step_fn(state, batch_tensors, frozen)
+    _ = float(metrics["train/loss"])  # forces execution (tunnel-safe sync)
+    print(f"compile+first step: {time.monotonic()-t0:.1f}s", file=sys.stderr)
+
+    # warmup one more, then timed steps
+    state, metrics = step_fn(state, batch_tensors, frozen)
+    _ = float(metrics["train/loss"])
+    t0 = time.monotonic()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_tensors, frozen)
+    final_loss = float(metrics["train/loss"])  # chains through all steps
+    dt = (time.monotonic() - t0) / steps
+
+    flops = analytic_step_flops(batch, seq, cfg, length, cfg.vocab_size)
+    peak, gen = detect_peak()
+    mfu = flops / dt / peak
+    print(
+        f"step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
+        f"{flops/dt/1e12:.1f}TF/s peak[{gen}]={peak/1e12:.0f}TF/s "
+        f"loss={final_loss:.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "eagle3_train_step_mfu",
+        "value": round(mfu, 4),
+        "unit": "fraction_of_peak_bf16",
+        "vs_baseline": round(mfu / BASELINE_MFU, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

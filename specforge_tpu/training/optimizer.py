@@ -98,6 +98,17 @@ def build_optimizer(
     return tx
 
 
+def cast_frozen_to(params: Any, trainable_mask: Any, dtype) -> Any:
+    """Cast frozen (mask=False) floating leaves to ``dtype`` — frozen tables
+    need no fp32 master copy (they are never updated), halving their HBM."""
+    def _cast(leaf, trainable):
+        if not trainable and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(_cast, params, trainable_mask)
+
+
 def embedding_freeze_mask(params: Any, freeze_embedding: bool = True) -> Any:
     """True = trainable. Freezes any leaf whose path contains 'embed'
     (the EAGLE3 target-copied embedding contract; P-EAGLE passes False)."""

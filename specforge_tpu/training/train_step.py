@@ -22,9 +22,33 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
+from flax import struct, traverse_util
 
 from specforge_tpu.training.strategies import DraftTrainStrategy, StepContext
+
+
+def partition_params(params: Any, trainable_mask: Optional[Any]):
+    """Split params into (trainable, frozen) by a boolean mask tree.
+
+    Frozen leaves get no gradient buffer and no optimizer state — the TPU
+    equivalent of the reference backend ignoring frozen target tables from
+    sharding/optimizer (backend.py:179-197).
+    """
+    if trainable_mask is None:
+        return params, {}
+    flat_p = traverse_util.flatten_dict(params)
+    flat_m = traverse_util.flatten_dict(trainable_mask)
+    train = {k: v for k, v in flat_p.items() if flat_m[k]}
+    frozen = {k: v for k, v in flat_p.items() if not flat_m[k]}
+    return train, frozen
+
+
+def merge_params(trainable: Any, frozen: Any, like: Optional[Any] = None):
+    if not frozen:
+        return trainable
+    if not isinstance(next(iter(trainable.keys()), ()), tuple):
+        trainable = traverse_util.flatten_dict(trainable)
+    return traverse_util.unflatten_dict({**trainable, **frozen})
 
 
 @struct.dataclass
@@ -35,11 +59,18 @@ class TrainState:
     step: jnp.ndarray  # int32 scalar = optimizer steps taken
 
     @classmethod
-    def create(cls, params, buffers, tx: optax.GradientTransformation):
+    def create(
+        cls,
+        params,
+        buffers,
+        tx: optax.GradientTransformation,
+        trainable_mask: Optional[Any] = None,
+    ):
+        trainable, _frozen = partition_params(params, trainable_mask)
         return cls(
             params=params,
             buffers=buffers,
-            opt_state=tx.init(params),
+            opt_state=tx.init(trainable),
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -52,6 +83,7 @@ def make_train_step(
     total_steps: Optional[int] = None,
     metadata: Optional[Dict[str, Any]] = None,
     lr_schedule: Optional[Callable] = None,
+    trainable_mask: Optional[Any] = None,
     jit: bool = True,
 ) -> Callable:
     """Build ``train_step(state, batch, frozen) -> (state, metrics)``.
@@ -62,8 +94,9 @@ def make_train_step(
     """
     metadata = dict(metadata or {})
 
-    def micro(params, buffers, tensors, frozen, ctx):
-        def loss_fn(p):
+    def micro(trainable, frozen_params, buffers, tensors, frozen, ctx):
+        def loss_fn(tp):
+            p = merge_params(tp, frozen_params)
             out = strategy.forward_loss(
                 {"params": p, "buffers": buffers}, tensors, frozen, ctx, metadata
             )
@@ -93,16 +126,17 @@ def make_train_step(
             }
             return grad_target, stats
 
-        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
         return grads, stats
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], frozen):
         ctx = StepContext(global_step=state.step, total_steps=total_steps)
+        trainable, frozen_params = partition_params(state.params, trainable_mask)
         micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
         shapes = jax.eval_shape(
-            lambda p, b, t, f: micro(p, b, t, f, ctx),
-            state.params, state.buffers, micro0, frozen,
+            lambda tp, fp, b, t, f: micro(tp, fp, b, t, f, ctx),
+            trainable, frozen_params, state.buffers, micro0, frozen,
         )
         zeros = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes
@@ -111,7 +145,8 @@ def make_train_step(
         def scan_body(carry, micro_batch):
             grads_acc, stats_acc = carry
             grads, stats = micro(
-                state.params, state.buffers, micro_batch, frozen, ctx
+                trainable, frozen_params, state.buffers, micro_batch, frozen,
+                ctx,
             )
             carry = jax.tree_util.tree_map(
                 jnp.add, (grads_acc, stats_acc), (grads, stats)
@@ -132,8 +167,9 @@ def make_train_step(
         grads = jax.tree_util.tree_map(lambda g: g / norm, grads)
 
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        params = merge_params(new_trainable, frozen_params)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1
         )

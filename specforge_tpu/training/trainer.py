@@ -92,12 +92,11 @@ class Trainer:
             config.total_steps = per_epoch * config.num_epochs
         self.total_steps = config.total_steps
 
-        self.tx = build_optimizer(
-            optimizer_config, self.total_steps, trainable_mask=trainable_mask
-        )
+        self.tx = build_optimizer(optimizer_config, self.total_steps)
         self.lr_schedule = build_lr_schedule(optimizer_config, self.total_steps)
         self.state = TrainState.create(
-            variables["params"], variables.get("buffers", {}), self.tx
+            variables["params"], variables.get("buffers", {}), self.tx,
+            trainable_mask=trainable_mask,
         )
         self.train_step = make_train_step(
             strategy,
@@ -106,6 +105,7 @@ class Trainer:
             total_steps=self.total_steps,
             metadata=self.metadata,
             lr_schedule=self.lr_schedule,
+            trainable_mask=trainable_mask,
         )
         self.checkpoints = CheckpointManager(
             config.output_dir,

@@ -51,11 +51,14 @@ def build(accum=1, total_steps=50, dtype=jnp.float32):
     )
     opt_cfg = OptimizerConfig(lr=1e-3, warmup_ratio=0.1)
     mask = embedding_freeze_mask(variables["params"])
-    tx = build_optimizer(opt_cfg, total_steps, trainable_mask=mask)
-    state = TrainState.create(variables["params"], variables["buffers"], tx)
+    tx = build_optimizer(opt_cfg, total_steps)
+    state = TrainState.create(
+        variables["params"], variables["buffers"], tx, trainable_mask=mask
+    )
     step_fn = make_train_step(
         strategy, tx, accum_steps=accum, total_steps=total_steps,
         lr_schedule=build_lr_schedule(opt_cfg, total_steps),
+        trainable_mask=mask,
     )
     return state, step_fn, batch
 
