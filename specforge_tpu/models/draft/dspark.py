@@ -1,0 +1,196 @@
+"""DSpark draft model: DFlash backbone + Markov logit bias + confidence head.
+
+Markov heads add a low-rank previous-token bias to the base (frozen-target-head)
+logits: vanilla (pure embedding-rank bias), gated (hidden-conditioned sigmoid
+gate), rnn (minimal recurrent cell unrolled inside one block). The confidence
+head predicts per-position acceptance probability. Parity with
+specforge/modeling/draft/dspark.py:24-400.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from specforge_tpu.models.draft.base import register_draft
+from specforge_tpu.models.draft.dflash import DFlashConfig, DFlashDraftModel
+
+
+class VanillaMarkovHead(nn.Module):
+    vocab_size: int
+    markov_rank: int
+    hidden_size: int
+    head_type: str = "vanilla"
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.markov_w1 = nn.Embed(
+            self.vocab_size, self.markov_rank, dtype=self.dtype,
+            param_dtype=jnp.float32, name="markov_w1",
+        )
+        self.markov_w2 = nn.Dense(
+            self.vocab_size, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="markov_w2",
+        )
+        self._setup_extra()
+
+    def _setup_extra(self):
+        pass
+
+    def get_prev_embeddings(self, token_ids):
+        return self.markov_w1(token_ids)
+
+    def project_bias(self, latent):
+        return self.markov_w2(latent)
+
+    def compute_step_bias(self, token_ids, hidden_states):
+        return self.project_bias(self.get_prev_embeddings(token_ids))
+
+    def apply_block_logits(self, base_logits, *, token_ids, hidden_states):
+        """base_logits [..., block, V]; token_ids [..., block] (prev tokens)."""
+        return base_logits + self.compute_step_bias(
+            token_ids, hidden_states
+        ).astype(base_logits.dtype)
+
+
+class GatedMarkovHead(VanillaMarkovHead):
+    head_type: str = "gated"
+
+    def _setup_extra(self):
+        self.gate_proj = nn.Dense(
+            self.markov_rank, dtype=self.dtype, param_dtype=jnp.float32,
+            name="gate_proj",
+        )
+
+    def compute_step_bias(self, token_ids, hidden_states):
+        if hidden_states is None:
+            raise ValueError("gated Markov head requires hidden_states")
+        prev = self.get_prev_embeddings(token_ids)
+        gate_in = jnp.concatenate(
+            [hidden_states.astype(prev.dtype), prev], axis=-1
+        )
+        gate = jax.nn.sigmoid(self.gate_proj(gate_in)).astype(prev.dtype)
+        return self.project_bias(gate * prev)
+
+
+class RNNMarkovHead(VanillaMarkovHead):
+    head_type: str = "rnn"
+
+    def _setup_extra(self):
+        self.joint_proj = nn.Dense(
+            3 * self.markov_rank, dtype=self.dtype, param_dtype=jnp.float32,
+            name="joint_proj",
+        )
+
+    def _rnn_step(self, state, prev_emb, hidden):
+        z = jnp.concatenate([state, prev_emb, hidden.astype(prev_emb.dtype)],
+                            axis=-1)
+        raw = self.joint_proj(z)
+        r = self.markov_rank
+        gate = jax.nn.sigmoid(raw[..., :r])
+        candidate = jnp.tanh(raw[..., r:2 * r])
+        output = jnp.tanh(raw[..., 2 * r:])
+        new_state = gate * state + (1.0 - gate) * candidate
+        return new_state, self.project_bias(output)
+
+    def apply_block_logits(self, base_logits, *, token_ids, hidden_states):
+        if hidden_states is None:
+            raise ValueError("rnn Markov head requires hidden_states")
+        block = base_logits.shape[-2]
+        state = jnp.zeros(
+            (*base_logits.shape[:-2], self.markov_rank), self.dtype
+        )
+        outs = []
+        for step in range(block):
+            prev_emb = self.get_prev_embeddings(token_ids[..., step])
+            state, bias = self._rnn_step(
+                state, prev_emb, hidden_states[..., step, :]
+            )
+            outs.append(
+                base_logits[..., step, :] + bias.astype(base_logits.dtype)
+            )
+        return jnp.stack(outs, axis=-2)
+
+
+class AcceptRatePredictor(nn.Module):
+    """Per-position acceptance-probability logit."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features):
+        proj = nn.Dense(
+            1, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        )
+        return proj(features)[..., 0]
+
+
+@register_draft
+class DSparkDraftModel(DFlashDraftModel):
+    """DFlash backbone with DSpark Markov/confidence heads."""
+
+    def _init_draft_head(self) -> None:
+        cfg = self.config
+        if cfg.projector_type not in (None, "dspark"):
+            raise ValueError(
+                "DSparkDraftModel requires projector_type='dspark', got "
+                f"{cfg.projector_type!r}"
+            )
+        if cfg.markov_rank > 0:
+            head_cls = {
+                "vanilla": VanillaMarkovHead,
+                "gated": GatedMarkovHead,
+                "rnn": RNNMarkovHead,
+            }[cfg.markov_head_type]
+            self.markov_head = head_cls(
+                vocab_size=cfg.vocab_size,
+                markov_rank=cfg.markov_rank,
+                hidden_size=cfg.hidden_size,
+                dtype=self.dtype,
+                name="markov_head",
+            )
+        else:
+            self.markov_head = None
+        if cfg.confidence_head_with_markov and self.markov_head is None:
+            raise ValueError(
+                "confidence_head_with_markov=True requires markov_rank > 0"
+            )
+        if cfg.enable_confidence_head:
+            self.confidence_head = AcceptRatePredictor(
+                dtype=self.dtype, name="confidence_head"
+            )
+        else:
+            self.confidence_head = None
+
+    def apply_logits_head(
+        self,
+        base_logits,
+        *,
+        prev_token_ids=None,
+        prev_token_embeddings=None,
+        hidden_states,
+    ):
+        if self.markov_head is None:
+            return base_logits
+        if prev_token_ids is None:
+            raise ValueError("DSparkDraftModel requires prev_token_ids")
+        return self.markov_head.apply_block_logits(
+            base_logits, token_ids=prev_token_ids, hidden_states=hidden_states
+        )
+
+    def predict_confidence(self, hidden_states, *, prev_token_ids=None):
+        if self.confidence_head is None:
+            return None
+        if self.config.confidence_head_with_markov:
+            if prev_token_ids is None:
+                raise ValueError(
+                    "prev_token_ids is required for Markov confidence"
+                )
+            prev = self.markov_head.get_prev_embeddings(prev_token_ids).astype(
+                hidden_states.dtype
+            )
+            hidden_states = jnp.concatenate([hidden_states, prev], axis=-1)
+        return self.confidence_head(hidden_states)

@@ -115,6 +115,92 @@ def ttt_branch_attention(
     return ttt_branch_attention_reference(q, keys, values, bias)
 
 
+def dflash_attention(
+    q: jnp.ndarray,
+    k_ctx: jnp.ndarray,
+    v_ctx: jnp.ndarray,
+    k_drf: jnp.ndarray,
+    v_drf: jnp.ndarray,
+    anchor_positions: jnp.ndarray,
+    block_keep_mask: jnp.ndarray,
+    block_size: int,
+    chunk_blocks: int = 8,
+    sliding_window: Optional[int] = None,
+) -> jnp.ndarray:
+    """DFlash block attention, chunked over anchor blocks.
+
+    Each draft query block (at anchor a) attends to context keys < a (optionally
+    sliding-window-bounded) plus its own block's draft keys — the predicate of
+    the reference flex-attention ``dflash_mask_mod``
+    (dflash_family_model.py:91-133). Instead of a [Q, S+Q] dense mask /
+    block-sparse kernel, anchor blocks are processed in chunks under
+    ``jax.checkpoint``: per chunk the keys are (full context ‖ own draft
+    chunk), so memory is O(chunk · (S + chunk)) and the backward pass
+    recomputes scores.
+
+    Args:
+        q, k_drf, v_drf: [B, H|KVH, N*block, D] draft-token projections (roped).
+        k_ctx, v_ctx:    [B, KVH, S, D] context projections (roped).
+        anchor_positions/block_keep_mask: [B, N].
+
+    Returns: [B, N*block, H*D].
+    """
+    from specforge_tpu.ops.masks import dflash_chunk_mask
+
+    b, h, q_len, d = q.shape
+    kvh = k_ctx.shape[1]
+    g = h // kvh
+    n = anchor_positions.shape[1]
+    cg = min(chunk_blocks, n) if chunk_blocks > 0 else n
+    if n % cg != 0:
+        raise ValueError(f"chunk_blocks {cg} must divide num anchors {n}")
+    n_chunks = n // cg
+    scale = 1.0 / (d ** 0.5)
+    s = k_ctx.shape[2]
+
+    def split_chunks(x):  # [B, heads, N*bs, D] -> [n_chunks, B, heads, cg*bs, D]
+        xb = x.reshape(b, x.shape[1], n_chunks, cg * block_size, d)
+        return jnp.moveaxis(xb, 2, 0)
+
+    q_chunks = split_chunks(q)
+    kd_chunks = split_chunks(k_drf)
+    vd_chunks = split_chunks(v_drf)
+    anchor_chunks = jnp.moveaxis(
+        anchor_positions.reshape(b, n_chunks, cg), 1, 0
+    )
+    keep_chunks = jnp.moveaxis(
+        block_keep_mask.reshape(b, n_chunks, cg), 1, 0
+    )
+
+    @jax.checkpoint
+    def chunk_attn(qc, kdc, vdc, anchors_c, keep_c):
+        allow = dflash_chunk_mask(
+            anchors_c, keep_c, s, block_size, sliding_window
+        )  # [B, cq, S+cq]
+        k_all = jnp.concatenate([k_ctx, kdc], axis=2)
+        v_all = jnp.concatenate([v_ctx, vdc], axis=2)
+        qg = qc.reshape(b, kvh, g, cg * block_size, d)
+        w = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, k_all, preferred_element_type=jnp.float32
+        ) * scale
+        w = jnp.where(allow[:, None, None], w, NEG_INF)
+        p = jax.nn.softmax(w, axis=-1).astype(qc.dtype)
+        out = jnp.einsum("bkgst,bktd->bkgsd", p, v_all)
+        keep_q = jnp.repeat(keep_c, block_size, axis=1)
+        out = out * keep_q[:, None, None, :, None].astype(out.dtype)
+        return out.reshape(b, h, cg * block_size, d)
+
+    def body(_, xs):
+        return None, chunk_attn(*xs)
+
+    _, outs = jax.lax.scan(
+        body, None, (q_chunks, kd_chunks, vd_chunks, anchor_chunks, keep_chunks)
+    )
+    # [n_chunks, B, H, cq, D] -> [B, N*bs, H*D]
+    out = jnp.moveaxis(outs, 0, 2).reshape(b, h, q_len, d)
+    return out.transpose(0, 2, 1, 3).reshape(b, q_len, h * d)
+
+
 def masked_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -213,3 +213,116 @@ class Eagle3TrainStrategy(DraftTrainStrategy):
             "loss_sums": out.metric_losses * out.metric_loss_denoms,
             "loss_dens": out.metric_loss_denoms,
         }
+
+
+class DFlashTrainStrategy(DraftTrainStrategy):
+    """DFlash block-parallel strategy over :class:`OnlineDFlashModel`.
+
+    Anchor sampling is keyed on (seed, global_step) so colocated and
+    disaggregated topologies (and resumes) reproduce identical anchors — the
+    parity-gate determinism contract.
+    """
+
+    name = "dflash"
+    required_features = {"input_ids", "hidden_states", "loss_mask"}
+    uses_loss_terms = True
+
+    def __init__(self, model, *, seed: int = 0) -> None:
+        self.model = model
+        self.seed = seed
+
+    def _rng(self, ctx: Optional[StepContext]):
+        step = ctx.global_step if ctx is not None else 0
+        return jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
+
+    def forward_loss(self, variables, tensors, frozen, ctx, metadata=None):
+        self.validate_batch(tensors)
+        loss, accuracy, model_metrics = self.model.apply(
+            variables,
+            tensors["input_ids"],
+            tensors["hidden_states"],
+            tensors["loss_mask"],
+            frozen["target_head_weight"],
+            frozen["target_embed_weight"],
+            self._rng(ctx),
+        )
+        return StepOutput(
+            loss=loss,
+            metrics={"accuracy": jax.lax.stop_gradient(accuracy)},
+            ratio_metrics=model_metrics.get("ratio_metrics", {}),
+            loss_terms=model_metrics.get("loss_terms"),
+        )
+
+    def checkpoint_state_filter(self, params):
+        return params.get("draft_model", params)
+
+
+class DominoTrainStrategy(DFlashTrainStrategy):
+    """Domino strategy: DFlash spine + decaying base-loss blend (lambda_base
+    read from the training schedule via StepContext)."""
+
+    name = "domino"
+    required_features = {"input_ids", "hidden_states", "loss_mask"}
+    uses_loss_terms = False
+
+    def __init__(self, model, *, seed: int = 0, lambda_start: float = 1.0,
+                 decay_ratio: float = 0.5) -> None:
+        super().__init__(model, seed=seed)
+        self.lambda_start = lambda_start
+        self.decay_ratio = decay_ratio
+
+    def _lambda_base(self, ctx: Optional[StepContext]):
+        if ctx is None or not ctx.total_steps:
+            return jnp.asarray(0.0, jnp.float32)
+        return linear_lambda_base(
+            ctx.global_step, ctx.total_steps, self.lambda_start,
+            self.decay_ratio,
+        )
+
+    def forward_loss(self, variables, tensors, frozen, ctx, metadata=None):
+        self.validate_batch(tensors)
+        loss, accuracy, model_metrics = self.model.apply(
+            variables,
+            tensors["input_ids"],
+            tensors["hidden_states"],
+            tensors["loss_mask"],
+            frozen["target_head_weight"],
+            frozen["target_embed_weight"],
+            self._rng(ctx),
+            self._lambda_base(ctx),
+        )
+        metrics = {
+            k: jax.lax.stop_gradient(v)
+            for k, v in model_metrics.items()
+            if k not in ("ratio_metrics", "loss_terms")
+        }
+        metrics["accuracy"] = jax.lax.stop_gradient(accuracy)
+        return StepOutput(loss=loss, metrics=metrics)
+
+
+class DSparkTrainStrategy(DFlashTrainStrategy):
+    """DSpark strategy: DFlash spine + target-hidden supervision."""
+
+    name = "dspark"
+    required_features = {
+        "input_ids", "hidden_states", "loss_mask", "target_last_hidden_states",
+    }
+    uses_loss_terms = False
+
+    def forward_loss(self, variables, tensors, frozen, ctx, metadata=None):
+        self.validate_batch(tensors)
+        loss, accuracy, model_metrics = self.model.apply(
+            variables,
+            tensors["input_ids"],
+            tensors["hidden_states"],
+            tensors["loss_mask"],
+            frozen["target_head_weight"],
+            frozen["target_embed_weight"],
+            self._rng(ctx),
+            tensors["target_last_hidden_states"],
+        )
+        return StepOutput(
+            loss=loss,
+            metrics={"accuracy": jax.lax.stop_gradient(accuracy)},
+            ratio_metrics=model_metrics.get("ratio_metrics", {}),
+        )
