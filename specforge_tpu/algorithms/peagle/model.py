@@ -1,0 +1,272 @@
+"""P-EAGLE chain-of-drafts (COD) training.
+
+Semantics follow specforge/algorithms/peagle/model.py:13-347; the TPU
+re-design replaces the dynamic-shape sampling/flex-attention with static
+shapes:
+
+- Depth 0 always covers all S positions. Depth d ≥ 1 has a **static capacity**
+  ``cap_d = ceil(S · max(dsr^d, dsr_min))`` — an upper bound on the reference's
+  dynamic ``sample_size = min(valid·ratio, #eligible)`` — and a per-slot
+  validity mask carries the actual (traced) count. Total sampled length
+  ``T = S + Σ cap_d`` is static, so one compiled program serves every batch.
+- The COD attention predicate (same document ∧ (kv at depth 0 ∧ anchor-causal,
+  or same rollout ∧ depth-ordered)) is evaluated as a dense [T, T] boolean
+  allow-mask from the (anchor, depth, doc, valid) vectors.
+- Sampling is keyed RNG (fold in the step) — the determinism contract for
+  parity gates.
+
+Batch size is 1 per rank (the reference constraint; packed documents ride the
+``lengths`` vector).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from specforge_tpu.models.draft.peagle import PEagleDraftModel
+from specforge_tpu.ops.loss import log_softmax_loss
+from specforge_tpu.ops.teacher import draft_gather_indices
+
+
+def cod_capacities(
+    seq_length: int,
+    num_depths: int,
+    down_sample_ratio: float,
+    down_sample_ratio_min: float,
+) -> Tuple[int, ...]:
+    caps = [seq_length]
+    for d in range(1, num_depths):
+        ratio = max(down_sample_ratio ** d, down_sample_ratio_min)
+        caps.append(int(math.ceil(seq_length * ratio)))
+    return tuple(caps)
+
+
+def document_ids_from_lengths(
+    lengths: jnp.ndarray, seq_length: int
+) -> jnp.ndarray:
+    """[D] (0-padded) document lengths → per-position doc id, -1 past the end."""
+    ends = jnp.cumsum(lengths)
+    pos = jnp.arange(seq_length, dtype=lengths.dtype)
+    doc = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
+    total = ends[-1]
+    return jnp.where(pos < total, doc, -1)
+
+
+class CODSample(NamedTuple):
+    anchor_pos: jnp.ndarray  # [T] int32
+    depth: jnp.ndarray       # [T] int32
+    valid: jnp.ndarray       # [T] bool
+
+
+def generate_cod_sample_indices(
+    rng: jax.Array,
+    loss_mask: jnp.ndarray,      # [S]
+    doc_ids: jnp.ndarray,        # [S] int32, -1 = padding
+    num_depths: int,
+    down_sample_ratio: float,
+    down_sample_ratio_min: float,
+    filter_position_zero: bool = True,
+) -> CODSample:
+    s = loss_mask.shape[0]
+    caps = cod_capacities(s, num_depths, down_sample_ratio,
+                          down_sample_ratio_min)
+    pos = jnp.arange(s, dtype=jnp.int32)
+    all_valid = loss_mask > 0.5
+    n_valid = jnp.sum(all_valid)
+
+    anchors = [pos]
+    depths = [jnp.zeros(s, jnp.int32)]
+    valids = [jnp.ones(s, jnp.bool_)]
+
+    prev_valid = all_valid  # mask over *target* positions
+    for d in range(1, num_depths):
+        cap = caps[d]
+        ratio = max(down_sample_ratio ** d, down_sample_ratio_min)
+        cand = prev_valid & (pos >= d)
+        anchors_c = jnp.maximum(pos - d, 0)
+        same_doc = (jnp.take(doc_ids, pos) >= 0) & (
+            jnp.take(doc_ids, pos) == jnp.take(doc_ids, anchors_c)
+        )
+        eligible = cand & same_doc
+        n_eligible = jnp.sum(eligible)
+        valid_length = jnp.maximum(n_valid - d, 0)
+        sample_size = jnp.minimum(
+            (valid_length.astype(jnp.float32) * ratio).astype(jnp.int32),
+            n_eligible,
+        )
+
+        rng, sub = jax.random.split(rng)
+        rand = jnp.where(eligible, jax.random.uniform(sub, (s,)), 2.0)
+        order = jnp.argsort(rand)[:cap].astype(jnp.int32)
+        slot_keep = jnp.arange(cap) < jnp.minimum(sample_size, cap)
+        sel = jnp.where(slot_keep, order, s)
+        sel = jnp.sort(sel)
+        keep = sel < s
+        targets = jnp.where(keep, sel, 0)
+
+        anchors.append(jnp.where(keep, targets - d, 0))
+        depths.append(jnp.full(cap, d, jnp.int32))
+        valids.append(keep)
+
+        nxt = (targets + 1) % s
+        keep_next = keep & jnp.take(all_valid, nxt)
+        if filter_position_zero:
+            keep_next = keep_next & (nxt != 0)
+        prev_valid = (
+            jnp.zeros(s, jnp.bool_).at[nxt].max(keep_next)
+        )
+
+    return CODSample(
+        anchor_pos=jnp.concatenate(anchors),
+        depth=jnp.concatenate(depths),
+        valid=jnp.concatenate(valids),
+    )
+
+
+def peagle_allow_mask(sample: CODSample, doc_ids: jnp.ndarray) -> jnp.ndarray:
+    """[T, T] COD attention predicate (reference peagle_mask_mod)."""
+    q_anchor = sample.anchor_pos[:, None]
+    kv_anchor = sample.anchor_pos[None, :]
+    q_depth = sample.depth[:, None]
+    kv_depth = sample.depth[None, :]
+    q_doc = jnp.take(doc_ids, sample.anchor_pos)[:, None]
+    kv_doc = jnp.take(doc_ids, sample.anchor_pos)[None, :]
+
+    same_document = q_doc == kv_doc
+    not_padding = q_doc != -1
+    same_rollout = q_anchor == kv_anchor
+    kv_depth0 = kv_depth == 0
+    in_depth_order = q_depth >= kv_depth
+    anchor_causal = q_anchor >= kv_anchor
+    allow = (
+        not_padding
+        & same_document
+        & ((kv_depth0 & anchor_causal) | (same_rollout & in_depth_order))
+    )
+    return allow & sample.valid[:, None] & sample.valid[None, :]
+
+
+class OnlinePEagleModel(nn.Module):
+    draft_model: PEagleDraftModel
+    mask_token_id: int
+    num_depths: int = 8
+    down_sample_ratio: float = 0.7
+    down_sample_ratio_min: float = 0.2
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,       # [1, S]
+        attention_mask: jnp.ndarray,  # [1, S]
+        target: jnp.ndarray,          # [1, S, V] teacher logits
+        loss_mask: jnp.ndarray,       # [1, S] or [1, S, 1]
+        hidden_states: jnp.ndarray,   # [1, S, 3*target_hidden]
+        rng: jax.Array,
+        lengths: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        if input_ids.shape[0] != 1:
+            raise ValueError("P-EAGLE requires per-rank batch size 1")
+        s = input_ids.shape[1]
+        if loss_mask.ndim == 3:
+            loss_mask = loss_mask[..., 0]
+        if lengths is None:
+            # batch-size-1 offline path: one document of the true length
+            lengths = attention_mask[0].sum().astype(jnp.int32)[None]
+        lengths = lengths.reshape(-1).astype(jnp.int32)
+        doc_ids = document_ids_from_lengths(lengths, s)
+
+        sample = generate_cod_sample_indices(
+            rng,
+            loss_mask[0],
+            doc_ids,
+            self.num_depths,
+            self.down_sample_ratio,
+            self.down_sample_ratio_min,
+        )
+        orig_positions = sample.anchor_pos + sample.depth
+        is_depth0 = sample.depth == 0
+
+        # sampled token ids: real token at depth 0, mask token elsewhere
+        sampled_ids = jnp.where(
+            is_depth0,
+            jnp.take(input_ids[0], orig_positions),
+            self.mask_token_id,
+        )[None]
+        inputs_embeds = self.draft_model.embed_input_ids(sampled_ids)
+
+        # sampled features: target hidden at depth 0, learned mask vector else
+        mask_hidden = self.draft_model.get_mask_hidden()[0, 0]
+        gathered_hidden = jnp.take(
+            hidden_states[0], orig_positions, axis=0
+        )
+        sampled_hidden = jnp.where(
+            is_depth0[:, None],
+            gathered_hidden,
+            mask_hidden.astype(gathered_hidden.dtype)[None, :],
+        )[None]
+        sampled_hidden = self.draft_model.project_hidden_states(sampled_hidden)
+
+        allow = peagle_allow_mask(sample, doc_ids)[None]
+        position_ids = orig_positions[None]
+        h = self.draft_model.backbone(
+            inputs_embeds, sampled_hidden, allow, position_ids
+        )
+        logits = self.draft_model.compute_logits(h)
+
+        t2d, d2t = self.draft_model.get_vocab_maps()
+        return self._loss_and_metrics(
+            logits, target, loss_mask, sample, orig_positions, t2d, d2t
+        )
+
+    def _loss_and_metrics(
+        self, logits, target, loss_mask, sample, orig_positions, t2d, d2t
+    ):
+        sampled_loss_mask = jnp.take(
+            loss_mask[0], orig_positions
+        ).astype(jnp.float32) * sample.valid.astype(jnp.float32)
+
+        target32 = target[0].astype(jnp.float32)
+        target_top1 = jnp.argmax(target32, axis=-1)
+        in_draft = jnp.take(t2d, jnp.take(target_top1, orig_positions))
+        sampled_loss_mask = sampled_loss_mask * in_draft.astype(jnp.float32)
+
+        gather_idx = draft_gather_indices(d2t)
+        target_logits = jnp.take(
+            jnp.take(target32, orig_positions, axis=0), gather_idx, axis=-1
+        )
+        target_p = jax.lax.stop_gradient(
+            jax.nn.softmax(target_logits, axis=-1)
+        )[None]
+        position_mask = sampled_loss_mask[None, :, None]
+        total_positions = position_mask.shape[0] * position_mask.shape[1]
+        denominator = jnp.maximum(jnp.sum(sampled_loss_mask), 1e-6)
+        loss = log_softmax_loss(logits, target_p, position_mask) * (
+            total_positions / denominator
+        )
+
+        pred_ids = jnp.argmax(logits, axis=-1)[0]
+        target_ids = jnp.argmax(target_p, axis=-1)[0]
+        metrics: Dict[str, Any] = {
+            "loss_sum": jax.lax.stop_gradient(loss),
+            "loss_total": jnp.asarray(1.0, jnp.float32),
+        }
+        correct_total = jnp.asarray(0.0)
+        count_total = jnp.asarray(0.0)
+        supervised = sampled_loss_mask > 0.5
+        for d in range(self.num_depths):
+            depth_mask = (sample.depth == d) & supervised
+            d_correct = jnp.sum(
+                ((pred_ids == target_ids) & depth_mask).astype(jnp.float32)
+            )
+            d_total = jnp.sum(depth_mask.astype(jnp.float32))
+            metrics[f"position_{d}_acc_sum"] = d_correct
+            metrics[f"position_{d}_acc_total"] = d_total
+            correct_total = correct_total + d_correct
+            count_total = count_total + d_total
+        metrics["full_acc_sum"] = correct_total
+        metrics["full_acc_total"] = count_total
+        return loss, metrics

@@ -326,3 +326,65 @@ class DSparkTrainStrategy(DFlashTrainStrategy):
             metrics={"accuracy": jax.lax.stop_gradient(accuracy)},
             ratio_metrics=model_metrics.get("ratio_metrics", {}),
         )
+
+
+class PEagleTrainStrategy(DraftTrainStrategy):
+    """P-EAGLE COD strategy over :class:`OnlinePEagleModel`.
+
+    Consumes the same capture as EAGLE3 (``hidden_state`` + ``target``); COD
+    sampling is keyed on (seed, global_step). Unlike EAGLE3, embeddings and
+    ``mask_hidden`` train, so the full draft subtree persists.
+    """
+
+    name = "peagle"
+    required_features = {
+        "input_ids", "attention_mask", "loss_mask", "hidden_state", "target",
+    }
+
+    def __init__(self, model, *, seed: int = 0) -> None:
+        self.model = model
+        self.seed = seed
+
+    def forward_loss(self, variables, tensors, frozen, ctx, metadata=None):
+        self.validate_batch(tensors)
+        metadata = metadata or {}
+        input_ids = tensors["input_ids"]
+        target = tensors["target"]
+        loss_mask = tensors["loss_mask"]
+        if metadata.get("target_repr") == "hidden_state":
+            head_w = frozen["target_head_weight"]
+            input_ids, target_hidden, loss_mask = target_head_preprocess(
+                input_ids, target, loss_mask
+            )
+            target = apply_target_head(head_w, target_hidden)
+        step = ctx.global_step if ctx is not None else 0
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
+        lengths = tensors.get("lengths")
+        if lengths is None:
+            lengths = tensors["attention_mask"].sum(axis=-1)
+        loss, model_metrics = self.model.apply(
+            variables,
+            input_ids,
+            tensors["attention_mask"],
+            target,
+            loss_mask,
+            tensors["hidden_state"],
+            rng,
+            lengths,
+        )
+        metrics = {
+            k: jax.lax.stop_gradient(v) for k, v in model_metrics.items()
+            if k.endswith(("_sum", "_total"))
+        }
+        ratio_metrics = {
+            "accuracy": (
+                model_metrics["full_acc_sum"], model_metrics["full_acc_total"]
+            ),
+        }
+        return StepOutput(
+            loss=loss.reshape(()), metrics=metrics, ratio_metrics=ratio_metrics
+        )
+
+    def checkpoint_state_filter(self, params):
+        # P-EAGLE trains its embeddings and mask_hidden: persist everything.
+        return params.get("draft_model", params)

@@ -1,0 +1,166 @@
+"""P-EAGLE: COD sampler invariants vs a torch mirror of the reference rules,
+attention-mask predicate parity, end-to-end training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from specforge_tpu.algorithms.peagle.model import (
+    OnlinePEagleModel,
+    document_ids_from_lengths,
+    generate_cod_sample_indices,
+    peagle_allow_mask,
+)
+from specforge_tpu.models.draft.peagle import PEagleConfig, PEagleDraftModel
+from specforge_tpu.training.optimizer import OptimizerConfig, build_optimizer
+from specforge_tpu.training.strategies import PEagleTrainStrategy
+from specforge_tpu.training.train_step import TrainState, make_train_step
+
+V, VD, H, S = 64, 24, 32, 32
+MASK_TOKEN = V - 1
+
+CFG = PEagleConfig(
+    vocab_size=V, draft_vocab_size=VD, hidden_size=H, intermediate_size=64,
+    num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=3,
+    max_position_embeddings=128,
+)
+
+
+def torch_mask_predicate(anchor, depth, doc_ids):
+    q_a = torch.tensor(anchor)[:, None]
+    kv_a = torch.tensor(anchor)[None, :]
+    q_d = torch.tensor(depth)[:, None]
+    kv_d = torch.tensor(depth)[None, :]
+    docs = torch.tensor(doc_ids)
+    same_doc = docs[q_a] == docs[kv_a]
+    not_pad = docs[q_a] != -1
+    same_rollout = q_a == kv_a
+    return not_pad & same_doc & (
+        ((kv_d == 0) & (q_a >= kv_a)) | (same_rollout & (q_d >= kv_d))
+    )
+
+
+def test_document_ids():
+    doc = document_ids_from_lengths(jnp.asarray([5, 3], jnp.int32), 10)
+    np.testing.assert_array_equal(
+        np.asarray(doc), [0, 0, 0, 0, 0, 1, 1, 1, -1, -1]
+    )
+
+
+def test_cod_sampler_invariants():
+    rng = np.random.default_rng(0)
+    loss_mask = (rng.random(S) > 0.2).astype(np.int32)
+    doc_ids = np.asarray(
+        document_ids_from_lengths(jnp.asarray([20, 12], jnp.int32), S)
+    )
+    sample = generate_cod_sample_indices(
+        jax.random.PRNGKey(0), jnp.asarray(loss_mask), jnp.asarray(doc_ids),
+        num_depths=4, down_sample_ratio=0.7, down_sample_ratio_min=0.2,
+    )
+    anchor = np.asarray(sample.anchor_pos)
+    depth = np.asarray(sample.depth)
+    valid = np.asarray(sample.valid)
+    # depth 0 covers everything
+    assert (depth[:S] == 0).all() and valid[:S].all()
+    assert (anchor[:S] == np.arange(S)).all()
+    for i in np.where(valid & (depth > 0))[0]:
+        a, d = anchor[i], depth[i]
+        target = a + d
+        assert 0 <= a and target < S
+        # anchor and target in the same document
+        assert doc_ids[target] == doc_ids[a] >= 0
+    # deterministic by key
+    sample2 = generate_cod_sample_indices(
+        jax.random.PRNGKey(0), jnp.asarray(loss_mask), jnp.asarray(doc_ids),
+        num_depths=4, down_sample_ratio=0.7, down_sample_ratio_min=0.2,
+    )
+    np.testing.assert_array_equal(anchor, np.asarray(sample2.anchor_pos))
+    # depth-1 targets are supervised (loss_mask at target position)
+    d1 = valid & (depth == 1)
+    for i in np.where(d1)[0]:
+        assert loss_mask[anchor[i] + 1] == 1
+
+
+def test_allow_mask_matches_torch_predicate():
+    rng = np.random.default_rng(1)
+    loss_mask = (rng.random(S) > 0.2).astype(np.int32)
+    doc_ids = np.asarray(
+        document_ids_from_lengths(jnp.asarray([S], jnp.int32), S)
+    )
+    sample = generate_cod_sample_indices(
+        jax.random.PRNGKey(1), jnp.asarray(loss_mask), jnp.asarray(doc_ids),
+        num_depths=3, down_sample_ratio=0.8, down_sample_ratio_min=0.2,
+    )
+    allow = np.asarray(peagle_allow_mask(sample, jnp.asarray(doc_ids)))
+    ref = torch_mask_predicate(
+        np.asarray(sample.anchor_pos), np.asarray(sample.depth), doc_ids
+    ).numpy()
+    valid = np.asarray(sample.valid)
+    ref = ref & valid[:, None] & valid[None, :]
+    np.testing.assert_array_equal(allow, ref)
+
+
+def _build():
+    rng = np.random.default_rng(0)
+    draft = PEagleDraftModel(CFG, dtype=jnp.float32)
+    model = OnlinePEagleModel(
+        draft_model=draft, mask_token_id=MASK_TOKEN, num_depths=3,
+        down_sample_ratio=0.7,
+    )
+    tensors = {
+        "input_ids": jnp.asarray(rng.integers(0, V - 1, size=(1, S))),
+        "attention_mask": jnp.ones((1, S), jnp.int32),
+        "loss_mask": jnp.asarray((rng.random((1, S)) > 0.2).astype(np.int32)),
+        "hidden_state": jnp.asarray(
+            rng.normal(size=(1, S, 3 * H)).astype(np.float32)
+        ),
+        "target": jnp.asarray(
+            (rng.normal(size=(1, S, V)) * 2).astype(np.float32)
+        ),
+    }
+    keep = np.sort(rng.choice(V, size=VD, replace=False))
+    t2d = np.zeros(V, bool)
+    t2d[keep] = True
+    d2t = (keep - np.arange(VD)).astype(np.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), tensors["input_ids"],
+        tensors["attention_mask"], tensors["target"], tensors["loss_mask"],
+        tensors["hidden_state"], jax.random.PRNGKey(1),
+    )
+    variables = {
+        "params": variables["params"],
+        "buffers": {
+            "draft_model": {"t2d": jnp.asarray(t2d), "d2t": jnp.asarray(d2t)}
+        },
+    }
+    return model, variables, tensors
+
+
+def test_peagle_forward_and_training():
+    model, variables, tensors = _build()
+    loss, metrics = model.apply(
+        variables, tensors["input_ids"], tensors["attention_mask"],
+        tensors["target"], tensors["loss_mask"], tensors["hidden_state"],
+        jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(loss))
+    assert float(metrics["full_acc_total"]) > 0
+
+    strategy = PEagleTrainStrategy(model)
+    tx = build_optimizer(OptimizerConfig(lr=1e-3), 20)
+    e0 = np.array(
+        variables["params"]["draft_model"]["embed_tokens"]["embedding"]
+    )
+    state = TrainState.create(variables["params"], variables["buffers"], tx)
+    step_fn = make_train_step(strategy, tx, accum_steps=1, total_steps=20)
+    batch = {k: v[None] for k, v in tensors.items()}
+    losses = []
+    for _ in range(5):
+        state, metrics = step_fn(state, batch, {})
+        losses.append(float(metrics["train/loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # embeddings must train for P-EAGLE
+    e1 = np.asarray(state.params["draft_model"]["embed_tokens"]["embedding"])
+    assert not np.allclose(e0, e1)
