@@ -1,0 +1,262 @@
+"""Typed run configuration.
+
+One strict (``extra='forbid'``) pydantic schema with seven sections (model /
+data / training / tracking / profiling / runtime / deployment) + run identity,
+dotted-path overrides re-validated through the model — the reference contract
+(specforge/config/schema.py:37-970) with the CUDA-specific topology fields
+replaced by TPU mesh axes:
+
+- ``training.dp_size`` / ``fsdp_size``      — data-parallel / ZeRO-sharded axes
+  (``fsdp_size=0`` = all remaining devices, the common case).
+- ``training.sp_ulysses_size`` / ``sp_ring_size`` — sequence-parallel axes for
+  USP long-context EAGLE3 (batch size 1, offline).
+
+Cross-field topology validation: online ⇒ disaggregated deployment; USP ⇒
+offline + batch 1; P-EAGLE ⇒ batch 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Literal, Optional, Tuple
+
+from pydantic import BaseModel, ConfigDict, Field, model_validator
+
+
+class StrictModel(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+
+class ModelConfig(StrictModel):
+    #: HF-style target checkpoint dir (for the frozen head/embeddings) or None
+    #: for synthetic/test runs supplying frozen arrays directly.
+    target_model_path: Optional[str] = None
+    #: draft config: path to a JSON file, or inline dict.
+    draft_config_path: Optional[str] = None
+    draft_config: Optional[Dict[str, Any]] = None
+    #: warm-start draft weights (HF dir or specforge checkpoint).
+    draft_checkpoint_path: Optional[str] = None
+    #: t2d/d2t vocab-mapping file (.npz/.sft); derived for offline eagle3 when
+    #: absent.
+    vocab_mapping_path: Optional[str] = None
+    #: capture-layer override (EAGLE: exactly 3 entries).
+    aux_hidden_state_layer_ids: Optional[List[int]] = None
+    lm_head_key: str = "lm_head.weight"
+    embed_key: str = "model.embed_tokens.weight"
+
+    @model_validator(mode="after")
+    def _one_draft_source(self):
+        if self.draft_config_path and self.draft_config:
+            raise ValueError(
+                "model.draft_config_path and model.draft_config are exclusive"
+            )
+        return self
+
+
+class DataConfig(StrictModel):
+    #: offline feature dir (.sft / reference .ckpt files).
+    train_data_path: Optional[str] = None
+    eval_data_path: Optional[str] = None
+    #: prompt file for online runs (JSONL conversations).
+    prompt_path: Optional[str] = None
+    max_length: int = Field(default=2048, gt=0)
+    chat_template: Optional[str] = None
+    num_workers: int = Field(default=2, ge=0)
+    prefetch_batches: int = Field(default=2, gt=0)
+
+
+class TrackingConfig(StrictModel):
+    backend: str = "jsonl"  # none|stdout|jsonl|tensorboard|wandb (comma-join)
+    project: Optional[str] = None
+
+
+class ProfilingSection(StrictModel):
+    enabled: bool = False
+    start_step: int = Field(default=10, ge=0)
+    num_steps: int = Field(default=5, gt=0)
+
+
+class RuntimeConfig(StrictModel):
+    #: feature-store backend for disaggregated runs.
+    store_backend: Literal["memory", "shared_dir", "network"] = "memory"
+    store_dir: Optional[str] = None
+    control_dir: Optional[str] = None
+    max_resident_bytes: Optional[int] = None
+    #: producer flow control watermarks (refs in flight).
+    flow_high_watermark: int = Field(default=256, gt=0)
+    flow_low_watermark: int = Field(default=128, ge=0)
+    #: network store endpoint (host:port) for the DCN feature service.
+    store_endpoint: Optional[str] = None
+
+
+class DeploymentConfig(StrictModel):
+    mode: Literal["colocated", "disaggregated"] = "colocated"
+    #: capture-server URLs for online producers.
+    server_urls: List[str] = Field(default_factory=list)
+    num_producer_workers: int = Field(default=1, gt=0)
+
+
+class TrainingConfig(StrictModel):
+    strategy: str = "eagle3"
+    num_epochs: int = Field(default=1, gt=0)
+    total_steps: Optional[int] = Field(default=None, gt=0)
+    batch_size: int = Field(default=1, gt=0)
+    accumulation_steps: int = Field(default=1, gt=0)
+    learning_rate: float = Field(default=1e-4, gt=0.0)
+    weight_decay: float = Field(default=0.0, ge=0.0)
+    lr_scheduler: Literal["cosine", "constant"] = "cosine"
+    warmup_ratio: float = Field(default=0.015, ge=0.0, le=1.0)
+    max_grad_norm: float = Field(default=0.5, gt=0.0)
+    seed: int = 42
+
+    # --- TPU mesh topology ---
+    dp_size: int = Field(default=1, gt=0)
+    #: 0 = all devices not claimed by other axes (the default ZeRO layout).
+    fsdp_size: int = Field(default=0, ge=0)
+    sp_ulysses_size: int = Field(default=1, gt=0)
+    sp_ring_size: int = Field(default=1, gt=0)
+
+    # --- EAGLE3 ---
+    ttt_length: int = Field(default=7, gt=0)
+    ploss_decay: float = 0.8
+    lk_loss_type: Optional[Literal["lambda", "alpha"]] = None
+    kl_scale: float = 1.0
+    kl_decay: float = 1.0
+    compact_teacher: bool = False
+    compact_teacher_chunk_size: int = Field(default=32768, gt=0)
+    attention_backend: Literal["dense", "pallas", "usp"] = "dense"
+
+    # --- DFlash family ---
+    num_anchors: int = Field(default=512, gt=0)
+    loss_decay_gamma: Optional[float] = None
+    objective_chunk_blocks: int = Field(default=128, ge=0)
+    loss_type: Literal[
+        "dflash", "dpace", "dpace-cumulative-confidence-only",
+        "dpace-continuation-value-only",
+    ] = "dflash"
+    dpace_alpha: float = 0.5
+    lambda_base_start: float = 1.0
+    lambda_base_decay_ratio: float = 0.5
+    dspark_ce_loss_alpha: float = 0.1
+    dspark_l1_loss_alpha: float = 0.9
+    dspark_confidence_head_alpha: float = 1.0
+    mask_token_id: Optional[int] = None
+
+    # --- P-EAGLE ---
+    num_depths: int = Field(default=8, gt=0)
+    down_sample_ratio: float = 0.8
+    down_sample_ratio_min: float = 0.2
+
+    # --- intervals / checkpoints ---
+    save_interval: int = Field(default=0, ge=0)
+    eval_interval: int = Field(default=0, ge=0)
+    log_interval: int = Field(default=50, gt=0)
+    max_checkpoints: int = Field(default=5, ge=0)
+    resume: bool = False
+    role: Literal["auto", "all", "producer", "consumer"] = "all"
+
+    @model_validator(mode="after")
+    def _validate(self):
+        if not 0.0 <= self.dpace_alpha <= 1.0:
+            raise ValueError("training.dpace_alpha must be in [0, 1]")
+        if not 0.0 < self.down_sample_ratio <= 1.0:
+            raise ValueError("training.down_sample_ratio must be in (0, 1]")
+        if not 0.0 < self.down_sample_ratio_min <= self.down_sample_ratio:
+            raise ValueError(
+                "training.down_sample_ratio_min must be in "
+                "(0, training.down_sample_ratio]"
+            )
+        sp = self.sp_ulysses_size * self.sp_ring_size
+        if self.attention_backend == "usp":
+            if self.batch_size != 1:
+                raise ValueError("USP requires training.batch_size=1")
+            if sp <= 1:
+                raise ValueError(
+                    "USP requires sp_ulysses_size * sp_ring_size > 1"
+                )
+        elif sp != 1:
+            raise ValueError(
+                "sp_ulysses_size/sp_ring_size require attention_backend=usp"
+            )
+        if self.strategy == "peagle" and self.batch_size != 1:
+            raise ValueError("peagle requires training.batch_size=1")
+        return self
+
+
+class Config(StrictModel):
+    run_id: str = "run"
+    output_dir: str = "runs"
+    model: ModelConfig = Field(default_factory=ModelConfig)
+    data: DataConfig = Field(default_factory=DataConfig)
+    training: TrainingConfig = Field(default_factory=TrainingConfig)
+    tracking: TrackingConfig = Field(default_factory=TrackingConfig)
+    profiling: ProfilingSection = Field(default_factory=ProfilingSection)
+    runtime: RuntimeConfig = Field(default_factory=RuntimeConfig)
+    deployment: DeploymentConfig = Field(default_factory=DeploymentConfig)
+
+    @model_validator(mode="after")
+    def _cross_validate(self):
+        online = bool(self.deployment.server_urls) or (
+            self.training.role in ("producer", "consumer")
+        )
+        if online and self.deployment.mode != "disaggregated":
+            raise ValueError(
+                "online runs (server_urls / producer / consumer roles) "
+                "require deployment.mode=disaggregated"
+            )
+        if (
+            self.runtime.store_backend == "shared_dir"
+            and not self.runtime.store_dir
+        ):
+            raise ValueError(
+                "runtime.store_backend=shared_dir requires runtime.store_dir"
+            )
+        if (
+            self.runtime.store_backend == "network"
+            and not self.runtime.store_endpoint
+        ):
+            raise ValueError(
+                "runtime.store_backend=network requires runtime.store_endpoint"
+            )
+        return self
+
+
+def _parse_scalar(raw: str) -> Any:
+    try:
+        return json.loads(raw)
+    except (json.JSONDecodeError, ValueError):
+        return raw
+
+
+def apply_overrides(config: Config, overrides: List[str]) -> Config:
+    """Apply ``a.b.c=value`` dotted overrides; the result re-validates."""
+    data = config.model_dump()
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must be key=value")
+        key, raw = item.split("=", 1)
+        parts = key.strip().split(".")
+        node = data
+        for part in parts[:-1]:
+            if part not in node or not isinstance(node[part], dict):
+                node[part] = {}
+            node = node[part]
+        node[parts[-1]] = _parse_scalar(raw)
+    return Config.model_validate(data)
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> Config:
+    """Load YAML or JSON config + dotted overrides."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        data = yaml.safe_load(text) or {}
+    else:
+        data = json.loads(text)
+    config = Config.model_validate(data)
+    if overrides:
+        config = apply_overrides(config, overrides)
+    return config

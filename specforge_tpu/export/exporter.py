@@ -1,0 +1,265 @@
+"""Checkpoint export: training state → HF / SGLang serving directories.
+
+The serving key layout is torch-convention (the format SGLang's EAGLE3 draft
+loader and HF ``from_pretrained`` read): ``kernel`` leaves transpose to
+``weight``, ``embedding`` leaves rename without transpose, flax's ``layers_N``
+flattens to ``layers.N``. Required-serving-key validation mirrors
+specforge/export/to_sglang.py:33-60 so a key the serving loader does not
+expect can never be silently skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
+
+import ml_dtypes
+import numpy as np
+
+#: keys the sglang EAGLE3 spec-decoder loader requires in a draft checkpoint.
+REQUIRED_SGLANG_KEYS = ("fc.weight", "norm.weight", "lm_head.weight", "t2d", "d2t")
+
+#: per-architecture trainer-key → serving-key renames ({} = identity).
+WEIGHT_MAPS: Dict[str, Dict[str, str]] = {
+    "LlamaEagle3Draft": {},
+    "LlamaForCausalLMEagle3": {},
+}
+
+# flax leaf-name fixups applied segment-wise
+_SEGMENT_FIXUPS = {
+    "weight_ih": "weight_ih_l0",
+    "weight_hh": "weight_hh_l0",
+    "embed_proj_0": "embed_proj.0",
+    "embed_proj_1": "embed_proj.2",  # Sequential(Linear, SiLU, Linear)
+}
+
+
+def _fix_segment(seg: str) -> str:
+    if seg in _SEGMENT_FIXUPS:
+        return _SEGMENT_FIXUPS[seg]
+    for prefix in ("layers_", "fc_norm_"):
+        if seg.startswith(prefix) and seg[len(prefix):].isdigit():
+            return f"{seg[:len(prefix) - 1]}.{seg[len(prefix):]}"
+    return seg
+
+
+def _to_numpy(x) -> np.ndarray:
+    arr = np.asarray(x)
+    return arr
+
+
+def flax_to_serving_state(
+    draft_params: Mapping[str, Any],
+    buffers: Optional[Mapping[str, Any]] = None,
+    dtype: str = "bfloat16",
+) -> Dict[str, np.ndarray]:
+    """Flatten a flax draft-param subtree into torch-convention tensors."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            for key, value in node.items():
+                walk(value, path + [key])
+            return
+        arr = _to_numpy(node)
+        leaf = path[-1]
+        segs = [_fix_segment(s) for s in path[:-1]]
+        if leaf == "kernel":
+            name = ".".join(segs + ["weight"])
+            arr = arr.T
+        elif leaf == "embedding":
+            name = ".".join(segs + ["weight"])
+        elif leaf in ("weight", "bias", "scale", "mask_hidden"):
+            name = ".".join(segs + [leaf]) if leaf != "mask_hidden" else (
+                ".".join(segs + ["mask_hidden"]) if segs else "mask_hidden"
+            )
+        else:
+            name = ".".join(segs + [_fix_segment(leaf)])
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(
+                ml_dtypes.bfloat16 if dtype == "bfloat16" else dtype
+            )
+        out[name] = np.ascontiguousarray(arr)
+
+    walk(draft_params, [])
+    for name, value in (buffers or {}).items():
+        arr = _to_numpy(value)
+        if name == "d2t":
+            arr = arr.astype(np.int64)
+        out[name] = np.ascontiguousarray(arr)
+    return out
+
+
+def _resolve_state_dir(checkpoint: str) -> str:
+    """checkpoint = step dir | run root (→ latest via *.latest marker)."""
+    if os.path.isdir(os.path.join(checkpoint, "state")):
+        return checkpoint
+    # run root: find the newest "<run>-stepN" via the latest markers
+    candidates = [
+        name for name in os.listdir(checkpoint) if name.endswith(".latest")
+    ]
+    for marker in candidates:
+        run_id = marker[: -len(".latest")]
+        with open(os.path.join(checkpoint, marker)) as f:
+            step = int(f.read().strip())
+        step_dir = os.path.join(checkpoint, f"{run_id}-step{step}")
+        if os.path.isdir(step_dir):
+            return step_dir
+    raise FileNotFoundError(
+        f"no checkpoint state under {checkpoint} (expected a step dir with "
+        "state/ or a run root with a .latest marker)"
+    )
+
+
+def load_training_state(checkpoint: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """(raw orbax state dict, contract payload)."""
+    import orbax.checkpoint as ocp
+
+    step_dir = _resolve_state_dir(checkpoint)
+    state = ocp.StandardCheckpointer().restore(
+        os.path.join(step_dir, "state")
+    )
+    with open(os.path.join(step_dir, "contract.json")) as f:
+        payload = json.load(f)
+    return state, payload
+
+
+def _extract_draft(state: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    params = state["params"]
+    buffers = state.get("buffers") or {}
+    draft_params = params.get("draft_model", params)
+    draft_buffers = buffers.get("draft_model", buffers)
+    return draft_params, draft_buffers
+
+
+def _write_safetensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
+    from safetensors.numpy import save_file
+
+    save_file(tensors, path)
+
+
+def _write_config(
+    output_dir: str, draft_config_path: Optional[str],
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    config: Dict[str, Any] = {}
+    if draft_config_path:
+        with open(draft_config_path) as f:
+            config = json.load(f)
+    config.update(extra or {})
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+
+
+def export_to_sglang(
+    checkpoint: str,
+    output_dir: str,
+    *,
+    draft_config_path: Optional[str] = None,
+    vocab_mapping_path: Optional[str] = None,
+    weight_map: Optional[Dict[str, str]] = None,
+    drop_embedding: bool = True,
+) -> str:
+    state, payload = load_training_state(checkpoint)
+    strategy = payload.get("contract", {}).get("strategy")
+    if strategy not in (None, "eagle3"):
+        raise ValueError(
+            "the SGLang exporter supports EAGLE3 checkpoints only, got "
+            f"strategy={strategy!r}; use --to hf for other families"
+        )
+    draft_params, draft_buffers = _extract_draft(state)
+    if drop_embedding:
+        draft_params = {
+            k: v for k, v in draft_params.items() if "embed" not in k.lower()
+        }
+    if vocab_mapping_path:
+        from specforge_tpu.training.vocab_mapping import load_vocab_mapping
+
+        t2d, d2t = load_vocab_mapping(vocab_mapping_path)
+        draft_buffers = {**draft_buffers, "t2d": t2d, "d2t": d2t}
+
+    serving = flax_to_serving_state(draft_params, draft_buffers)
+    if weight_map:
+        serving = {weight_map.get(k, k): v for k, v in serving.items()}
+    missing = [k for k in REQUIRED_SGLANG_KEYS if k not in serving]
+    if missing:
+        raise ValueError(
+            f"serving state missing required keys {missing}; the sglang "
+            f"loader would silently produce a broken draft. Present: "
+            f"{sorted(serving)[:8]}..."
+        )
+    os.makedirs(output_dir, exist_ok=True)
+    _write_safetensors(os.path.join(output_dir, "model.safetensors"), serving)
+    _write_config(output_dir, draft_config_path)
+    return output_dir
+
+
+def export_to_hf(
+    checkpoint: str,
+    output_dir: str,
+    *,
+    draft_config_path: Optional[str] = None,
+    vocab_mapping_path: Optional[str] = None,
+    embedding_source: Optional[str] = None,
+    embedding_key: str = "model.embed_tokens.weight",
+) -> str:
+    """Self-contained HF-layout directory (reloads with no missing keys).
+
+    EAGLE3 checkpoints deliberately exclude the frozen embedding; pass
+    ``embedding_source`` (the target model dir) so the export ships the real
+    one — a random embedding would silently break serving
+    (reference to_hf.py:77-108).
+    """
+    state, _payload = load_training_state(checkpoint)
+    draft_params, draft_buffers = _extract_draft(state)
+
+    has_embedding = any("embed" in k.lower() for k in draft_params)
+    serving = {}
+    if not has_embedding:
+        if not embedding_source:
+            raise ValueError(
+                "checkpoint has no embed_tokens (draft checkpoints exclude "
+                "the frozen embedding); pass embedding_source=<target model "
+                "dir> so the export ships the real embedding"
+            )
+        from specforge_tpu.models.target.head import TargetHead
+
+        embed = TargetHead.from_pretrained(
+            embedding_source, lm_head_key=embedding_key
+        )
+        serving["embed_tokens.weight"] = np.ascontiguousarray(
+            np.asarray(embed.weight)
+        )
+    if vocab_mapping_path:
+        from specforge_tpu.training.vocab_mapping import load_vocab_mapping
+
+        t2d, d2t = load_vocab_mapping(vocab_mapping_path)
+        draft_buffers = {**draft_buffers, "t2d": t2d, "d2t": d2t}
+
+    serving.update(flax_to_serving_state(draft_params, draft_buffers))
+    os.makedirs(output_dir, exist_ok=True)
+    _write_safetensors(os.path.join(output_dir, "model.safetensors"), serving)
+    _write_config(output_dir, draft_config_path)
+    return output_dir
+
+
+def export_checkpoint(
+    checkpoint: str,
+    output_dir: str,
+    fmt: str = "sglang",
+    draft_config_path: Optional[str] = None,
+    vocab_mapping_path: Optional[str] = None,
+    **kwargs,
+) -> str:
+    if fmt == "sglang":
+        return export_to_sglang(
+            checkpoint, output_dir, draft_config_path=draft_config_path,
+            vocab_mapping_path=vocab_mapping_path, **kwargs,
+        )
+    if fmt == "hf":
+        return export_to_hf(
+            checkpoint, output_dir, draft_config_path=draft_config_path,
+            vocab_mapping_path=vocab_mapping_path, **kwargs,
+        )
+    raise ValueError(f"unknown export format {fmt!r}")
