@@ -206,8 +206,11 @@ class TrainBatch:
 
 def _is_tensor_like(obj: Any) -> bool:
     # Duck-typed so this module never imports jax/numpy/torch: every array
-    # library exposes .shape and .dtype; strings/dataclasses do not.
+    # library exposes .shape and .dtype. Dataclasses (e.g. FeatureSpec, which
+    # legitimately carries shape/dtype *metadata*) are recursed instead.
     if isinstance(obj, (str, bytes, type)):
+        return False
+    if dataclasses.is_dataclass(obj):
         return False
     return hasattr(obj, "shape") and hasattr(obj, "dtype")
 
@@ -218,6 +221,10 @@ def assert_no_tensors(obj: Any, where: str = "value") -> None:
     Reference semantics: runtime/contracts.py:156-194 — called at every control
     plane ingress so a tensor can never ride a metadata channel.
     """
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        for f in dataclasses.fields(obj):
+            assert_no_tensors(getattr(obj, f.name), where=f"{where}.{f.name}")
+        return
     if _is_tensor_like(obj):
         raise ContractViolation(
             f"{where}: tensor-like object {type(obj).__name__} in metadata-only "
@@ -230,6 +237,3 @@ def assert_no_tensors(obj: Any, where: str = "value") -> None:
     elif isinstance(obj, (list, tuple, set, frozenset)):
         for i, v in enumerate(obj):
             assert_no_tensors(v, where=f"{where}[{i}]")
-    elif dataclasses.is_dataclass(obj) and not isinstance(obj, type):
-        for f in dataclasses.fields(obj):
-            assert_no_tensors(getattr(obj, f.name), where=f"{where}.{f.name}")
