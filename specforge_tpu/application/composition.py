@@ -211,7 +211,12 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         model, draft_config, options, rng, config.data.max_length
     )
 
-    need_embed = "target_embed_weight" in providers.frozen_requirements
+    # eagle3/peagle need the target embedding once (the target-copied draft
+    # embedding contract), dflash-family needs it every step.
+    need_embed = (
+        "target_embed_weight" in providers.frozen_requirements
+        or t.strategy in ("eagle3", "peagle")
+    )
     frozen = (
         frozen_override
         if frozen_override is not None
@@ -223,6 +228,11 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         variables = _set_buffers(variables, *mapping)
     if t.strategy in ("eagle3", "peagle") and "target_embed_weight" in frozen:
         variables = _copy_target_embedding(variables, frozen)
+        if "target_embed_weight" not in providers.frozen_requirements:
+            # copied into params: don't carry the table through every step
+            frozen = {
+                k: v for k, v in frozen.items() if k != "target_embed_weight"
+            }
 
     # frozen-embedding mask: eagle3 only (peagle trains embeddings)
     trainable_mask = None

@@ -1,0 +1,146 @@
+"""Conversation parsing → token ids + assistant-span loss masks.
+
+The parser renders each turn with the chat template and tokenizes piecewise
+(``add_special_tokens=False`` per piece), so assistant-answer token spans are
+known exactly — the loss mask supervises assistant bodies (including the end
+token) and nothing else. Reference behavior:
+specforge/data/parse.py:15-510 (GeneralParser; Harmony/Thinking/GLM parsers add
+channel/thinking-span handling on the same skeleton).
+
+Conversation format: ``[{"role": "system"|"user"|"assistant", "content": str}]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from specforge_tpu.data.template import ChatTemplate, get_template
+
+
+@dataclass
+class ParsedSample:
+    input_ids: np.ndarray  # [S] int64
+    loss_mask: np.ndarray  # [S] int64
+
+
+class GeneralParser:
+    def __init__(self, tokenizer, template: ChatTemplate):
+        self.tokenizer = tokenizer
+        self.template = template
+
+    def _encode(self, text: str) -> List[int]:
+        if not text:
+            return []
+        return self.tokenizer.encode(text, add_special_tokens=False)
+
+    def parse(
+        self,
+        conversation: Sequence[Dict[str, Any]],
+        max_length: int,
+        *,
+        add_bos: bool = True,
+    ) -> ParsedSample:
+        pieces: List[Tuple[List[int], int]] = []  # (ids, supervised)
+        bos = (
+            [self.tokenizer.bos_token_id]
+            if add_bos and self.tokenizer.bos_token_id is not None
+            else []
+        )
+        if bos:
+            pieces.append((bos, 0))
+
+        has_system = any(t.get("role") == "system" for t in conversation)
+        if not has_system and self.template.default_system_prompt:
+            pieces.append((
+                self._encode(
+                    self.template.render_system(
+                        self.template.default_system_prompt
+                    )
+                ),
+                0,
+            ))
+        for turn in conversation:
+            role = turn.get("role")
+            content = str(turn.get("content", ""))
+            if role == "system":
+                pieces.append((
+                    self._encode(self.template.render_system(content)), 0
+                ))
+            elif role in ("user", "human"):
+                pieces.append((
+                    self._encode(self.template.render_user(content)), 0
+                ))
+            elif role in ("assistant", "gpt"):
+                pieces.append((
+                    self._encode(self.template.render_assistant_header()), 0
+                ))
+                pieces.append((
+                    self._encode(self.template.render_assistant_body(content)),
+                    1,
+                ))
+            else:
+                raise ValueError(f"unknown conversation role {role!r}")
+
+        ids: List[int] = []
+        mask: List[int] = []
+        for piece_ids, supervised in pieces:
+            ids.extend(piece_ids)
+            mask.extend([supervised] * len(piece_ids))
+        ids = ids[:max_length]
+        mask = mask[:max_length]
+        return ParsedSample(
+            input_ids=np.asarray(ids, np.int64),
+            loss_mask=np.asarray(mask, np.int64),
+        )
+
+
+def normalize_conversation(record: Dict[str, Any]) -> List[Dict[str, str]]:
+    """Accept common dataset shapes: ``messages``, ``conversations``
+    (sharegpt ``from``/``value``), or prompt/response pairs."""
+    if "messages" in record:
+        return [
+            {"role": m["role"], "content": m["content"]}
+            for m in record["messages"]
+        ]
+    if "conversations" in record:
+        out = []
+        role_map = {"human": "user", "gpt": "assistant", "system": "system",
+                    "user": "user", "assistant": "assistant"}
+        for m in record["conversations"]:
+            role = role_map.get(m.get("from") or m.get("role"))
+            if role is None:
+                continue
+            out.append(
+                {"role": role, "content": m.get("value") or m.get("content", "")}
+            )
+        return out
+    if "prompt" in record and "response" in record:
+        return [
+            {"role": "user", "content": record["prompt"]},
+            {"role": "assistant", "content": record["response"]},
+        ]
+    raise ValueError(
+        f"unrecognized conversation record keys: {sorted(record)}"
+    )
+
+
+def build_dataset(
+    records,
+    tokenizer,
+    template_name: str,
+    max_length: int,
+) -> List[ParsedSample]:
+    """Tokenize a list of conversation records (reference
+    ``build_eagle3_dataset``, data/preprocessing.py:109-394)."""
+    parser = GeneralParser(tokenizer, get_template(template_name))
+    out: List[ParsedSample] = []
+    for record in records:
+        conversation = normalize_conversation(record)
+        sample = parser.parse(conversation, max_length)
+        if sample.loss_mask.sum() == 0 or len(sample.input_ids) < 2:
+            continue  # nothing supervised: skip (reference drops these too)
+        out.append(sample)
+    return out

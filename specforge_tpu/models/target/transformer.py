@@ -1,0 +1,232 @@
+"""Frozen target transformer for feature capture.
+
+A functional (params-dict) decoder covering the Llama / Qwen2 / Qwen3 config
+families — enough to run *prefill* of the target model on TPU and capture the
+EAGLE3/DFlash training features (per-layer hidden states + post-norm last
+hidden). This replaces the reference's in-process SGLang model runner for
+offline capture (specforge/offline_capture/sglang_backend/, SURVEY §2.7).
+
+Params are a flat ``{hf_key: array}`` dict loaded straight from safetensors
+shards, so no weight conversion step exists; compute is bf16 with fp32 norms
+and fp32 attention logits.
+
+Capture convention: ``hidden_states[0]`` is the embedding output and
+``hidden_states[i+1]`` the output of layer ``i`` — aux features gather
+``hidden_states[layer_id + 1]``, matching the reference
+``extract_context_feature`` offset (modeling/draft/dflash.py:284-293).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specforge_tpu.ops.attention import NEG_INF, make_causal_bias
+from specforge_tpu.ops.rope import RopeSpec, apply_rope, rope_cos_sin
+
+
+@dataclass(frozen=True)
+class TargetConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    qk_norm: bool = False          # qwen3-style per-head q/k norms
+    model_type: str = "llama"
+    hidden_act: str = "silu"
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_file(cls, path: str) -> "TargetConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        raw = raw.get("text_config", raw)
+        model_type = raw.get("model_type", "llama")
+        return cls(
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["intermediate_size"],
+            num_hidden_layers=raw["num_hidden_layers"],
+            num_attention_heads=raw["num_attention_heads"],
+            num_key_value_heads=raw.get(
+                "num_key_value_heads", raw["num_attention_heads"]
+            ),
+            head_dim=raw.get("head_dim"),
+            rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+            rope_theta=raw.get("rope_theta", 10000.0),
+            rope_scaling=raw.get("rope_scaling"),
+            max_position_embeddings=raw.get("max_position_embeddings", 32768),
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+            attention_bias=raw.get(
+                "attention_bias", model_type in ("qwen2",)
+            ),
+            qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            model_type=model_type,
+            hidden_act=raw.get("hidden_act", "silu"),
+        )
+
+
+def load_target_params(
+    path: str, config: TargetConfig, dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    """Load every decoder weight from the HF safetensors shards."""
+    from safetensors import safe_open
+
+    index_files = glob.glob(os.path.join(path, "*.index.json"))
+    key_to_shard: Dict[str, str] = {}
+    if index_files:
+        with open(index_files[0]) as f:
+            key_to_shard = json.load(f)["weight_map"]
+    else:
+        single = os.path.join(path, "model.safetensors")
+        with safe_open(single, framework="numpy") as f:
+            for key in f.keys():
+                key_to_shard[key] = "model.safetensors"
+
+    wanted_prefixes = ("model.", "lm_head.")
+    by_shard: Dict[str, List[str]] = {}
+    for key, shard in key_to_shard.items():
+        if key.startswith(wanted_prefixes):
+            by_shard.setdefault(shard, []).append(key)
+
+    params: Dict[str, jnp.ndarray] = {}
+    for shard, keys in sorted(by_shard.items()):
+        with safe_open(os.path.join(path, shard), framework="numpy") as f:
+            for key in keys:
+                arr = f.get_tensor(key)
+                if np.issubdtype(arr.dtype, np.floating) or str(
+                    arr.dtype
+                ) == "bfloat16":
+                    params[key] = jnp.asarray(arr).astype(dtype)
+                else:
+                    params[key] = jnp.asarray(arr)
+    if config.tie_word_embeddings and "lm_head.weight" not in params:
+        params["lm_head.weight"] = params["model.embed_tokens.weight"]
+    return params
+
+
+def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    x32 = x32 * jax.lax.rsqrt(var + eps)
+    return weight.astype(dtype) * x32.astype(dtype)
+
+
+def _act(name: str):
+    return {"silu": jax.nn.silu, "gelu": jax.nn.gelu,
+            "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True)}[
+        name
+    ]
+
+
+def target_capture_forward(
+    params: Dict[str, jnp.ndarray],
+    config: TargetConfig,
+    input_ids: jnp.ndarray,        # [B, S]
+    attention_mask: Optional[jnp.ndarray],  # [B, S]
+    capture_layers: Sequence[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefill forward → (aux concat [B, S, L*H], post-norm last hidden [B, S, H])."""
+    cfg = config
+    b, s = input_ids.shape
+    d = cfg.resolved_head_dim
+    h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
+    g = h // kvh
+    rope_spec = RopeSpec.from_config(cfg)
+    capture_set = set(int(c) for c in capture_layers)
+
+    x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
+    bias = make_causal_bias(attention_mask, b, s)
+    position_ids = jnp.broadcast_to(
+        jnp.arange(s, dtype=jnp.int32)[None], (b, s)
+    )
+    cos, sin = rope_cos_sin(rope_spec, position_ids, s, dtype=x.dtype)
+
+    captured: Dict[int, jnp.ndarray] = {}
+    if -1 in capture_set:  # embedding output, offset convention: id -1 → h[0]
+        captured[-1] = x
+
+    for i in range(cfg.num_hidden_layers):
+        prefix = f"model.layers.{i}"
+        residual = x
+        y = _rms(x, params[f"{prefix}.input_layernorm.weight"],
+                 cfg.rms_norm_eps)
+
+        def proj(name, val):
+            w = params[f"{prefix}.self_attn.{name}.weight"]
+            out = val @ w.T
+            bias_key = f"{prefix}.self_attn.{name}.bias"
+            if bias_key in params:
+                out = out + params[bias_key]
+            return out
+
+        q = proj("q_proj", y).reshape(b, s, h, d)
+        k = proj("k_proj", y).reshape(b, s, kvh, d)
+        v = proj("v_proj", y).reshape(b, s, kvh, d)
+        if cfg.qk_norm:
+            q = _rms(q, params[f"{prefix}.self_attn.q_norm.weight"],
+                     cfg.rms_norm_eps)
+            k = _rms(k, params[f"{prefix}.self_attn.k_norm.weight"],
+                     cfg.rms_norm_eps)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rope(q, k, cos, sin)
+
+        qg = q.reshape(b, kvh, g, s, d)
+        w = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
+        ) / (d ** 0.5)
+        w = w + bias[:, :, None].astype(jnp.float32)
+        p = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bkgst,bktd->bkgsd", p, v)
+        attn = attn.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(
+            b, s, h * d
+        )
+        attn = attn @ params[f"{prefix}.self_attn.o_proj.weight"].T
+        x = residual + attn
+
+        residual = x
+        y = _rms(x, params[f"{prefix}.post_attention_layernorm.weight"],
+                 cfg.rms_norm_eps)
+        gate = y @ params[f"{prefix}.mlp.gate_proj.weight"].T
+        up = y @ params[f"{prefix}.mlp.up_proj.weight"].T
+        y = (_act(cfg.hidden_act)(gate) * up) @ params[
+            f"{prefix}.mlp.down_proj.weight"
+        ].T
+        x = residual + y
+
+        if i in capture_set:
+            captured[i] = x
+
+    last_hidden = _rms(x, params["model.norm.weight"], cfg.rms_norm_eps)
+    missing = capture_set - set(captured)
+    if missing:
+        raise ValueError(
+            f"capture layers {sorted(missing)} out of range "
+            f"(0..{cfg.num_hidden_layers - 1})"
+        )
+    aux = jnp.concatenate(
+        [captured[i] for i in capture_layers], axis=-1
+    )
+    return aux, last_hidden
