@@ -115,7 +115,13 @@ class OnlineEagle3Model(nn.Module):
 
         batch_size, seq_len = input_ids.shape
         hidden = draft.project_hidden_states(hidden_states)
-        bias = make_causal_bias(attention_mask, batch_size, seq_len)
+        if draft.attention_backend == "usp":
+            # USP never materializes the [S, S] bias; padding rides the
+            # [B, S] key-validity mask through the ring merge.
+            bias, key_valid = None, attention_mask
+        else:
+            bias = make_causal_bias(attention_mask, batch_size, seq_len)
+            key_valid = None
         if position_ids is None:
             position_ids = jnp.broadcast_to(
                 jnp.arange(seq_len, dtype=jnp.int32)[None], (batch_size, seq_len)
@@ -143,7 +149,7 @@ class OnlineEagle3Model(nn.Module):
 
             embeds = draft.embed_input_ids(cur_input_ids).astype(hidden.dtype)
             hidden, cache = draft.ttt_step(
-                embeds, hidden, cache, bias, position_ids
+                embeds, hidden, cache, bias, position_ids, key_valid
             )
             logits = draft.compute_logits(hidden)
 

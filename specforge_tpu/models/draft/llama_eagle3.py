@@ -71,6 +71,10 @@ class RMSNorm(nn.Module):
 class Eagle3Attention(nn.Module):
     config: Eagle3Config
     dtype: Any = jnp.bfloat16
+    #: "dense" (single/fsdp) or "usp" (sequence-parallel ulysses×ring over the
+    #: sp mesh axes; batch-size-1 long-context training)
+    attention_backend: str = "dense"
+    mesh: Any = None
 
     def setup(self):
         cfg = self.config
@@ -89,8 +93,9 @@ class Eagle3Attention(nn.Module):
         self,
         hidden_2h: jnp.ndarray,
         cache: Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]],
-        bias: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
         position_ids: jnp.ndarray,
+        key_valid: Optional[jnp.ndarray] = None,
     ):
         """One TTT attention step.
 
@@ -98,8 +103,10 @@ class Eagle3Attention(nn.Module):
             hidden_2h: [B, S, 2*hidden] concat of normed embed and hidden.
             cache: (keys, values) tuples of earlier-branch [B, KVH, S, D];
                 empty tuples on the first step.
-            bias: [B, 1, S, S] additive causal bias.
+            bias: [B, 1, S, S] additive causal bias (dense backend; None for
+                usp, which never materializes the S×S mask).
             position_ids: [B, S] (already offset by the branch index).
+            key_valid: [B, S] real-token mask (usp backend padding).
 
         Returns:
             (attn_out [B, S, hidden], new_cache).
@@ -129,7 +136,22 @@ class Eagle3Attention(nn.Module):
 
         keys = tuple(cache[0]) + (k,)
         values = tuple(cache[1]) + (v,)
-        attn_out = ttt_branch_attention(q, list(keys), list(values), bias)
+        if self.attention_backend == "usp":
+            from specforge_tpu.parallel.usp import usp_ttt_attention
+
+            # the Ulysses head exchange divides heads across devices, so KV
+            # heads expand to the full head count first (reference repeat_kv
+            # before SeqAllToAll4D)
+            g = h // kvh
+            expand = lambda x: jnp.repeat(x, g, axis=1)
+            attn_out = usp_ttt_attention(
+                self.mesh, q,
+                [expand(kk) for kk in keys],
+                [expand(vv) for vv in values],
+                key_valid=key_valid,
+            )
+        else:
+            attn_out = ttt_branch_attention(q, list(keys), list(values), bias)
         return self.o_proj(attn_out), (keys, values)
 
 
@@ -153,10 +175,15 @@ class Eagle3MLP(nn.Module):
 class Eagle3DecoderLayer(nn.Module):
     config: Eagle3Config
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "dense"
+    mesh: Any = None
 
     def setup(self):
         cfg = self.config
-        self.self_attn = Eagle3Attention(cfg, dtype=self.dtype, name="self_attn")
+        self.self_attn = Eagle3Attention(
+            cfg, dtype=self.dtype, attention_backend=self.attention_backend,
+            mesh=self.mesh, name="self_attn",
+        )
         self.mlp = Eagle3MLP(cfg, dtype=self.dtype, name="mlp")
         self.hidden_norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
                                    name="hidden_norm")
@@ -166,12 +193,15 @@ class Eagle3DecoderLayer(nn.Module):
             cfg.hidden_size, cfg.rms_norm_eps, name="post_attention_layernorm"
         )
 
-    def __call__(self, input_emb, hidden_states, cache, bias, position_ids):
+    def __call__(self, input_emb, hidden_states, cache, bias, position_ids,
+                 key_valid=None):
         residual = hidden_states
         normed_hidden = self.hidden_norm(hidden_states)
         normed_emb = self.input_layernorm(input_emb)
         hidden_2h = jnp.concatenate([normed_emb, normed_hidden], axis=-1)
-        attn_out, cache = self.self_attn(hidden_2h, cache, bias, position_ids)
+        attn_out, cache = self.self_attn(
+            hidden_2h, cache, bias, position_ids, key_valid
+        )
         hidden_states = residual + attn_out
 
         residual = hidden_states
@@ -187,6 +217,8 @@ class LlamaEagle3Draft(nn.Module):
 
     config: Eagle3Config
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "dense"
+    mesh: Any = None
 
     def setup(self):
         cfg = self.config
@@ -194,7 +226,10 @@ class LlamaEagle3Draft(nn.Module):
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
             param_dtype=jnp.float32, name="embed_tokens",
         )
-        self.midlayer = Eagle3DecoderLayer(cfg, dtype=self.dtype, name="midlayer")
+        self.midlayer = Eagle3DecoderLayer(
+            cfg, dtype=self.dtype, attention_backend=self.attention_backend,
+            mesh=self.mesh, name="midlayer",
+        )
         self.fc = nn.Dense(
             cfg.hidden_size, use_bias=False, dtype=self.dtype,
             param_dtype=jnp.float32, name="fc",
@@ -246,10 +281,11 @@ class LlamaEagle3Draft(nn.Module):
             )
         return self.fc(hidden_3h)
 
-    def ttt_step(self, input_embeds, hidden_states, cache, bias, position_ids):
+    def ttt_step(self, input_embeds, hidden_states, cache, bias, position_ids,
+                 key_valid=None):
         """One decoder-layer step of the TTT unroll → (hidden_out, new_cache)."""
         return self.midlayer(input_embeds, hidden_states, cache, bias,
-                             position_ids)
+                             position_ids, key_valid)
 
     def compute_logits(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
         h = self.norm(hidden_states) if self.config.norm_output else hidden_states
