@@ -108,7 +108,7 @@ class OnlineEagle3Model(nn.Module):
             )
         (
             target_p_padded,
-            target_p_on_draft_padded,
+            accept_ratio_padded,  # p_on_draft == target_p * ratio (exact)
             target_token_ids_padded,
             position_mask,
         ) = jax.tree_util.tree_map(jax.lax.stop_gradient, teacher)
@@ -140,9 +140,11 @@ class OnlineEagle3Model(nn.Module):
             step_target_p = jax.lax.dynamic_slice_in_dim(
                 target_p_padded, idx, seq_len, axis=1
             )
-            step_p_on_draft = jax.lax.dynamic_slice_in_dim(
-                target_p_on_draft_padded, idx, seq_len, axis=1
+            step_ratio = jax.lax.dynamic_slice_in_dim(
+                accept_ratio_padded, idx, seq_len, axis=1
             )
+            # transient per-step reconstruction of the un-renormalized teacher
+            step_p_on_draft = step_target_p * step_ratio
             step_token_ids = jax.lax.dynamic_slice_in_dim(
                 target_token_ids_padded, idx, seq_len, axis=1
             )

@@ -102,16 +102,93 @@ def ttt_branch_attention_reference(
     ).reshape(b, s, h * d)
 
 
+def ttt_branch_attention_chunked(
+    q: jnp.ndarray,
+    keys: List[jnp.ndarray],
+    values: List[jnp.ndarray],
+    bias: jnp.ndarray,
+    q_chunk: int = 256,
+) -> jnp.ndarray:
+    """Flash-style TTT branch attention: q tiled over chunks under
+    ``jax.checkpoint`` so peak score memory is O(q_chunk · S) and the backward
+    pass recomputes — the long-sequence path (branch diagonals are q-aligned,
+    so each chunk needs only its own branch slice).
+    """
+    b, h, s, d = q.shape
+    kvh = keys[0].shape[1]
+    g = h // kvh
+    scale = 1.0 / (d ** 0.5)
+    if s % q_chunk != 0:
+        return ttt_branch_attention_reference(q, keys, values, bias)
+    n_chunks = s // q_chunk
+    n_br = len(keys) - 1
+
+    k0, v0 = keys[0], values[0]
+    # [n_chunks, B, KVH, G, TQ, D]
+    q_chunks = jnp.moveaxis(
+        q.reshape(b, kvh, g, n_chunks, q_chunk, d), 3, 0
+    )
+    bias_chunks = jnp.moveaxis(
+        bias.reshape(b, 1, n_chunks, q_chunk, s), 2, 0
+    )
+    if n_br:
+        kb = jnp.stack(keys[1:])    # [NB, B, KVH, S, D]
+        vb = jnp.stack(values[1:])
+        kb_chunks = jnp.moveaxis(
+            kb.reshape(n_br, b, kvh, n_chunks, q_chunk, d), 3, 0
+        )
+        vb_chunks = jnp.moveaxis(
+            vb.reshape(n_br, b, kvh, n_chunks, q_chunk, d), 3, 0
+        )
+    else:
+        kb_chunks = jnp.zeros((n_chunks, 0, b, kvh, q_chunk, d), q.dtype)
+        vb_chunks = kb_chunks
+
+    @jax.checkpoint
+    def chunk_fn(qc, bias_c, kb_c, vb_c):
+        w = jnp.einsum(
+            "bkgsd,bktd->bkgst", qc, k0, preferred_element_type=jnp.float32
+        ) * scale
+        w = w + bias_c[:, :, None].astype(jnp.float32)
+        extras = []
+        for i in range(n_br):
+            wi = jnp.einsum(
+                "bkgsd,bksd->bkgs", qc, kb_c[i],
+                preferred_element_type=jnp.float32,
+            ) * scale
+            extras.append(wi[..., None])
+        logits = jnp.concatenate([w] + extras, axis=-1) if extras else w
+        p = jax.nn.softmax(logits, axis=-1).astype(qc.dtype)
+        out = jnp.einsum("bkgst,bktd->bkgsd", p[..., :s], v0)
+        for i in range(n_br):
+            out = out + p[..., s + i, None] * vb_c[i][:, :, None]
+        return out
+
+    def body(_, xs):
+        return None, chunk_fn(*xs)
+
+    _, outs = jax.lax.scan(
+        body, None, (q_chunks, bias_chunks, kb_chunks, vb_chunks)
+    )
+    # [n_chunks, B, KVH, G, TQ, D] → [B, S, H*D]
+    out = jnp.moveaxis(outs, 0, 3).reshape(b, kvh, g, s, d)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+# sequences at or above this length route to the chunked (flash-style) path
+CHUNKED_ATTENTION_MIN_SEQ = 1024
+
+
 def ttt_branch_attention(
     q: jnp.ndarray,
     keys: List[jnp.ndarray],
     values: List[jnp.ndarray],
     bias: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Dispatch to the Pallas kernel on TPU (when profitable), else dense XLA."""
-    # The Pallas TTT flash kernel activates for long sequences where the dense
-    # [S, S] fp32 logits dominate HBM traffic; for now the dense path is used
-    # everywhere (kernel lands with ops/attention_pallas.py).
+    """Dense for short sequences; q-chunked flash-style above the threshold."""
+    s = q.shape[2]
+    if s >= CHUNKED_ATTENTION_MIN_SEQ and s % 256 == 0:
+        return ttt_branch_attention_chunked(q, keys, values, bias)
     return ttt_branch_attention_reference(q, keys, values, bias)
 
 

@@ -5,9 +5,14 @@ the frozen ``lm_head`` weight), produce the quantities the TTT loop consumes:
 
 - ``target_p``          — teacher distribution renormalized over the draft vocab
                           (softmax of the t2d-gathered logits), the CE target.
-- ``target_p_on_draft`` — un-renormalized target probabilities restricted to the
-                          draft vocab (``exp(logit - logsumexp(full))``), used by
-                          the expected-acceptance metric/LK loss.
+- ``accept_ratio``      — per-position scalar ``exp(lse_draft - lse_full)``:
+                          the un-renormalized draft-vocab probabilities are
+                          exactly ``target_p * accept_ratio``, so the
+                          [B, S, V_draft] fp32 ``target_p_on_draft`` tensor of
+                          the reference never persists — the acceptance metric
+                          reconstructs its per-step slice transiently. At
+                          Qwen3-8B scale this saves 500MB of live HBM per
+                          training step.
 - ``target_token_ids``  — full-vocab argmax token ids.
 - ``position_mask``     — ``t2d[argmax] * loss_mask``: supervise only positions
                           whose teacher-argmax token exists in the draft vocab.
@@ -55,7 +60,8 @@ def compute_target_p(
         loss_mask: [B, S, 1] int/float mask of supervised positions.
 
     Returns:
-        target_p [B, S, V_draft] f32, target_p_on_draft [B, S, V_draft] f32,
+        target_p [B, S, V_draft] f32, accept_ratio [B, S, 1] f32
+        (``p_on_draft == target_p * accept_ratio`` exactly),
         target_token_ids [B, S] int32, position_mask [B, S, 1].
     """
     t = target_logits.astype(jnp.float32)
@@ -63,16 +69,17 @@ def compute_target_p(
     gather_idx = draft_gather_indices(d2t)
     draft_logits = jnp.take(t, gather_idx, axis=-1)
     target_p = jax.nn.softmax(draft_logits, axis=-1)
-    lse = jax.nn.logsumexp(t, axis=-1, keepdims=True)
-    target_p_on_draft = jnp.exp(draft_logits - lse)
+    lse_draft = jax.nn.logsumexp(draft_logits, axis=-1, keepdims=True)
+    lse_full = jax.nn.logsumexp(t, axis=-1, keepdims=True)
+    accept_ratio = jnp.exp(lse_draft - lse_full)
     in_draft = jnp.take(t2d, target_token_ids)[..., None].astype(jnp.int32)
     position_mask = in_draft * loss_mask.astype(jnp.int32)
-    return target_p, target_p_on_draft, target_token_ids, position_mask
+    return target_p, accept_ratio, target_token_ids, position_mask
 
 
 def _pad_teacher(
     target_p: jnp.ndarray,
-    target_p_on_draft: jnp.ndarray,
+    accept_ratio: jnp.ndarray,
     target_token_ids: jnp.ndarray,
     length: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -80,7 +87,8 @@ def _pad_teacher(
 
     Pad values replicate the reference exactly (eagle3/model.py:459-477):
     target_p pads with the uniform 1/V_draft distribution (bitwise-equality
-    legacy), p_on_draft with 0, token ids with 0.
+    legacy), the acceptance ratio with 0 (p_on_draft pads with 0), token ids
+    with 0.
     """
     v_draft = target_p.shape[-1]
     target_p_padded = jnp.pad(
@@ -88,13 +96,13 @@ def _pad_teacher(
         ((0, 0), (0, length), (0, 0)),
         constant_values=1.0 / v_draft,
     )
-    target_p_on_draft_padded = jnp.pad(
-        target_p_on_draft, ((0, 0), (0, length), (0, 0)), constant_values=0.0
+    accept_ratio_padded = jnp.pad(
+        accept_ratio, ((0, 0), (0, length), (0, 0)), constant_values=0.0
     )
     target_token_ids_padded = jnp.pad(
         target_token_ids, ((0, 0), (0, length)), constant_values=0
     )
-    return target_p_padded, target_p_on_draft_padded, target_token_ids_padded
+    return target_p_padded, accept_ratio_padded, target_token_ids_padded
 
 
 def compute_target_p_padded(
@@ -105,10 +113,10 @@ def compute_target_p_padded(
     length: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-vocab teacher projection padded by the TTT length."""
-    target_p, p_on_draft, token_ids, position_mask = compute_target_p(
+    target_p, accept_ratio, token_ids, position_mask = compute_target_p(
         target_logits, t2d, d2t, loss_mask
     )
-    padded = _pad_teacher(target_p, p_on_draft, token_ids, length)
+    padded = _pad_teacher(target_p, accept_ratio, token_ids, length)
     return (*padded, position_mask)
 
 
@@ -203,10 +211,11 @@ def compute_target_p_from_hidden(
     )
     target_token_ids = target_token_ids.astype(jnp.int32)
     target_p = jax.nn.softmax(draft_logits, axis=-1)
-    target_p_on_draft = jnp.exp(draft_logits - log_z)
+    lse_draft = jax.nn.logsumexp(draft_logits, axis=-1, keepdims=True)
+    accept_ratio = jnp.exp(lse_draft - log_z)
     in_draft = jnp.take(t2d, target_token_ids)[..., None].astype(jnp.int32)
     position_mask = in_draft * loss_mask.astype(jnp.int32)
-    return target_p, target_p_on_draft, target_token_ids, position_mask
+    return target_p, accept_ratio, target_token_ids, position_mask
 
 
 def compute_target_p_padded_from_hidden(
@@ -219,8 +228,10 @@ def compute_target_p_padded_from_hidden(
     chunk_size: int = DEFAULT_VOCAB_CHUNK_SIZE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compact teacher with the +length TTT padding applied."""
-    target_p, p_on_draft, token_ids, position_mask = compute_target_p_from_hidden(
-        hidden, lm_head_weight, t2d, d2t, loss_mask, chunk_size=chunk_size
+    target_p, accept_ratio, token_ids, position_mask = (
+        compute_target_p_from_hidden(
+            hidden, lm_head_weight, t2d, d2t, loss_mask, chunk_size=chunk_size
+        )
     )
-    padded = _pad_teacher(target_p, p_on_draft, token_ids, length)
+    padded = _pad_teacher(target_p, accept_ratio, token_ids, length)
     return (*padded, position_mask)

@@ -107,3 +107,40 @@ def test_masked_attention_matches_sdpa():
         torch.tensor(q), _repeat_kv(k), _repeat_kv(v), is_causal=True
     ).transpose(1, 2).reshape(B, S, H * D)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_chunked_matches_dense():
+    from specforge_tpu.ops.attention import ttt_branch_attention_chunked
+    import jax
+
+    rng = np.random.default_rng(3)
+    b, h, kvh, s, d = 1, 4, 2, 512, 8
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    keys = [jnp.asarray(rng.normal(size=(b, kvh, s, d)).astype(np.float32))
+            for _ in range(3)]
+    values = [jnp.asarray(rng.normal(size=(b, kvh, s, d)).astype(np.float32))
+              for _ in range(3)]
+    attn_mask = np.ones((b, s), np.int32)
+    attn_mask[0, 500:] = 0
+    bias = make_causal_bias(jnp.asarray(attn_mask), b, s)
+
+    dense = ttt_branch_attention_reference(q, keys, values, bias)
+    chunked = ttt_branch_attention_chunked(q, keys, values, bias, q_chunk=128)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(dense), rtol=2e-5, atol=2e-6
+    )
+    # gradient parity through the remat'd scan
+    g_dense = jax.grad(
+        lambda qq: jnp.sum(
+            ttt_branch_attention_reference(qq, keys, values, bias) ** 2
+        )
+    )(q)
+    g_chunk = jax.grad(
+        lambda qq: jnp.sum(
+            ttt_branch_attention_chunked(qq, keys, values, bias, q_chunk=128)
+            ** 2
+        )
+    )(q)
+    np.testing.assert_allclose(
+        np.asarray(g_chunk), np.asarray(g_dense), rtol=5e-4, atol=5e-6
+    )

@@ -47,7 +47,7 @@ def case():
 
 def test_target_p_matches_torch(case):
     t2d, d2t, target, loss_mask = case
-    tp, tpod, tok, pm = compute_target_p(
+    tp, ratio, tok, pm = compute_target_p(
         jnp.asarray(target), jnp.asarray(t2d), jnp.asarray(d2t.astype(np.int32)),
         jnp.asarray(loss_mask),
     )
@@ -55,7 +55,9 @@ def test_target_p_matches_torch(case):
         torch.tensor(target), torch.tensor(t2d), torch.tensor(loss_mask)
     )
     np.testing.assert_allclose(np.asarray(tp), rtp.numpy(), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(tpod), rtpod.numpy(), rtol=1e-5, atol=1e-6)
+    # p_on_draft is represented factored: target_p * per-position ratio
+    tpod = np.asarray(tp) * np.asarray(ratio)
+    np.testing.assert_allclose(tpod, rtpod.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(tok), rtok.numpy())
     np.testing.assert_array_equal(np.asarray(pm), rpm.numpy())
 
@@ -63,13 +65,13 @@ def test_target_p_matches_torch(case):
 def test_padding_values(case):
     t2d, d2t, target, loss_mask = case
     length = 5
-    tp, tpod, tok, _ = compute_target_p_padded(
+    tp, ratio, tok, _ = compute_target_p_padded(
         jnp.asarray(target), jnp.asarray(t2d), jnp.asarray(d2t.astype(np.int32)),
         jnp.asarray(loss_mask), length,
     )
     assert tp.shape == (B, S + length, VD)
     np.testing.assert_allclose(np.asarray(tp[:, S:]), 1.0 / VD)
-    np.testing.assert_allclose(np.asarray(tpod[:, S:]), 0.0)
+    np.testing.assert_allclose(np.asarray(ratio[:, S:]), 0.0)
     np.testing.assert_array_equal(np.asarray(tok[:, S:]), 0)
 
 
