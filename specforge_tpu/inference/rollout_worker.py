@@ -44,18 +44,29 @@ class RolloutWorker:
         worker_id: str,
         *,
         controller: DataFlowController,
-        store,
-        feature_source: FeatureSource,
+        store=None,
+        feature_source: Optional[FeatureSource] = None,
+        ref_source: Optional[Callable[[PromptTask], List[SampleRef]]] = None,
         capture_config: Optional[CaptureConfig] = None,
         publish_fn: Optional[Callable[[List[SampleRef]], None]] = None,
         flow_control: Optional[ProducerFlowControl] = None,
         max_consecutive_failures: int = 5,
         lease_limit: int = 1,
     ) -> None:
+        """Exactly one of ``feature_source`` (tensors → this process puts them
+        into ``store``) or ``ref_source`` (a capture server wrote tensors
+        server-side; refs come back ready) must be given."""
+        if (feature_source is None) == (ref_source is None):
+            raise ValueError(
+                "provide exactly one of feature_source / ref_source"
+            )
+        if feature_source is not None and store is None:
+            raise ValueError("feature_source mode requires a store")
         self.worker_id = worker_id
         self.controller = controller
         self.store = store
         self.feature_source = feature_source
+        self.ref_source = ref_source
         self.capture_config = capture_config
         self.publish_fn = publish_fn
         self.flow_control = flow_control
@@ -99,6 +110,18 @@ class RolloutWorker:
         return produced
 
     def _process(self, task: PromptTask) -> int:
+        if self.ref_source is not None:
+            refs = self.ref_source(task)
+            committed = self.controller.commit_samples(refs)
+            if self.publish_fn is not None and committed:
+                self.publish_fn(committed)
+            if self.flow_control is not None and committed:
+                self.flow_control.on_published(
+                    len(committed), sum(r.nbytes for r in committed)
+                )
+            self.controller.complete_prompt(task.prompt_id)
+            return len(committed)
+
         outputs = self.feature_source(task)
         refs: List[SampleRef] = []
         total_bytes = 0

@@ -1,0 +1,227 @@
+"""Online disaggregated E2E: JAX capture server (tiny target) → spec_capture
+server-side writes into the C++ network store → producer adapter/worker →
+channel → distributor → consumer training. The full online topology on one
+machine."""
+
+import os
+import queue
+import shutil
+import socket
+import subprocess
+import time
+
+import numpy as np
+import pytest
+import torch
+
+from specforge_tpu.data.collator import CollatorConfig, PaddingCollator
+from specforge_tpu.inference.capture_server import CaptureEngine, CaptureServer
+from specforge_tpu.inference.rollout_worker import RolloutWorker
+from specforge_tpu.inference.server_capture_adapter import HTTPCaptureAdapter
+from specforge_tpu.runtime.contracts import PromptTask
+from specforge_tpu.runtime.control_plane.controller import DataFlowController
+from specforge_tpu.runtime.data_plane.feature_dataloader import FeatureDataLoader
+from specforge_tpu.runtime.data_plane.network_store import NetworkFeatureStore
+from specforge_tpu.runtime.data_plane.ref_distributor import (
+    InboxChannel,
+    RefDistributor,
+)
+from specforge_tpu.runtime.data_plane.streaming_ref_channel import (
+    StreamingRefChannel,
+)
+
+CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "cpp")
+V, H, MAXLEN = 128, 32, 32
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def store_server():
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ toolchain")
+    subprocess.run(["make", "-C", CPP_DIR], check=True, capture_output=True)
+    port = _free_port()
+    proc = subprocess.Popen(
+        [os.path.join(CPP_DIR, "feature_store_server"), "--port", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    for _ in range(100):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=0.2).close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    yield f"127.0.0.1:{port}"
+    proc.terminate()
+    proc.wait(timeout=5)
+
+
+@pytest.fixture(scope="module")
+def tiny_target(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("target")
+    torch.manual_seed(0)
+    LlamaForCausalLM(LlamaConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )).save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def capture_server(tiny_target):
+    engine = CaptureEngine(
+        tiny_target, capture_layers=(1, 2, 2), layout="eagle",
+        max_length=MAXLEN,
+    )
+    server = CaptureServer(engine).start()
+    yield server
+    server.stop()
+
+
+def _prompts(n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    tasks = []
+    for i in range(n):
+        length = int(rng.integers(10, MAXLEN))
+        tasks.append(PromptTask(
+            prompt_id=f"p{i:03d}",
+            payload={
+                "input_ids": rng.integers(0, V, size=length).tolist(),
+                "loss_mask": (rng.random(length) > 0.3).astype(int).tolist(),
+            },
+        ))
+    return tasks
+
+
+def test_server_health_and_inline_capture(capture_server, tiny_target):
+    from specforge_tpu.runtime.data_plane.feature_store import (
+        InMemoryFeatureStore,
+    )
+
+    adapter = HTTPCaptureAdapter(
+        f"http://127.0.0.1:{capture_server.port}",
+        store=InMemoryFeatureStore(),
+    )
+    assert adapter.healthy()
+    refs = adapter.produce_refs(_prompts(1)[0])
+    assert len(refs) == 1
+    tensors = adapter.store.fetch(refs[0])
+    assert tensors["hidden_state"].shape[1] == 3 * H
+    assert tensors["target"].shape[1] == H
+
+
+def test_online_disaggregated_end_to_end(capture_server, store_server,
+                                         tmp_path):
+    # --- producer side ---
+    store = NetworkFeatureStore(store_server)
+    adapter = HTTPCaptureAdapter(
+        f"http://127.0.0.1:{capture_server.port}",
+        store=store, store_endpoint=store_server,
+    )
+    chan_p = StreamingRefChannel(str(tmp_path / "ctrl"))
+    controller_p = DataFlowController()
+    controller_p.ingest_prompts(_prompts(6))
+    worker = RolloutWorker(
+        "producer-0", controller=controller_p,
+        ref_source=adapter.produce_refs,
+        publish_fn=lambda refs: chan_p.publish_batch(refs),
+    )
+    produced = worker.drain()
+    assert produced == 6
+    chan_p.close()
+    assert store.health()["objects"] == 6 * 4  # 4 features per sample
+
+    # --- consumer side ---
+    chan_c = StreamingRefChannel(str(tmp_path / "ctrl"))
+    controller_c = DataFlowController()
+    dist = RefDistributor(
+        chan_c, controller_c, str(tmp_path / "inbox"),
+        world_size=1, window_samples=2,
+    )
+    dist.pump()
+    inbox = InboxChannel(str(tmp_path / "inbox"), 0)
+    refs, closed, _ = inbox.poll()
+    assert closed and len(refs) == 6
+
+    q = queue.Queue()
+    for r in refs:
+        q.put(r)
+    q.put(None)
+    consumer_store = NetworkFeatureStore(store_server)
+    loader = FeatureDataLoader(
+        consumer_store,
+        PaddingCollator(CollatorConfig(max_length=MAXLEN,
+                                       cast_float_dtype="float32")),
+        ref_queue=q, batch_size=2, num_workers=0,
+        metadata={"target_repr": "hidden_state"},
+    )
+
+    # --- train a couple of steps on the streamed features ---
+    from specforge_tpu.models.target.head import TargetHead
+    from specforge_tpu.training.optimizer import (
+        OptimizerConfig,
+        build_optimizer,
+    )
+    from specforge_tpu.training.train_step import TrainState, make_train_step
+    from specforge_tpu.algorithms.eagle3.model import OnlineEagle3Model
+    from specforge_tpu.models.draft.llama_eagle3 import (
+        Eagle3Config,
+        LlamaEagle3Draft,
+    )
+    from specforge_tpu.training.strategies import Eagle3TrainStrategy
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Eagle3Config(
+        vocab_size=V, draft_vocab_size=48, hidden_size=H,
+        intermediate_size=64, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    model = OnlineEagle3Model(
+        draft_model=LlamaEagle3Draft(cfg, dtype=jnp.float32), length=2
+    )
+    strategy = Eagle3TrainStrategy(model)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, MAXLEN), jnp.int32), jnp.ones((1, MAXLEN), jnp.int32),
+        jnp.ones((1, MAXLEN, 1), jnp.int32),
+        jnp.zeros((1, MAXLEN, 3 * H), jnp.float32),
+        jnp.zeros((1, MAXLEN, V), jnp.float32),
+    )
+    head = TargetHead.from_pretrained(_target_path(capture_server))
+    frozen = {"target_head_weight": head.weight.astype(jnp.float32)}
+    tx = build_optimizer(OptimizerConfig(lr=1e-3), 10)
+    state = TrainState.create(variables["params"], variables["buffers"], tx)
+    step = make_train_step(strategy, tx, accum_steps=1, total_steps=10,
+                           metadata={"target_repr": "hidden_state"})
+    acked = []
+    n_steps = 0
+    for batch in loader:
+        state, metrics = step(
+            state, {k: v[None] for k, v in batch.tensors.items()}, frozen
+        )
+        assert np.isfinite(float(metrics["train/loss"]))
+        # optimizer-durable ack releases the streamed tensors
+        controller_c.ack_train_refs(batch.sample_ids, int(state.step))
+        consumer_store.release_refs(
+            [r for r in refs if r.sample_id in batch.sample_ids]
+        )
+        acked.extend(batch.sample_ids)
+        n_steps += 1
+    assert n_steps == 3
+    assert consumer_store.health()["objects"] == 0  # all released post-ack
+
+
+def _target_path(capture_server):
+    # the engine holds the target path via its runner config
+    return capture_server.engine._runner.config.target_model_path
