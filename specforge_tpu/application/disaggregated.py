@@ -1,0 +1,313 @@
+"""Disaggregated role runtimes: producer and consumer workers.
+
+Wires the online topology from config — the role of the reference
+launch.py:792-1432 + training/disaggregated.py:810 builders:
+
+- **producer** (CPU-only process): prompt plan → DataFlowController →
+  capture-server adapters → RolloutWorkers → StreamingRefChannel, with
+  hysteretic flow control fed by the channel's consumed counter.
+- **consumer** (TPU process): sole channel reader (RefDistributor) → per-rank
+  inbox → streaming loader → Trainer, acking at optimizer boundaries
+  (ledger → store release → channel consumed counter → producer resumes).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from specforge_tpu.config.schema import Config
+from specforge_tpu.data.prompt_builder import load_prompt_records, prepare_prompt_tasks
+from specforge_tpu.inference.rollout_worker import RolloutWorker
+from specforge_tpu.inference.server_capture_adapter import HTTPCaptureAdapter
+from specforge_tpu.runtime.control_plane.controller import DataFlowController
+from specforge_tpu.runtime.control_plane.flow_control import (
+    FlowControlConfig,
+    ProducerFlowControl,
+)
+from specforge_tpu.runtime.control_plane.metadata_store import (
+    InMemoryMetadataStore,
+    SQLiteMetadataStore,
+)
+from specforge_tpu.runtime.data_plane.streaming_ref_channel import (
+    StreamingRefChannel,
+)
+
+logger = logging.getLogger("specforge_tpu.disaggregated")
+
+
+def _control_dir(config: Config) -> str:
+    return config.runtime.control_dir or os.path.join(
+        config.output_dir, config.run_id, "control"
+    )
+
+
+def _build_store(config: Config):
+    backend = config.runtime.store_backend
+    if backend == "network":
+        from specforge_tpu.runtime.data_plane.network_store import (
+            NetworkFeatureStore,
+        )
+
+        return NetworkFeatureStore(config.runtime.store_endpoint)
+    if backend == "shared_dir":
+        from specforge_tpu.runtime.data_plane.feature_store import (
+            SharedDirFeatureStore,
+        )
+
+        return SharedDirFeatureStore(config.runtime.store_dir)
+    from specforge_tpu.runtime.data_plane.feature_store import (
+        InMemoryFeatureStore,
+    )
+
+    return InMemoryFeatureStore()
+
+
+def run_producer(config: Config, *, poll_interval: float = 0.2) -> int:
+    """Drive capture until the prompt plan drains; returns samples produced."""
+    if not config.data.prompt_path:
+        raise ValueError("online producer requires data.prompt_path")
+    records = load_prompt_records(config.data.prompt_path)
+    tasks = prepare_prompt_tasks(
+        records, epoch=0, prompt_seed=config.training.seed
+    )
+    controller = DataFlowController()
+    controller.ingest_prompts(tasks)
+
+    channel = StreamingRefChannel(_control_dir(config))
+    flow = ProducerFlowControl(FlowControlConfig(
+        high_watermark_refs=config.runtime.flow_high_watermark,
+        low_watermark_refs=config.runtime.flow_low_watermark,
+    ))
+    store = _build_store(config)
+    use_store_sink = config.runtime.store_backend == "network"
+
+    workers: List[RolloutWorker] = []
+    for i, url in enumerate(config.deployment.server_urls):
+        adapter = HTTPCaptureAdapter(
+            url,
+            store=store,
+            store_endpoint=(
+                config.runtime.store_endpoint if use_store_sink else None
+            ),
+        )
+        workers.append(RolloutWorker(
+            f"producer-{i}",
+            controller=controller,
+            ref_source=adapter.produce_refs,
+            publish_fn=lambda refs, _c=channel: _c.publish_batch(refs),
+            flow_control=flow,
+        ))
+    if not workers:
+        raise ValueError("online producer requires deployment.server_urls")
+
+    produced = 0
+    try:
+        while True:
+            flow.set_in_flight(channel.in_flight_remote())
+            round_produced = sum(w.step() for w in workers)
+            produced += round_produced
+            status = controller.status()
+            if status["prompts_pending"] == 0:
+                break
+            if all(w.health.dropped for w in workers):
+                raise RuntimeError("all producer workers dropped")
+            if round_produced == 0:
+                time.sleep(poll_interval)
+        channel.close()
+        logger.info("producer done: %d samples, status=%s", produced, status)
+        return produced
+    except Exception as exc:
+        channel.fail(str(exc))
+        raise
+
+
+class InboxFeeder:
+    """Background thread polling a rank inbox into a loader queue."""
+
+    def __init__(self, inbox, poll_interval: float = 0.1):
+        self.inbox = inbox
+        self.queue: "queue.Queue" = queue.Queue()
+        self.poll_interval = poll_interval
+        self.failure: Optional[str] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _run(self):
+        while not self._stop.is_set():
+            refs, closed, failure = self.inbox.poll()
+            for ref in refs:
+                self.queue.put(ref)
+            if failure:
+                self.failure = failure
+                self.queue.put(None)
+                return
+            if closed:
+                self.queue.put(None)
+                return
+            if not refs:
+                time.sleep(self.poll_interval)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
+    """Online consumer: distributor + streaming loader + Trainer."""
+    from specforge_tpu.application.composition import (
+        _load_target_tables,
+        _resolve_vocab_mapping,
+        _set_buffers,
+        _strategy_options,
+        resolve_run,
+    )
+    from specforge_tpu.data.collator import CollatorConfig, PaddingCollator
+    from specforge_tpu.runtime.data_plane.feature_dataloader import (
+        FeatureDataLoader,
+    )
+    from specforge_tpu.runtime.data_plane.ref_distributor import (
+        InboxChannel,
+        RefDistributor,
+    )
+    from specforge_tpu.training.optimizer import OptimizerConfig
+    from specforge_tpu.training.trainer import Trainer, TrainerConfig
+    from specforge_tpu.training.tracking import build_tracker
+    import jax
+
+    t = config.training
+    if t.total_steps is None:
+        raise ValueError("online consumer requires training.total_steps")
+    resolved = resolve_run(config)
+    reg = resolved.registration
+    options = _strategy_options(config)
+
+    draft, draft_config = reg.providers.build_draft(resolved.draft_config_dict)
+    if options.get("mask_token_id") is None:
+        options["mask_token_id"] = getattr(draft_config, "mask_token_id", 0)
+    model = reg.providers.build_training_model(draft, options)
+    strategy = reg.providers.build_strategy(model, options)
+    rng = jax.random.PRNGKey(t.seed)
+    variables = reg.providers.init_variables(
+        model, draft_config, options, rng, config.data.max_length
+    )
+    need_embed = "target_embed_weight" in reg.providers.frozen_requirements
+    frozen = (
+        frozen_override if frozen_override is not None
+        else _load_target_tables(config, need_embed)
+    )
+    mapping = _resolve_vocab_mapping(config, draft_config)
+    if mapping is not None:
+        variables = _set_buffers(variables, *mapping)
+
+    # --- streaming plane ---
+    store = _build_store(config)
+    channel = StreamingRefChannel(_control_dir(config))
+    state_dir = os.path.join(config.output_dir, config.run_id, "consumer_state")
+    ledger = SQLiteMetadataStore(os.path.join(state_dir, "consumer.sqlite"))
+    controller = DataFlowController(ledger)
+    window = t.batch_size * t.accumulation_steps
+    channel.publish_consumer_quantum(window)
+    inbox_dir = os.path.join(state_dir, "inboxes")
+    distributor = RefDistributor(
+        channel, controller, inbox_dir, world_size=1, window_samples=window
+    )
+
+    stop_pump = threading.Event()
+
+    def pump():
+        while not stop_pump.is_set():
+            distributor.pump()
+            distributor.forward_consumed()
+            if distributor.closed and distributor.staged_count >= 0:
+                return
+            time.sleep(0.1)
+
+    pump_thread = threading.Thread(target=pump, daemon=True)
+    pump_thread.start()
+
+    inbox = InboxChannel(inbox_dir, 0)
+    feeder = InboxFeeder(inbox).start()
+    collate = PaddingCollator(CollatorConfig(
+        max_length=config.data.max_length, cast_float_dtype="float32"
+    ))
+    metadata = {"target_repr": "hidden_state"}
+    loader = FeatureDataLoader(
+        store, collate, ref_queue=feeder.queue, batch_size=t.batch_size,
+        num_workers=config.data.num_workers, metadata=metadata,
+    )
+
+    ref_by_id: Dict[str, Any] = {}
+
+    class _RecordingQueue:
+        """Track refs flowing to the loader so acks can release them."""
+        def __init__(self, inner):
+            self.inner = inner
+
+        def get(self, timeout=None):
+            item = self.inner.get(timeout=timeout)
+            if item is not None:
+                ref_by_id[item.sample_id] = item
+            return item
+
+    loader.ref_queue = _RecordingQueue(feeder.queue)
+
+    release_fn = getattr(store, "release_refs", None)
+
+    def ack_fn(sample_ids: List[str], step: int):
+        controller.ack_train_refs(sample_ids, step)
+        refs = [ref_by_id.pop(sid) for sid in sample_ids if sid in ref_by_id]
+        if release_fn is not None:
+            release_fn(refs)
+        else:
+            store.release(sample_ids)
+
+    tracker = build_tracker(
+        config.tracking.backend, output_dir=config.output_dir,
+        run_id=config.run_id,
+    )
+    trainer = Trainer(
+        strategy,
+        variables=variables,
+        train_loader=loader,
+        config=TrainerConfig(
+            num_epochs=1,
+            accum_steps=t.accumulation_steps,
+            log_interval=t.log_interval,
+            checkpoint_interval=t.save_interval,
+            max_checkpoints=t.max_checkpoints,
+            output_dir=config.output_dir,
+            run_id=config.run_id,
+            resume=t.resume,
+            total_steps=t.total_steps,
+        ),
+        optimizer_config=OptimizerConfig(
+            lr=t.learning_rate, weight_decay=t.weight_decay,
+            max_grad_norm=t.max_grad_norm, warmup_ratio=t.warmup_ratio,
+            lr_scheduler=t.lr_scheduler,
+        ),
+        frozen=frozen,
+        tracker=tracker,
+        metadata=metadata,
+        ack_fn=ack_fn,
+    )
+    try:
+        metrics = trainer.fit()
+        if feeder.failure:
+            raise RuntimeError(f"producer failed: {feeder.failure}")
+        return metrics
+    finally:
+        stop_pump.set()
+        feeder.stop()
+        ledger.close()

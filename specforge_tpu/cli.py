@@ -36,6 +36,30 @@ def _train(args) -> int:
         return 0
 
     _install_signal_unwind()
+    role = config.training.role
+    online = config.deployment.mode == "disaggregated"
+
+    if online and role == "auto":
+        from specforge_tpu.launch_plan import build_launch_plan, run_commands
+
+        plan = build_launch_plan(
+            config, args.config, managed_local=args.managed_local
+        )
+        print(plan.render())
+        return run_commands(plan)
+    if online and role == "producer":
+        from specforge_tpu.application.disaggregated import run_producer
+
+        produced = run_producer(config)
+        print(json.dumps({"samples_produced": produced}))
+        return 0
+    if online and role == "consumer":
+        from specforge_tpu.application.disaggregated import run_consumer
+
+        metrics = run_consumer(config)
+        print(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2))
+        return 0
+
     from specforge_tpu.application.composition import build_training_run
 
     trainer = build_training_run(config)
@@ -83,6 +107,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument(
         "--plan", action="store_true",
         help="render the resolved config and exit",
+    )
+    p_train.add_argument(
+        "--managed-local", action="store_true",
+        help="supervise the full local stack (feature store + capture "
+             "servers + producer + consumer)",
     )
     p_train.set_defaults(func=_train)
 

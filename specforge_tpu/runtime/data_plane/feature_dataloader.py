@@ -58,6 +58,10 @@ class FeatureDataLoader:
         self._start_index = 0  # in samples (seek/resume support)
 
     # --- resume ---------------------------------------------------------
+    @property
+    def supports_seek(self) -> bool:
+        return self.refs is not None
+
     def seek(self, samples_consumed: int) -> None:
         """Position the next epoch pass after ``samples_consumed`` samples —
         batch-size-independent mid-epoch resume (controller contract)."""

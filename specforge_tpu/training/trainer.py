@@ -175,7 +175,7 @@ class Trainer:
         try:
             for epoch in range(start_epoch, cfg.num_epochs):
                 self.progress.epoch = epoch
-                if hasattr(self.train_loader, "seek"):
+                if getattr(self.train_loader, "supports_seek", False):
                     offset = (
                         self.progress.samples_consumed
                         if epoch == start_epoch
