@@ -1,0 +1,180 @@
+"""Accept-length benchmark: trained draft × target over a prompt set.
+
+The TPU-native counterpart of the reference serving benchmark
+(``specforge benchmark`` + benchmarks/bench_eagle3.py accept-length grid): runs
+greedy speculative decoding with the in-repo decoder and reports per-prompt
+and aggregate accept lengths — no external serving stack required.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("specforge_tpu.benchmarks")
+
+
+@dataclass
+class AcceptLengthReport:
+    per_prompt: List[float]
+    accept_lengths: List[int]
+    num_draft_tokens: int
+
+    @property
+    def mean_accept_length(self) -> float:
+        return float(np.mean(self.accept_lengths)) if self.accept_lengths else 0.0
+
+    def to_json(self) -> Dict[str, Any]:
+        hist = np.bincount(
+            np.asarray(self.accept_lengths, np.int64),
+            minlength=self.num_draft_tokens + 2,
+        )
+        return {
+            "mean_accept_length": round(self.mean_accept_length, 4),
+            "per_prompt_mean": [round(x, 4) for x in self.per_prompt],
+            "accept_length_histogram": hist.tolist(),
+            "num_draft_tokens": self.num_draft_tokens,
+            "rounds": len(self.accept_lengths),
+        }
+
+
+def measure_accept_length(
+    *,
+    target_model_path: str,
+    draft_export_dir: str,
+    prompts: Sequence[Sequence[int]],
+    capture_layers: Optional[Sequence[int]] = None,
+    num_draft_tokens: int = 4,
+    max_new_tokens: int = 128,
+    max_len: int = 2048,
+) -> AcceptLengthReport:
+    """Load the target + an exported draft and measure accept lengths."""
+    import jax.numpy as jnp
+
+    from specforge_tpu.inference.spec_decode import Eagle3SpecDecoder
+    from specforge_tpu.models.draft.llama_eagle3 import (
+        Eagle3Config,
+        LlamaEagle3Draft,
+    )
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        load_target_params,
+    )
+
+    target_config = TargetConfig.from_file(target_model_path)
+    target_params = load_target_params(target_model_path, target_config)
+
+    # SGLang-layout exports drop the frozen target-copied embedding; restore
+    # it from the target (the export contract's embedding_source rule).
+    module, variables = load_exported_draft(
+        draft_export_dir,
+        fallback_embedding=np.asarray(
+            target_params["model.embed_tokens.weight"], np.float32
+        ),
+    )
+    if capture_layers is None:
+        n = target_config.num_hidden_layers
+        capture_layers = (1, n // 2 - 1, n - 4)
+
+    decoder = Eagle3SpecDecoder(
+        target_params, target_config, module, variables,
+        capture_layers=tuple(capture_layers),
+        num_draft_tokens=num_draft_tokens, max_len=max_len,
+    )
+    per_prompt: List[float] = []
+    all_lengths: List[int] = []
+    for i, prompt in enumerate(prompts):
+        result = decoder.generate(list(prompt), max_new_tokens=max_new_tokens)
+        per_prompt.append(result.mean_accept_length)
+        all_lengths.extend(result.accept_lengths)
+        logger.info(
+            "prompt %d/%d: accept_length=%.3f over %d rounds",
+            i + 1, len(prompts), result.mean_accept_length, result.steps,
+        )
+    return AcceptLengthReport(
+        per_prompt=per_prompt, accept_lengths=all_lengths,
+        num_draft_tokens=num_draft_tokens,
+    )
+
+
+def load_exported_draft(export_dir: str, fallback_embedding=None):
+    """Load an exported (HF/SGLang-layout) EAGLE3 draft into flax variables.
+
+    ``fallback_embedding``: [V, H] used when the export omits the frozen
+    embedding (the SGLang layout)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+
+    from specforge_tpu.models.draft.llama_eagle3 import (
+        Eagle3Config,
+        LlamaEagle3Draft,
+    )
+
+    with open(os.path.join(export_dir, "config.json")) as f:
+        config = Eagle3Config.from_dict(json.load(f))
+    tensors = load_file(os.path.join(export_dir, "model.safetensors"))
+
+    module = LlamaEagle3Draft(config, dtype=jnp.bfloat16)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8, 3 * config.resolved_target_hidden_size),
+                  jnp.float32),
+    )
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def set_path(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node[key]
+        expected = node[path[-1]]
+        value = np.asarray(value, np.float32)
+        if value.shape != expected.shape:
+            raise ValueError(
+                f"shape mismatch loading {'.'.join(path)}: export "
+                f"{value.shape} vs model {expected.shape}"
+            )
+        node[path[-1]] = value.astype(expected.dtype)
+
+    _LINEAR = (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+        "down_proj", "fc", "lm_head",
+    )
+    for name, value in tensors.items():
+        if name in ("t2d", "d2t"):
+            continue
+        parts = name.split(".")
+        if parts[-1] == "weight":
+            parent = parts[:-1]
+            if parent[-1] in _LINEAR:
+                # torch convention is [out, in]; flax kernels are [in, out] —
+                # transpose unconditionally (a square-shape heuristic would
+                # silently load square matrices sideways)
+                set_path(params, parent + ["kernel"], np.asarray(value).T)
+            elif parent[-1] == "embed_tokens":
+                set_path(params, parent + ["embedding"], value)
+            else:  # norms
+                set_path(params, parent + ["weight"], value)
+
+    if "embed_tokens.weight" not in tensors:
+        if fallback_embedding is None:
+            raise ValueError(
+                "export has no embedding and no fallback_embedding was given"
+            )
+        set_path(params, ["embed_tokens", "embedding"], fallback_embedding)
+
+    buffers = dict(variables.get("buffers", {}))
+    if "t2d" in tensors:
+        buffers = {
+            "t2d": jnp.asarray(tensors["t2d"].astype(bool)),
+            "d2t": jnp.asarray(tensors["d2t"].astype(np.int32)),
+        }
+    return module, {"params": params, "buffers": buffers}

@@ -1,0 +1,455 @@
+"""Speculative decoding with a trained EAGLE3 draft — the serving-side loop.
+
+TPU-native equivalent of the reference's serving benchmark path (SGLang +
+bench_eagle3.py accept-length measurement): a greedy chain speculative decoder
+with KV-cached target and draft forwards, used to measure *real* accept
+lengths for a trained draft without an external serving stack.
+
+Correctness invariant (tested): greedy speculative decoding emits exactly the
+target model's greedy sequence, for any draft — the draft only changes the
+accept length, never the output.
+
+Static-shape design: caches are fixed [L, B, KVH, max_len, D] buffers with a
+``cache_len`` scalar; every jitted function has fixed block shapes, so the
+data-dependent accept loop runs in Python over compiled steps (batch 1, the
+reference constraint for its accept-length harness).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from specforge_tpu.models.target.transformer import (
+    TargetConfig,
+    _act,
+    _rms,
+)
+from specforge_tpu.ops.rope import RopeSpec, apply_rope, rope_cos_sin
+
+
+# --------------------------------------------------------------------------
+# cached target forward
+# --------------------------------------------------------------------------
+
+@dataclass
+class TargetState:
+    cache_k: jnp.ndarray   # [L, B, KVH, M, D]
+    cache_v: jnp.ndarray
+    length: int            # python int: tokens already in cache
+
+
+def init_target_state(config: TargetConfig, batch: int, max_len: int,
+                      dtype=jnp.bfloat16) -> TargetState:
+    shape = (
+        config.num_hidden_layers, batch, config.num_key_value_heads, max_len,
+        config.resolved_head_dim,
+    )
+    return TargetState(
+        cache_k=jnp.zeros(shape, dtype), cache_v=jnp.zeros(shape, dtype),
+        length=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "capture_layers"),
+)
+def target_cached_forward(
+    params: Dict[str, jnp.ndarray],
+    config: TargetConfig,
+    input_ids: jnp.ndarray,     # [B, T] block
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    cache_len: jnp.ndarray,     # scalar int32
+    capture_layers: Tuple[int, ...],
+):
+    """Decode/prefill one block against the cache.
+
+    Returns (logits [B, T, V], aux [B, T, L*H], new_cache_k, new_cache_v).
+    """
+    cfg = config
+    b, t = input_ids.shape
+    d = cfg.resolved_head_dim
+    h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
+    g = h // kvh
+    m = cache_k.shape[3]
+    rope_spec = RopeSpec.from_config(cfg)
+    capture_set = set(int(c) for c in capture_layers)
+
+    positions = cache_len + jnp.arange(t, dtype=jnp.int32)[None]
+    positions = jnp.broadcast_to(positions, (b, t))
+    cos, sin = rope_cos_sin(rope_spec, positions, m, dtype=jnp.bfloat16)
+
+    x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
+    # attention mask over the M cache slots: col < cache_len + row + 1
+    col = jnp.arange(m, dtype=jnp.int32)[None, :]
+    row_pos = (cache_len + jnp.arange(t, dtype=jnp.int32))[:, None]
+    allow = col <= row_pos  # [T, M]
+
+    captured = {}
+    for i in range(cfg.num_hidden_layers):
+        prefix = f"model.layers.{i}"
+        residual = x
+        y = _rms(x, params[f"{prefix}.input_layernorm.weight"],
+                 cfg.rms_norm_eps)
+
+        def proj(name, val):
+            w = params[f"{prefix}.self_attn.{name}.weight"]
+            out = val @ w.T
+            bk = f"{prefix}.self_attn.{name}.bias"
+            if bk in params:
+                out = out + params[bk]
+            return out
+
+        q = proj("q_proj", y).reshape(b, t, h, d)
+        k = proj("k_proj", y).reshape(b, t, kvh, d)
+        v = proj("v_proj", y).reshape(b, t, kvh, d)
+        if cfg.qk_norm:
+            q = _rms(q, params[f"{prefix}.self_attn.q_norm.weight"],
+                     cfg.rms_norm_eps)
+            k = _rms(k, params[f"{prefix}.self_attn.k_norm.weight"],
+                     cfg.rms_norm_eps)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rope(q, k, cos, sin)
+
+        new_ck = jax.lax.dynamic_update_slice(
+            cache_k[i], k.astype(cache_k.dtype), (0, 0, cache_len, 0)
+        )
+        new_cv = jax.lax.dynamic_update_slice(
+            cache_v[i], v.astype(cache_v.dtype), (0, 0, cache_len, 0)
+        )
+        cache_k = cache_k.at[i].set(new_ck)
+        cache_v = cache_v.at[i].set(new_cv)
+
+        qg = q.reshape(b, kvh, g, t, d)
+        w = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, new_ck.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) / (d ** 0.5)
+        w = jnp.where(allow[None, None, None], w, -1e30)
+        p = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bkgst,bktd->bkgsd", p, new_cv.astype(x.dtype))
+        attn = attn.reshape(b, h, t, d).transpose(0, 2, 1, 3).reshape(
+            b, t, h * d
+        )
+        x = residual + attn @ params[f"{prefix}.self_attn.o_proj.weight"].T
+
+        residual = x
+        y = _rms(x, params[f"{prefix}.post_attention_layernorm.weight"],
+                 cfg.rms_norm_eps)
+        gate = y @ params[f"{prefix}.mlp.gate_proj.weight"].T
+        up = y @ params[f"{prefix}.mlp.up_proj.weight"].T
+        x = residual + (
+            (_act(cfg.hidden_act)(gate) * up)
+            @ params[f"{prefix}.mlp.down_proj.weight"].T
+        )
+        if i in capture_set:
+            captured[i] = x
+
+    last = _rms(x, params["model.norm.weight"], cfg.rms_norm_eps)
+    logits = last @ params["lm_head.weight"].T
+    aux = jnp.concatenate([captured[i] for i in capture_layers], axis=-1)
+    return logits, aux, cache_k, cache_v
+
+
+# --------------------------------------------------------------------------
+# cached EAGLE3 draft forward
+# --------------------------------------------------------------------------
+
+@dataclass
+class DraftState:
+    cache_k: jnp.ndarray   # [B, KVH, M, D]
+    cache_v: jnp.ndarray
+    length: int
+
+
+def init_draft_state(draft_config, batch: int, max_len: int,
+                     dtype=jnp.bfloat16) -> DraftState:
+    shape = (
+        batch, draft_config.num_key_value_heads, max_len,
+        draft_config.resolved_head_dim,
+    )
+    return DraftState(
+        cache_k=jnp.zeros(shape, dtype), cache_v=jnp.zeros(shape, dtype),
+        length=0,
+    )
+
+
+def _draft_step(variables, draft_module, input_ids, hidden, cache_k, cache_v,
+                cache_len):
+    """One cached decoder step: [B, T] tokens + [B, T, h] hidden features →
+    (next hidden [B, T, h], logits [B, T, Vd], caches).
+
+    Serving-mode attention is plain causal over the accumulated cache (TTT
+    branches are a training-time construct — reference serving drafts decode
+    with a standard KV cache).
+    """
+    def run(module):
+        cfg = module.config
+        b, t = input_ids.shape
+        d = cfg.resolved_head_dim
+        h_heads, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
+        g = h_heads // kvh
+        m = cache_k.shape[2]
+
+        embeds = module.embed_input_ids(input_ids).astype(hidden.dtype)
+        layer = module.midlayer
+        residual = hidden
+        normed_hidden = layer.hidden_norm(hidden)
+        normed_emb = layer.input_layernorm(embeds)
+        x2 = jnp.concatenate([normed_emb, normed_hidden], axis=-1)
+
+        attn = layer.self_attn
+        q = attn.q_proj(x2).reshape(b, t, h_heads, d).transpose(0, 2, 1, 3)
+        k = attn.k_proj(x2).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
+        v = attn.v_proj(x2).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
+        positions = cache_len + jnp.arange(t, dtype=jnp.int32)[None]
+        positions = jnp.broadcast_to(positions, (b, t))
+        cos, sin = rope_cos_sin(attn.rope_spec, positions, m, dtype=q.dtype)
+        q, k = apply_rope(q, k, cos, sin)
+
+        ck = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0)
+        )
+        col = jnp.arange(m, dtype=jnp.int32)[None, :]
+        row_pos = (cache_len + jnp.arange(t, dtype=jnp.int32))[:, None]
+        allow = col <= row_pos
+
+        qg = q.reshape(b, kvh, g, t, d)
+        w = jnp.einsum(
+            "bkgsd,bktd->bkgst", qg, ck.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) / (d ** 0.5)
+        w = jnp.where(allow[None, None, None], w, -1e30)
+        p = jax.nn.softmax(w, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bkgst,bktd->bkgsd", p, cv.astype(q.dtype))
+        out = out.reshape(b, h_heads, t, d).transpose(0, 2, 1, 3).reshape(
+            b, t, h_heads * d
+        )
+        x = residual + attn.o_proj(out)
+        residual = x
+        x = residual + layer.mlp(layer.post_attention_layernorm(x))
+
+        logits = module.compute_logits(x)
+        return x, logits, ck, cv
+
+    return draft_module.apply(variables, method=run)
+
+
+# --------------------------------------------------------------------------
+# the speculative decoding loop
+# --------------------------------------------------------------------------
+
+@dataclass
+class SpecDecodeResult:
+    output_ids: np.ndarray          # [total_len] prompt + generated
+    accept_lengths: List[int]       # accepted per round (incl. bonus token)
+    steps: int
+
+    @property
+    def mean_accept_length(self) -> float:
+        if not self.accept_lengths:
+            return 0.0
+        return float(np.mean(self.accept_lengths))
+
+
+class Eagle3SpecDecoder:
+    """Greedy chain speculative decoding (batch 1)."""
+
+    def __init__(
+        self,
+        target_params,
+        target_config: TargetConfig,
+        draft_module,                # LlamaEagle3Draft (flax def)
+        draft_variables,             # {'params', 'buffers'}
+        capture_layers: Sequence[int],
+        *,
+        num_draft_tokens: int = 4,
+        max_len: int = 512,
+    ) -> None:
+        self.target_params = target_params
+        self.target_config = target_config
+        self.draft = draft_module
+        self.draft_variables = draft_variables
+        self.capture_layers = tuple(capture_layers)
+        self.k = num_draft_tokens
+        self.max_len = max_len
+        self._d2t = self._resolve_d2t(draft_variables)
+        self._project = jax.jit(
+            lambda variables, aux: draft_module.apply(
+                variables, aux, method=draft_module.project_hidden_states
+            )
+        )
+        self._draft_step = jax.jit(
+            lambda variables, ids, hidden, ck, cv, clen: _draft_step(
+                variables, draft_module, ids, hidden, ck, cv, clen
+            )
+        )
+
+    @staticmethod
+    def _resolve_d2t(draft_variables) -> np.ndarray:
+        buffers = draft_variables.get("buffers", {})
+        if "d2t" in buffers:
+            return np.asarray(buffers["d2t"])
+        for sub in buffers.values():
+            if isinstance(sub, dict) and "d2t" in sub:
+                return np.asarray(sub["d2t"])
+        raise KeyError("draft variables carry no d2t buffer")
+
+    def _target_forward(self, ids: np.ndarray, state: TargetState):
+        logits, aux, ck, cv = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(ids, jnp.int32),
+            state.cache_k, state.cache_v,
+            jnp.asarray(state.length, jnp.int32),
+            self.capture_layers,
+        )
+        new_state = TargetState(
+            cache_k=ck, cache_v=cv, length=state.length + ids.shape[1]
+        )
+        return np.asarray(logits), aux, new_state
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> SpecDecodeResult:
+        stop = set(stop_token_ids or ())
+        prompt = np.asarray(prompt_ids, np.int64)[None]  # [1, P]
+        p_len = prompt.shape[1]
+        budget = self.max_len
+
+        t_state = init_target_state(self.target_config, 1, budget)
+        d_state = init_draft_state(self.draft.config, 1, budget)
+
+        # --- prefill ---
+        logits, aux, t_state = self._target_forward(prompt, t_state)
+        cur_token = int(logits[0, -1].argmax())
+        output = list(prompt_ids) + [cur_token]
+        # Draft consumes teacher-shifted pairs (token_{i+1}, feature_i): extend
+        # it over the prompt; its final logits already predict the first
+        # proposal of the next round (the EAGLE chain bootstrap).
+        draft_hidden = self._project(self.draft_variables, aux)
+        shifted_ids = np.concatenate([prompt[0, 1:], [cur_token]])[None]
+        next_hidden, dlogits, ck, cv = self._draft_step(
+            self.draft_variables, jnp.asarray(shifted_ids, jnp.int32),
+            draft_hidden, d_state.cache_k, d_state.cache_v,
+            jnp.asarray(0, jnp.int32),
+        )
+        d_state = DraftState(cache_k=ck, cache_v=cv, length=p_len)
+        last_hidden = next_hidden[:, -1:]
+        last_dlogits = np.asarray(dlogits[:, -1])
+
+        accept_lengths: List[int] = []
+        steps = 0
+        while (
+            len(output) - p_len < max_new_tokens
+            and t_state.length + self.k + 1 < budget
+        ):
+            steps += 1
+            # --- draft chain proposal ---
+            d1 = int(last_dlogits[0].argmax())
+            proposals = [d1 + int(self._d2t[d1])]
+            hidden = last_hidden
+            ck, cv, clen = d_state.cache_k, d_state.cache_v, d_state.length
+            for _ in range(self.k - 1):
+                # chain step: (previous proposal, draft's own hidden) — the
+                # same pairing as later TTT steps in training
+                hidden, dlogits, ck, cv = self._draft_step(
+                    self.draft_variables,
+                    jnp.asarray([[proposals[-1]]], jnp.int32), hidden,
+                    ck, cv, jnp.asarray(clen, jnp.int32),
+                )
+                clen += 1
+                dt = int(np.asarray(dlogits[0, -1]).argmax())
+                proposals.append(dt + int(self._d2t[dt]))
+
+            # --- target verification over [cur, d1..dk] ---
+            block = np.asarray([[cur_token, *proposals]], np.int64)
+            logits, aux, t_state = self._target_forward(block, t_state)
+            posterior = logits[0].argmax(axis=-1)  # [k+1]
+            accepted = 0
+            for j in range(self.k):
+                if proposals[j] == int(posterior[j]):
+                    accepted += 1
+                else:
+                    break
+            emitted = [*proposals[:accepted], int(posterior[accepted])]
+            output.extend(emitted)
+            accept_lengths.append(accepted + 1)
+
+            # --- roll caches back to the accepted prefix ---
+            # target: the block wrote k+1 entries; keep accepted+1 of them
+            t_state = TargetState(
+                cache_k=t_state.cache_k, cache_v=t_state.cache_v,
+                length=t_state.length - (self.k + 1) + accepted + 1,
+            )
+            # draft: re-extend over the accepted block with target features
+            # (chain entries beyond d_state.length are simply overwritten)
+            accepted_aux = aux[:, : accepted + 1]
+            draft_hidden = self._project(self.draft_variables, accepted_aux)
+            next_hidden, dlogits, ck, cv = self._draft_step(
+                self.draft_variables,
+                jnp.asarray([emitted], jnp.int32), draft_hidden,
+                d_state.cache_k, d_state.cache_v,
+                jnp.asarray(d_state.length, jnp.int32),
+            )
+            d_state = DraftState(
+                cache_k=ck, cache_v=cv,
+                length=d_state.length + accepted + 1,
+            )
+            last_hidden = next_hidden[:, -1:]
+            last_dlogits = np.asarray(dlogits[:, -1])
+            cur_token = int(posterior[accepted])
+
+            if stop & set(emitted):
+                break
+        return SpecDecodeResult(
+            output_ids=np.asarray(output),
+            accept_lengths=accept_lengths,
+            steps=steps,
+        )
+
+
+def greedy_target_decode(
+    target_params, target_config: TargetConfig, prompt_ids, max_new_tokens,
+    capture_layers=(0,), max_len: int = 512,
+    stop_token_ids: Optional[Sequence[int]] = None,
+) -> np.ndarray:
+    """Plain greedy decode — the correctness oracle for spec decoding."""
+    stop = set(stop_token_ids or ())
+    state = init_target_state(target_config, 1, max_len)
+    ids = np.asarray(prompt_ids, np.int64)[None]
+    logits, _aux, ck, cv = target_cached_forward(
+        target_params, target_config, jnp.asarray(ids, jnp.int32),
+        state.cache_k, state.cache_v, jnp.asarray(0, jnp.int32),
+        tuple(capture_layers),
+    )
+    state = TargetState(cache_k=ck, cache_v=cv, length=ids.shape[1])
+    out = list(prompt_ids)
+    tok = int(np.asarray(logits)[0, -1].argmax())
+    out.append(tok)
+    for _ in range(max_new_tokens - 1):
+        if tok in stop:
+            break
+        logits, _aux, ck, cv = target_cached_forward(
+            target_params, target_config, jnp.asarray([[tok]], jnp.int32),
+            state.cache_k, state.cache_v, jnp.asarray(state.length, jnp.int32),
+            tuple(capture_layers),
+        )
+        state = TargetState(cache_k=ck, cache_v=cv, length=state.length + 1)
+        tok = int(np.asarray(logits)[0, -1].argmax())
+        out.append(tok)
+    return np.asarray(out)

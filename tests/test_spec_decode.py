@@ -1,0 +1,250 @@
+"""Speculative decoding: the greedy-equivalence invariant (spec output ==
+plain greedy target output, for any draft) and accept-length accounting."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from specforge_tpu.inference.spec_decode import (
+    Eagle3SpecDecoder,
+    greedy_target_decode,
+)
+from specforge_tpu.models.draft.llama_eagle3 import Eagle3Config, LlamaEagle3Draft
+from specforge_tpu.models.target.transformer import (
+    TargetConfig,
+    load_target_params,
+)
+
+V, H = 128, 32
+
+
+@pytest.fixture(scope="module")
+def target(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("target")
+    torch.manual_seed(0)
+    LlamaForCausalLM(LlamaConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+    )).save_pretrained(path, safe_serialization=True)
+    config = TargetConfig.from_file(str(path))
+    params = load_target_params(str(path), config, dtype=jnp.float32)
+    return params, config
+
+
+@pytest.fixture(scope="module")
+def draft():
+    cfg = Eagle3Config(
+        vocab_size=V, draft_vocab_size=V, hidden_size=H,
+        intermediate_size=64, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, target_hidden_size=H,
+    )
+    module = LlamaEagle3Draft(cfg, dtype=jnp.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8, 3 * H), jnp.float32),
+    )
+    return module, variables
+
+
+def test_cached_target_matches_uncached(target):
+    from specforge_tpu.inference.spec_decode import (
+        init_target_state,
+        target_cached_forward,
+    )
+    from specforge_tpu.models.target.transformer import target_capture_forward
+
+    params, config = target
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, V, size=(1, 20))
+    aux_full, _last = target_capture_forward(
+        params, config, jnp.asarray(ids), None, (1, 3)
+    )
+    # same sequence through the cache in two blocks
+    state = init_target_state(config, 1, 64, dtype=jnp.float32)
+    logits1, aux1, ck, cv = target_cached_forward(
+        params, config, jnp.asarray(ids[:, :12], jnp.int32),
+        state.cache_k, state.cache_v, jnp.asarray(0, jnp.int32), (1, 3),
+    )
+    logits2, aux2, ck, cv = target_cached_forward(
+        params, config, jnp.asarray(ids[:, 12:], jnp.int32),
+        ck, cv, jnp.asarray(12, jnp.int32), (1, 3),
+    )
+    aux_cached = np.concatenate([np.asarray(aux1), np.asarray(aux2)], axis=1)
+    np.testing.assert_allclose(
+        aux_cached, np.asarray(aux_full), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_spec_decode_matches_greedy(target, draft, k):
+    params, config = target
+    module, variables = draft
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, V, size=12).tolist()
+
+    oracle = greedy_target_decode(
+        params, config, prompt, max_new_tokens=24,
+        capture_layers=(1, 2, 3), max_len=256,
+    )
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=k, max_len=256,
+    )
+    result = decoder.generate(prompt, max_new_tokens=24)
+    n = min(len(oracle), len(result.output_ids))
+    np.testing.assert_array_equal(result.output_ids[:n], oracle[:n])
+    assert result.steps > 0
+    assert all(1 <= a <= k + 1 for a in result.accept_lengths)
+    assert 1.0 <= result.mean_accept_length <= k + 1
+
+
+def test_untrained_draft_low_acceptance(target, draft):
+    """A random draft should rarely be accepted; acceptance near 1."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=4, max_len=256,
+    )
+    result = decoder.generate(list(range(10)), max_new_tokens=20)
+    assert result.mean_accept_length < 3.0
+
+
+def test_trained_draft_beats_untrained_accept_length(target, tmp_path):
+    """The full loop: capture features from the target → train an EAGLE3 draft
+    → export → speculative decoding. Training must raise accept length well
+    above the untrained baseline."""
+    import json
+    import os
+
+    from specforge_tpu.application.composition import build_training_run
+    from specforge_tpu.benchmarks.accept_length import measure_accept_length
+    from specforge_tpu.config.schema import Config
+    from specforge_tpu.export.exporter import export_to_hf
+    from specforge_tpu.offline_capture.capture import (
+        OfflineCaptureConfig,
+        OfflineCaptureRunner,
+    )
+
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from specforge_tpu.inference.spec_decode import greedy_target_decode
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        load_target_params,
+    )
+
+    # a *sharpened* tiny target: a purely random lm_head gives a near-uniform
+    # distribution whose argmax is unlearnable noise; scaling it produces the
+    # peaked next-token structure real targets have
+    target_dir = str(tmp_path / "target")
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(LlamaConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+    ))
+    with torch.no_grad():
+        model.lm_head.weight *= 6.0
+    model.save_pretrained(target_dir, safe_serialization=True)
+    t_config = TargetConfig.from_file(target_dir)
+    t_params32 = load_target_params(target_dir, t_config, dtype=jnp.float32)
+
+    # --- training data: sequences the target itself generates (greedy), so
+    #     decode-time prompts are on-distribution ---
+    rng = np.random.default_rng(0)
+    seq_len = 48
+    sequences = [
+        greedy_target_decode(
+            t_params32, t_config, rng.integers(0, V, size=4).tolist(),
+            seq_len - 4, capture_layers=(1,), max_len=64,
+        )[:seq_len]
+        for _ in range(24)
+    ]
+    samples = [
+        {"input_ids": np.asarray(seq),
+         "loss_mask": np.ones(seq_len, np.int64)}
+        for seq in sequences
+    ]
+    features_dir = str(tmp_path / "features")
+    capture = (3, 4, 5)
+    OfflineCaptureRunner(OfflineCaptureConfig(
+        target_model_path=target_dir, output_dir=features_dir,
+        capture_layers=capture, max_length=seq_len, batch_size=8,
+    )).run(samples)
+
+    draft_config = {
+        "architectures": ["LlamaEagle3Draft"],
+        "vocab_size": V, "draft_vocab_size": V, "hidden_size": H,
+        "intermediate_size": 128, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "max_position_embeddings": 512,
+    }
+    run_config = Config.model_validate({
+        "run_id": "specloop",
+        "output_dir": str(tmp_path / "runs"),
+        "model": {"target_model_path": target_dir,
+                  "draft_config": draft_config},
+        "data": {"train_data_path": features_dir, "max_length": seq_len,
+                 "num_workers": 0},
+        "training": {"strategy": "eagle3", "batch_size": 8,
+                     "num_epochs": 80, "learning_rate": 3e-3,
+                     "warmup_ratio": 0.05, "ttt_length": 3,
+                     "log_interval": 40, "max_checkpoints": 1},
+        "tracking": {"backend": "none"},
+    })
+    trainer = build_training_run(run_config)
+    trainer.fit()
+
+    export_dir = str(tmp_path / "export")
+    draft_cfg_path = str(tmp_path / "draft.json")
+    with open(draft_cfg_path, "w") as f:
+        json.dump(draft_config, f)
+    export_to_hf(
+        str(tmp_path / "runs"), export_dir,
+        draft_config_path=draft_cfg_path, embedding_source=target_dir,
+    )
+
+    prompts = [list(map(int, seq[:8])) for seq in sequences[:3]]
+    trained = measure_accept_length(
+        target_model_path=target_dir, draft_export_dir=export_dir,
+        prompts=prompts, capture_layers=capture, num_draft_tokens=3,
+        max_new_tokens=32, max_len=256,
+    )
+
+    # untrained baseline: random draft of the same shape
+    from specforge_tpu.inference.spec_decode import Eagle3SpecDecoder
+    from specforge_tpu.models.draft.llama_eagle3 import (
+        Eagle3Config,
+        LlamaEagle3Draft,
+    )
+
+    t_params = load_target_params(target_dir, t_config)
+    module = LlamaEagle3Draft(
+        Eagle3Config.from_dict(draft_config), dtype=jnp.float32
+    )
+    variables = module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8, 3 * H), jnp.float32),
+    )
+    untrained_decoder = Eagle3SpecDecoder(
+        t_params, t_config, module, variables, capture_layers=capture,
+        num_draft_tokens=3, max_len=256,
+    )
+    untrained_lengths = []
+    for p in prompts:
+        untrained_lengths.extend(
+            untrained_decoder.generate(p, max_new_tokens=32).accept_lengths
+        )
+    untrained_mean = float(np.mean(untrained_lengths))
+
+    print(f"trained={trained.mean_accept_length:.3f} "
+          f"untrained={untrained_mean:.3f}")
+    assert trained.mean_accept_length > untrained_mean + 0.15
+    assert trained.mean_accept_length > 1.2
