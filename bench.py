@@ -110,8 +110,14 @@ def main():
         rope_theta=1e6,
     )
 
-    draft = LlamaEagle3Draft(cfg, dtype=jnp.bfloat16)
-    model = OnlineEagle3Model(draft_model=draft, length=length)
+    attn_backend = os.environ.get("BENCH_ATTN", "pallas")
+    draft = LlamaEagle3Draft(
+        cfg, dtype=jnp.bfloat16, attention_backend=attn_backend
+    )
+    model = OnlineEagle3Model(
+        draft_model=draft, length=length,
+        teacher_dtype=jnp.bfloat16,
+    )
     strategy = Eagle3TrainStrategy(model, compact_teacher=True)
 
     rng = jax.random.PRNGKey(0)

@@ -63,6 +63,9 @@ class OnlineEagle3Model(nn.Module):
     lk_loss_type: Optional[str] = None
     kl_scale: float = 1.0
     kl_decay: float = 1.0
+    #: dtype for the stored teacher distribution (None = fp32 parity; bf16
+    #: halves the live teacher + loss-residual HBM at large draft vocabs)
+    teacher_dtype: Optional[Any] = None
     # mesh axis names to psum loss-metric numerators/denominators over
     # (the sequence-parallel group in USP runs); empty = local.
     metric_reduce_axes: Tuple[str, ...] = ()
@@ -112,12 +115,14 @@ class OnlineEagle3Model(nn.Module):
             target_token_ids_padded,
             position_mask,
         ) = jax.tree_util.tree_map(jax.lax.stop_gradient, teacher)
+        if self.teacher_dtype is not None:
+            target_p_padded = target_p_padded.astype(self.teacher_dtype)
 
         batch_size, seq_len = input_ids.shape
         hidden = draft.project_hidden_states(hidden_states)
-        if draft.attention_backend == "usp":
-            # USP never materializes the [S, S] bias; padding rides the
-            # [B, S] key-validity mask through the ring merge.
+        if draft.attention_backend in ("usp", "pallas"):
+            # these backends never materialize the [S, S] bias; padding rides
+            # the [B, S] key-validity mask
             bias, key_valid = None, attention_mask
         else:
             bias = make_causal_bias(attention_mask, batch_size, seq_len)
@@ -143,8 +148,6 @@ class OnlineEagle3Model(nn.Module):
             step_ratio = jax.lax.dynamic_slice_in_dim(
                 accept_ratio_padded, idx, seq_len, axis=1
             )
-            # transient per-step reconstruction of the un-renormalized teacher
-            step_p_on_draft = step_target_p * step_ratio
             step_token_ids = jax.lax.dynamic_slice_in_dim(
                 target_token_ids_padded, idx, seq_len, axis=1
             )
@@ -170,11 +173,14 @@ class OnlineEagle3Model(nn.Module):
 
             # --- loss ---
             kl_loss = log_softmax_loss(logits, step_target_p, cur_position_mask)
+            # the un-renormalized teacher is target_p * ratio, multiplied
+            # chunk-wise inside the acceptance op (never materialized)
             acceptance_rate, log_acceptance_rate = compute_acceptance_rate(
                 logits,
-                step_p_on_draft,
+                step_target_p,
                 cur_position_mask,
                 reduce_axes=self.metric_reduce_axes or None,
+                ratio=step_ratio,
             )
             if self.lk_loss_type is None:
                 loss = kl_loss

@@ -201,6 +201,8 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
     options = _strategy_options(config)
 
     draft, draft_config = providers.build_draft(resolved.draft_config_dict)
+    if t.strategy == "eagle3" and t.attention_backend != "dense":
+        draft = draft.clone(attention_backend=t.attention_backend)
     if options.get("mask_token_id") is None:
         options["mask_token_id"] = getattr(draft_config, "mask_token_id", 0)
     model = providers.build_training_model(draft, options)

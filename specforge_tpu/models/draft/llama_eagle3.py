@@ -136,7 +136,13 @@ class Eagle3Attention(nn.Module):
 
         keys = tuple(cache[0]) + (k,)
         values = tuple(cache[1]) + (v,)
-        if self.attention_backend == "usp":
+        if self.attention_backend == "pallas":
+            from specforge_tpu.ops.attention_pallas import ttt_flash_attention
+
+            attn_out = ttt_flash_attention(
+                q, list(keys), list(values), key_valid=key_valid
+            )
+        elif self.attention_backend == "usp":
             from specforge_tpu.parallel.usp import usp_ttt_attention
 
             # the Ulysses head exchange divides heads across devices, so KV

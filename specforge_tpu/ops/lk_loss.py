@@ -25,6 +25,52 @@ def expected_acceptance_rate(
     return jnp.sum(jnp.minimum(target_probs, draft_probs), axis=-1)
 
 
+ACCEPTANCE_CHUNK = 8192
+
+
+def _acceptance_per_token(
+    logits: jnp.ndarray, target_probs: jnp.ndarray,
+    ratio: Optional[jnp.ndarray] = None,
+    chunk: int = ACCEPTANCE_CHUNK,
+) -> jnp.ndarray:
+    """sum_v min(softmax(logits)_v, q_v) per token, streamed over vocab chunks
+    so no [B, S, V] fp32 temporary persists (1GB-class at 32k draft vocab).
+
+    ``ratio`` [B, S, 1]: optional factored teacher scale — the effective
+    teacher is ``target_probs * ratio``, multiplied chunk-wise so the product
+    is never materialized.
+    """
+    v = logits.shape[-1]
+    if v <= chunk:
+        draft_p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        q = target_probs.astype(jnp.float32)
+        if ratio is not None:
+            q = q * ratio.astype(jnp.float32)
+        return expected_acceptance_rate(q, draft_p)
+
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
+    pad = (-v) % chunk
+    logits_p = jnp.pad(logits, ((0, 0),) * (logits.ndim - 1) + ((0, pad),),
+                       constant_values=-jnp.inf)
+    probs_p = jnp.pad(
+        target_probs, ((0, 0),) * (logits.ndim - 1) + ((0, pad),)
+    )
+    n_chunks = (v + pad) // chunk
+    lead = logits.shape[:-1]
+    ratio32 = None if ratio is None else ratio.astype(jnp.float32)
+
+    total = jnp.zeros(lead, jnp.float32)
+    for c in range(n_chunks):
+        lc = jax.lax.dynamic_slice_in_dim(logits_p, c * chunk, chunk, axis=-1)
+        qc = jax.lax.dynamic_slice_in_dim(probs_p, c * chunk, chunk, axis=-1)
+        draft_p = jnp.exp(lc.astype(jnp.float32) - lse)
+        q32 = qc.astype(jnp.float32)
+        if ratio32 is not None:
+            q32 = q32 * ratio32
+        total = total + jnp.sum(jnp.minimum(draft_p, q32), axis=-1)
+    return total
+
+
 def _masked_mean(
     values_per_token: jnp.ndarray,
     position_mask: jnp.ndarray,
@@ -51,17 +97,15 @@ def compute_acceptance_rate(
     position_mask: jnp.ndarray,
     eps: float = 1e-8,
     reduce_axes: Optional[tuple] = None,
+    ratio: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked-mean acceptance and log-acceptance over valid positions.
 
-    ``target_probs`` is the *un-renormalized* teacher restricted to the draft
-    vocab (``target_p_on_draft``); draft probabilities come from a full softmax
-    of the draft logits in fp32.
+    The un-renormalized teacher restricted to the draft vocab is
+    ``target_probs`` (optionally factored as ``target_probs * ratio``); draft
+    probabilities come from a full softmax of the draft logits in fp32.
     """
-    draft_p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-        target_probs.dtype
-    )
-    acc_per_token = expected_acceptance_rate(target_probs, draft_p)
+    acc_per_token = _acceptance_per_token(logits, target_probs, ratio)
     acceptance_rate = _masked_mean(acc_per_token, position_mask, eps, reduce_axes)
     log_acc_per_token = jnp.where(acc_per_token > 0, jnp.log(acc_per_token), 0.0)
     log_acceptance_rate = _masked_mean(

@@ -1,0 +1,85 @@
+"""Pallas TTT flash attention: interpret-mode parity vs the dense oracle,
+forward and backward, with and without branches/padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from specforge_tpu.ops.attention import (
+    make_causal_bias,
+    ttt_branch_attention_reference,
+)
+from specforge_tpu.ops.attention_pallas import ttt_flash_attention
+
+B, H, KVH, D = 1, 2, 2, 64
+S = 512  # two 256-tiles
+
+
+def _case(n_branches, seed=0, padding=False):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    keys = [jnp.asarray(rng.normal(size=(B, KVH, S, D)).astype(np.float32))
+            for _ in range(n_branches)]
+    values = [jnp.asarray(rng.normal(size=(B, KVH, S, D)).astype(np.float32))
+              for _ in range(n_branches)]
+    if padding:
+        mask = np.ones((B, S), np.int32)
+        mask[0, S - 40:] = 0
+        key_valid = jnp.asarray(mask)
+        bias = make_causal_bias(key_valid, B, S)
+    else:
+        key_valid = None
+        bias = make_causal_bias(None, B, S)
+    return q, keys, values, bias, key_valid
+
+
+@pytest.mark.parametrize("n_branches", [1, 3])
+def test_forward_matches_dense(n_branches):
+    q, keys, values, bias, _ = _case(n_branches)
+    expected = ttt_branch_attention_reference(q, keys, values, bias)
+    got = ttt_flash_attention(q, keys, values, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_forward_with_padding():
+    q, keys, values, bias, key_valid = _case(2, padding=True)
+    expected = ttt_branch_attention_reference(q, keys, values, bias)
+    got = ttt_flash_attention(q, keys, values, key_valid=key_valid,
+                              interpret=True)
+    valid = np.asarray(key_valid)[0].astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[0, valid], np.asarray(expected)[0, valid],
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("n_branches", [1, 3])
+def test_backward_matches_dense(n_branches):
+    q, keys, values, bias, _ = _case(n_branches, seed=1)
+
+    def loss_dense(q, ks, vs):
+        out = ttt_branch_attention_reference(q, list(ks), list(vs), bias)
+        return jnp.sum(out * out)
+
+    def loss_flash(q, ks, vs):
+        out = ttt_flash_attention(q, list(ks), list(vs), interpret=True)
+        return jnp.sum(out * out)
+
+    g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(q, tuple(keys),
+                                                  tuple(values))
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, tuple(keys),
+                                                  tuple(values))
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_d[0]),
+                               rtol=5e-4, atol=5e-5)
+    for i in range(n_branches):
+        np.testing.assert_allclose(
+            np.asarray(g_f[1][i]), np.asarray(g_d[1][i]),
+            rtol=5e-4, atol=5e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_f[2][i]), np.asarray(g_d[2][i]),
+            rtol=5e-4, atol=5e-5,
+        )
