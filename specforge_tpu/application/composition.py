@@ -212,6 +212,16 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
     variables = providers.init_variables(
         model, draft_config, options, rng, config.data.max_length
     )
+    if config.model.draft_checkpoint_path:
+        from specforge_tpu.training.model_loading import warm_start_draft
+
+        variables = warm_start_draft(
+            variables, config.model.draft_checkpoint_path
+        )
+        logger.info(
+            "warm-started draft weights from %s",
+            config.model.draft_checkpoint_path,
+        )
 
     # eagle3/peagle need the target embedding once (the target-copied draft
     # embedding contract), dflash-family needs it every step.
@@ -318,6 +328,21 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         warmup_ratio=t.warmup_ratio,
         lr_scheduler=t.lr_scheduler,
     )
+    from specforge_tpu.training.model_loading import (
+        draft_config_fingerprint,
+        frozen_input_fingerprint,
+    )
+
+    fingerprints = {
+        "draft_config_fingerprint": draft_config_fingerprint(
+            resolved.draft_config_dict
+        ),
+        "model_fingerprints": {
+            "target": frozen_input_fingerprint(
+                config.model.target_model_path
+            ),
+        },
+    }
     return Trainer(
         strategy,
         variables=variables,
@@ -330,4 +355,5 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         tracker=tracker,
         trainable_mask=trainable_mask,
         metadata=metadata,
+        contract_fingerprints=fingerprints,
     )

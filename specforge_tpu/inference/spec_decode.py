@@ -453,3 +453,151 @@ def greedy_target_decode(
         tok = int(np.asarray(logits)[0, -1].argmax())
         out.append(tok)
     return np.asarray(out)
+
+
+# --------------------------------------------------------------------------
+# DFlash block speculative decoding
+# --------------------------------------------------------------------------
+
+class DFlashSpecDecoder:
+    """Block-diffusion speculative decoding (reference
+    DFlashDraftModel.spec_generate, dflash.py:462-575): the draft predicts a
+    whole block of ``block_size - 1`` tokens in ONE forward (mask tokens
+    cross-attending to the target's captured features), the target verifies
+    the block, the accepted prefix's fresh features extend the context.
+
+    Greedy; batch 1. The draft forward reuses the training-time anchor-block
+    attention with a single anchor at the block start, so inference exercises
+    exactly the trained code path.
+    """
+
+    def __init__(
+        self,
+        target_params,
+        target_config: TargetConfig,
+        draft_module,                 # DFlashDraftModel (or Domino/DSpark)
+        draft_variables,
+        *,
+        max_len: int = 512,
+    ) -> None:
+        self.target_params = target_params
+        self.target_config = target_config
+        self.draft = draft_module
+        self.draft_variables = draft_variables
+        self.capture_layers = tuple(
+            draft_module.config.resolved_target_layer_ids
+        )
+        self.block_size = draft_module.config.block_size
+        self.mask_token_id = draft_module.config.mask_token_id or 0
+        self.max_len = max_len
+        self._embed = target_params["model.embed_tokens.weight"]
+        self._lm_head = target_params["lm_head.weight"]
+
+        def draft_forward(variables, noise_emb, ctx, ctx_pos, draft_pos,
+                          anchors, keep):
+            return draft_module.apply(
+                variables, noise_emb, ctx, ctx_pos, draft_pos, anchors, keep
+            )
+
+        self._draft_forward = jax.jit(draft_forward)
+
+    def _target_forward(self, ids: np.ndarray, state: TargetState):
+        logits, aux, ck, cv = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(ids, jnp.int32),
+            state.cache_k, state.cache_v,
+            jnp.asarray(state.length, jnp.int32),
+            self.capture_layers,
+        )
+        new_state = TargetState(
+            cache_k=ck, cache_v=cv, length=state.length + ids.shape[1]
+        )
+        return np.asarray(logits), np.asarray(aux, np.float32), new_state
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> SpecDecodeResult:
+        stop = set(stop_token_ids or ())
+        bs = self.block_size
+        prompt = np.asarray(prompt_ids, np.int64)[None]
+        p_len = prompt.shape[1]
+        n_capture = len(self.capture_layers)
+        h = self.target_config.hidden_size
+
+        t_state = init_target_state(self.target_config, 1, self.max_len)
+        # context features for positions seen by the target so far
+        ctx_features = np.zeros(
+            (1, self.max_len, n_capture * h), np.float32
+        )
+
+        logits, aux, t_state = self._target_forward(prompt, t_state)
+        ctx_features[:, :p_len] = aux
+        cur_token = int(logits[0, -1].argmax())
+        output = list(prompt_ids) + [cur_token]
+
+        accept_lengths: List[int] = []
+        steps = 0
+        start = p_len  # global position of the current block's first token
+        while (
+            len(output) - p_len < max_new_tokens
+            and start + bs < self.max_len
+        ):
+            steps += 1
+            # --- draft: one block forward ---
+            block_ids = np.full((1, bs), self.mask_token_id, np.int64)
+            block_ids[0, 0] = cur_token
+            noise_emb = np.asarray(self._embed, np.float32)[block_ids[0]][None]
+            ctx = ctx_features[:, :start]
+            ctx_pos = np.arange(start, dtype=np.int32)[None]
+            draft_pos = (start + np.arange(bs, dtype=np.int32))[None]
+            anchors = np.asarray([[start]], np.int32)
+            keep = np.ones((1, 1), bool)
+            draft_hidden = self._draft_forward(
+                self.draft_variables, jnp.asarray(noise_emb, jnp.bfloat16),
+                jnp.asarray(ctx, jnp.bfloat16), jnp.asarray(ctx_pos),
+                jnp.asarray(draft_pos), jnp.asarray(anchors),
+                jnp.asarray(keep),
+            )
+            draft_logits = np.asarray(
+                jnp.einsum(
+                    "bsh,vh->bsv",
+                    draft_hidden[:, 1:].astype(jnp.float32),
+                    jnp.asarray(self._lm_head, jnp.float32),
+                )
+            )
+            proposals = draft_logits[0].argmax(axis=-1).tolist()  # bs-1
+
+            # --- target verification over the whole block ---
+            block = np.asarray([[cur_token, *proposals]], np.int64)
+            logits, aux, t_state = self._target_forward(block, t_state)
+            posterior = logits[0].argmax(axis=-1)
+            accepted = 0
+            for j in range(bs - 1):
+                if proposals[j] == int(posterior[j]):
+                    accepted += 1
+                else:
+                    break
+            emitted = [*proposals[:accepted], int(posterior[accepted])]
+            output.extend(emitted)
+            accept_lengths.append(accepted + 1)
+
+            # roll target cache back; accepted positions' features extend ctx
+            t_state = TargetState(
+                cache_k=t_state.cache_k, cache_v=t_state.cache_v,
+                length=t_state.length - bs + accepted + 1,
+            )
+            ctx_features[:, start: start + accepted + 1] = (
+                aux[:, : accepted + 1]
+            )
+            start += accepted + 1
+            cur_token = int(posterior[accepted])
+            if stop & set(emitted):
+                break
+        return SpecDecodeResult(
+            output_ids=np.asarray(output),
+            accept_lengths=accept_lengths,
+            steps=steps,
+        )

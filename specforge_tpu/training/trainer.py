@@ -70,6 +70,7 @@ class Trainer:
         metadata: Optional[Dict[str, Any]] = None,
         ack_fn: Optional[Callable[[List[str], int], None]] = None,
         world_size: int = 1,
+        contract_fingerprints: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.strategy = strategy
         self.train_loader = train_loader
@@ -81,6 +82,7 @@ class Trainer:
         self.metadata = dict(metadata or {})
         self.ack_fn = ack_fn
         self.world_size = world_size
+        self.contract_fingerprints = dict(contract_fingerprints or {})
 
         if config.total_steps is None:
             try:
@@ -128,6 +130,12 @@ class Trainer:
             accum_steps=self.config.accum_steps,
             total_steps=self.total_steps,
             run_id=self.config.run_id,
+            draft_config_fingerprint=self.contract_fingerprints.get(
+                "draft_config_fingerprint", ""
+            ),
+            model_fingerprints=self.contract_fingerprints.get(
+                "model_fingerprints", {}
+            ),
         )
 
     # --- device placement ------------------------------------------------

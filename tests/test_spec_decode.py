@@ -248,3 +248,45 @@ def test_trained_draft_beats_untrained_accept_length(target, tmp_path):
           f"untrained={untrained_mean:.3f}")
     assert trained.mean_accept_length > untrained_mean + 0.15
     assert trained.mean_accept_length > 1.2
+
+
+def test_dflash_spec_decode_matches_greedy(target):
+    """DFlash block speculative decoding emits exactly the target's greedy
+    sequence (any draft), using the trained anchor-block attention path."""
+    from specforge_tpu.inference.spec_decode import DFlashSpecDecoder
+    from specforge_tpu.models.draft.dflash import DFlashConfig, DFlashDraftModel
+
+    params, config = target
+    cfg = DFlashConfig.from_dict({
+        "architectures": ["DFlashDraftModel"],
+        "vocab_size": V, "hidden_size": H, "intermediate_size": 64,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2, "num_target_layers": 6, "block_size": 4,
+        "max_position_embeddings": 512,
+        "dflash_config": {"mask_token_id": V - 1,
+                          "target_layer_ids": [1, 4]},
+    })
+    module = DFlashDraftModel(cfg, dtype=jnp.float32, attn_chunk_blocks=1)
+    rng = np.random.default_rng(0)
+    n_capture = len(cfg.resolved_target_layer_ids)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.block_size, H), jnp.float32),
+        jnp.zeros((1, 16, n_capture * H), jnp.float32),
+        jnp.zeros((1, 16), jnp.int32),
+        jnp.zeros((1, cfg.block_size), jnp.int32),
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1, 1), bool),
+    )
+    decoder = DFlashSpecDecoder(
+        params, config, module, variables, max_len=256,
+    )
+    prompt = rng.integers(0, V - 1, size=10).tolist()
+    result = decoder.generate(prompt, max_new_tokens=20)
+    oracle = greedy_target_decode(
+        params, config, prompt, max_new_tokens=20,
+        capture_layers=(1, 4), max_len=256,
+    )
+    n = min(len(oracle), len(result.output_ids))
+    np.testing.assert_array_equal(result.output_ids[:n], oracle[:n])
+    assert all(1 <= a <= cfg.block_size for a in result.accept_lengths)
