@@ -144,3 +144,133 @@ def build_dataset(
             continue  # nothing supervised: skip (reference drops these too)
         out.append(sample)
     return out
+
+
+class ThinkingParser(GeneralParser):
+    """Assistant turns may carry ``<think>...</think>`` spans; the thinking
+    body is included in context but (optionally) excluded from the loss —
+    reference ThinkingParser behavior (data/parse.py Thinking variant)."""
+
+    def __init__(self, tokenizer, template, *, supervise_thinking=False,
+                 think_open="<think>", think_close="</think>"):
+        super().__init__(tokenizer, template)
+        self.supervise_thinking = supervise_thinking
+        self.think_open = think_open
+        self.think_close = think_close
+
+    def parse(self, conversation, max_length, *, add_bos=True):
+        pieces: List[Tuple[List[int], int]] = []
+        bos = (
+            [self.tokenizer.bos_token_id]
+            if add_bos and self.tokenizer.bos_token_id is not None
+            else []
+        )
+        if bos:
+            pieces.append((bos, 0))
+        has_system = any(t.get("role") == "system" for t in conversation)
+        if not has_system and self.template.default_system_prompt:
+            pieces.append((
+                self._encode(self.template.render_system(
+                    self.template.default_system_prompt
+                )), 0,
+            ))
+        for turn in conversation:
+            role = turn.get("role")
+            content = str(turn.get("content", ""))
+            if role == "system":
+                pieces.append((
+                    self._encode(self.template.render_system(content)), 0
+                ))
+            elif role in ("user", "human"):
+                pieces.append((
+                    self._encode(self.template.render_user(content)), 0
+                ))
+            elif role in ("assistant", "gpt"):
+                pieces.append((
+                    self._encode(self.template.render_assistant_header()), 0
+                ))
+                remaining = content
+                while self.think_open in remaining:
+                    before, rest = remaining.split(self.think_open, 1)
+                    if before:
+                        pieces.append((self._encode(before), 1))
+                    if self.think_close in rest:
+                        think, remaining = rest.split(self.think_close, 1)
+                    else:
+                        think, remaining = rest, ""
+                    think_text = (
+                        f"{self.think_open}{think}{self.think_close}"
+                    )
+                    pieces.append((
+                        self._encode(think_text),
+                        1 if self.supervise_thinking else 0,
+                    ))
+                pieces.append((
+                    self._encode(
+                        f"{remaining}{self.template.end_token}"
+                    ), 1,
+                ))
+            else:
+                raise ValueError(f"unknown conversation role {role!r}")
+        ids: List[int] = []
+        mask: List[int] = []
+        for piece_ids, supervised in pieces:
+            ids.extend(piece_ids)
+            mask.extend([supervised] * len(piece_ids))
+        return ParsedSample(
+            input_ids=np.asarray(ids[:max_length], np.int64),
+            loss_mask=np.asarray(mask[:max_length], np.int64),
+        )
+
+
+class HarmonyParser(GeneralParser):
+    """gpt-oss Harmony channel format: assistant messages route through
+    ``analysis`` (reasoning, unsupervised) and ``final`` (supervised)
+    channels — simplified single-channel rendering of the reference
+    HarmonyParser."""
+
+    def parse(self, conversation, max_length, *, add_bos=True):
+        pieces: List[Tuple[List[int], int]] = []
+        if add_bos and self.tokenizer.bos_token_id is not None:
+            pieces.append(([self.tokenizer.bos_token_id], 0))
+        for turn in conversation:
+            role = turn.get("role")
+            content = str(turn.get("content", ""))
+            analysis = turn.get("analysis")
+            if role == "assistant":
+                if analysis:
+                    pieces.append((self._encode(
+                        f"<|start|>assistant<|channel|>analysis"
+                        f"<|message|>{analysis}<|end|>"
+                    ), 0))
+                pieces.append((self._encode(
+                    "<|start|>assistant<|channel|>final<|message|>"
+                ), 0))
+                pieces.append((self._encode(f"{content}<|return|>"), 1))
+            else:
+                pieces.append((self._encode(
+                    f"<|start|>{role}<|message|>{content}<|end|>"
+                ), 0))
+        ids: List[int] = []
+        mask: List[int] = []
+        for piece_ids, supervised in pieces:
+            ids.extend(piece_ids)
+            mask.extend([supervised] * len(piece_ids))
+        return ParsedSample(
+            input_ids=np.asarray(ids[:max_length], np.int64),
+            loss_mask=np.asarray(mask[:max_length], np.int64),
+        )
+
+
+PARSERS = {
+    "general": GeneralParser,
+    "thinking": ThinkingParser,
+    "harmony": HarmonyParser,
+}
+
+
+def build_parser(kind: str, tokenizer, template_name: str, **kwargs):
+    from specforge_tpu.data.template import get_template
+
+    cls = PARSERS[kind]
+    return cls(tokenizer, get_template(template_name), **kwargs)

@@ -165,3 +165,45 @@ def test_capture_then_train_end_to_end(tiny_target, tmp_path):
     np.testing.assert_allclose(
         draft_embed, target_embed.astype(np.float32), rtol=1e-2, atol=1e-2
     )
+
+
+def test_thinking_parser_masks_think_spans():
+    from specforge_tpu.data.parse import ThinkingParser
+    from specforge_tpu.data.template import get_template
+
+    tok = StubTokenizer()
+    parser = ThinkingParser(tok, get_template("qwen"))
+    sample = parser.parse([
+        {"role": "user", "content": "solve it"},
+        {"role": "assistant",
+         "content": "<think> step one step two </think> the answer is four"},
+    ], max_length=256)
+    # supervised tokens exist, but fewer than the full assistant span
+    full = ThinkingParser(tok, get_template("qwen"),
+                          supervise_thinking=True).parse([
+        {"role": "user", "content": "solve it"},
+        {"role": "assistant",
+         "content": "<think> step one step two </think> the answer is four"},
+    ], max_length=256)
+    assert 0 < sample.loss_mask.sum() < full.loss_mask.sum()
+    assert len(sample.input_ids) == len(full.input_ids)
+
+
+def test_harmony_parser_supervises_final_channel():
+    from specforge_tpu.data.parse import HarmonyParser
+    from specforge_tpu.data.template import get_template
+
+    parser = HarmonyParser(StubTokenizer(), get_template("raw"))
+    sample = parser.parse([
+        {"role": "user", "content": "hi there"},
+        {"role": "assistant", "content": "hello world",
+         "analysis": "user greets; respond warmly"},
+    ], max_length=256)
+    assert sample.loss_mask.sum() > 0
+    # the analysis channel adds context tokens but no supervised tokens
+    without = parser.parse([
+        {"role": "user", "content": "hi there"},
+        {"role": "assistant", "content": "hello world"},
+    ], max_length=256)
+    assert len(sample.input_ids) > len(without.input_ids)
+    assert sample.loss_mask.sum() == without.loss_mask.sum()

@@ -318,3 +318,42 @@ def test_colocated_vs_disaggregated_equivalence(tmp_path):
 
     assert len(losses_a) == len(losses_b) == 2
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
+
+
+def test_dp_ack_collective(tmp_path):
+    """Two 'ranks' (threads) exchange acked ids; rank 0 records the union."""
+    import threading
+
+    from specforge_tpu.runtime.control_plane.dp_ack import DPAckController
+
+    recorded = []
+
+    def sink(ids, step):
+        recorded.append((step, sorted(ids)))
+
+    c0 = DPAckController(str(tmp_path / "ack"), rank=0, world_size=2,
+                         ack_fn=sink, timeout_s=10)
+    c1 = DPAckController(str(tmp_path / "ack"), rank=1, world_size=2,
+                         timeout_s=10)
+
+    results = {}
+
+    def run(controller, rank, ids):
+        results[rank] = controller.ack_train_refs(ids, step=1)
+
+    t0 = threading.Thread(target=run, args=(c0, 0, ["a", "b"]))
+    t1 = threading.Thread(target=run, args=(c1, 1, ["b", "c"]))
+    t0.start(); t1.start(); t0.join(10); t1.join(10)
+
+    assert sorted(results[0]) == ["a", "b", "c"]
+    assert sorted(results[1]) == ["a", "b", "c"]
+    assert recorded == [(1, ["a", "b", "c"])]
+
+
+def test_dp_ack_timeout(tmp_path):
+    from specforge_tpu.runtime.control_plane.dp_ack import DPAckController
+
+    c0 = DPAckController(str(tmp_path / "ack2"), rank=0, world_size=2,
+                         timeout_s=0.3)
+    with pytest.raises(TimeoutError):
+        c0.ack_train_refs(["x"], step=5)
