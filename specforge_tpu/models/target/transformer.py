@@ -50,10 +50,25 @@ class TargetConfig:
     qk_norm: bool = False          # qwen3-style per-head q/k norms
     model_type: str = "llama"
     hidden_act: str = "silu"
+    # MoE (qwen3_moe family)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    norm_topk_prob: bool = False
+    moe_intermediate_size: Optional[int] = None
+    decoder_sparse_step: int = 1
+    mlp_only_layers: Tuple[int, ...] = ()
 
     @property
     def resolved_head_dim(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    def is_moe_layer(self, layer_idx: int) -> bool:
+        """HF Qwen3Moe rule: sparse unless listed dense or off-cadence."""
+        return (
+            self.num_experts > 0
+            and layer_idx not in self.mlp_only_layers
+            and (layer_idx + 1) % max(self.decoder_sparse_step, 1) == 0
+        )
 
     @classmethod
     def from_file(cls, path: str) -> "TargetConfig":
@@ -82,6 +97,12 @@ class TargetConfig:
             qk_norm=model_type in ("qwen3", "qwen3_moe"),
             model_type=model_type,
             hidden_act=raw.get("hidden_act", "silu"),
+            num_experts=raw.get("num_experts", 0) or 0,
+            num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
+            norm_topk_prob=raw.get("norm_topk_prob", False),
+            moe_intermediate_size=raw.get("moe_intermediate_size"),
+            decoder_sparse_step=raw.get("decoder_sparse_step", 1) or 1,
+            mlp_only_layers=tuple(raw.get("mlp_only_layers", []) or []),
         )
 
 
@@ -137,6 +158,51 @@ def _act(name: str):
             "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True)}[
         name
     ]
+
+
+def _moe_mlp(params: Dict[str, jnp.ndarray], cfg: "TargetConfig",
+             prefix: str, y: jnp.ndarray) -> jnp.ndarray:
+    """Qwen3-MoE sparse MLP: softmax router → top-k experts → weighted sum.
+
+    Experts run as a ``lax.scan`` over stacked expert weights with per-token
+    routing weights (0 off the top-k), so memory stays one expert wide.
+    Dense-compute per expert — correct for capture on any topology; the
+    gather-by-expert fast path is a follow-up optimization.
+    """
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    router = y @ params[f"{prefix}.mlp.gate.weight"].T
+    probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, k)
+    if cfg.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    # scatter back to a dense [.., E] routing-weight map via one-hots
+    w_full = jnp.sum(
+        jax.nn.one_hot(top_i, e, dtype=jnp.float32) * top_w[..., None],
+        axis=-2,
+    )
+
+    gate_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.gate_proj.weight"] for i in range(e)]
+    )
+    up_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.up_proj.weight"] for i in range(e)]
+    )
+    down_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.down_proj.weight"] for i in range(e)]
+    )
+    act = _act(cfg.hidden_act)
+
+    def body(acc, xs):
+        gw, uw, dw, w_e = xs
+        out = (act(y @ gw.T) * (y @ uw.T)) @ dw.T
+        return acc + w_e[..., None].astype(out.dtype) * out, None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros_like(y),
+        (gate_w, up_w, down_w, jnp.moveaxis(w_full, -1, 0)),
+    )
+    return out
 
 
 def target_capture_forward(
@@ -209,11 +275,14 @@ def target_capture_forward(
         residual = x
         y = _rms(x, params[f"{prefix}.post_attention_layernorm.weight"],
                  cfg.rms_norm_eps)
-        gate = y @ params[f"{prefix}.mlp.gate_proj.weight"].T
-        up = y @ params[f"{prefix}.mlp.up_proj.weight"].T
-        y = (_act(cfg.hidden_act)(gate) * up) @ params[
-            f"{prefix}.mlp.down_proj.weight"
-        ].T
+        if cfg.is_moe_layer(i):
+            y = _moe_mlp(params, cfg, prefix, y)
+        else:
+            gate = y @ params[f"{prefix}.mlp.gate_proj.weight"].T
+            up = y @ params[f"{prefix}.mlp.up_proj.weight"].T
+            y = (_act(cfg.hidden_act)(gate) * up) @ params[
+                f"{prefix}.mlp.down_proj.weight"
+            ].T
         x = residual + y
 
         if i in capture_set:

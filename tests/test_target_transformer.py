@@ -107,3 +107,45 @@ def test_tied_embeddings_lm_head(tmp_path):
         np.asarray(params["lm_head.weight"]),
         np.asarray(params["model.embed_tokens.weight"]),
     )
+
+
+def test_qwen3_moe_capture_matches_transformers(tmp_path):
+    try:
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    except ImportError:
+        pytest.skip("Qwen3Moe not in installed transformers")
+
+    config = Qwen3MoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=24, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=True, max_position_embeddings=256,
+    )
+    torch.manual_seed(2)
+    model = Qwen3MoeForCausalLM(config).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    tc = TargetConfig.from_file(str(tmp_path))
+    assert tc.num_experts == 4 and tc.is_moe_layer(0)
+    params = load_target_params(str(tmp_path), tc, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, size=(2, 10))
+    # capture non-final layers: HF's hidden_states[-1] is post-final-norm in
+    # current transformers, and real capture layers never include the last
+    # layer (reference: [1, n//2-1, n-4])
+    aux, last = target_capture_forward(
+        params, tc, jnp.asarray(ids), None, (0, 1),
+    )
+    with torch.no_grad():
+        out = model.model(torch.tensor(ids), output_hidden_states=True)
+    ref_aux = torch.cat(
+        [out.hidden_states[i + 1] for i in (0, 1)], dim=-1
+    ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(aux), ref_aux, rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(last), out.last_hidden_state.numpy(), rtol=5e-4, atol=5e-4
+    )
