@@ -116,3 +116,40 @@ def test_apply_rope_matches_torch():
     rk = tk * rcos + torch_rotate_half(tk) * rsin
     np.testing.assert_allclose(np.asarray(qe), rq.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ke), rk.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_multimodal_rope_sections():
+    from specforge_tpu.ops.rope import apply_multimodal_rope
+
+    rng = np.random.default_rng(2)
+    B, H, S = 1, 2, 6
+    sections = (2, 3, 3)  # sums to D/2 = 8
+    q = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    # three independent position axes (temporal/height/width)
+    pos3 = np.stack([np.arange(S), np.arange(S) * 2, np.arange(S) * 3])[
+        :, None, :
+    ].repeat(B, 1)
+    spec = RopeSpec(head_dim=D, scaling_type="mrope",
+                    mrope_section=sections)
+    cos, sin = rope_cos_sin(spec, jnp.asarray(pos3), seq_len=S * 3)
+    qe, ke = apply_multimodal_rope(
+        jnp.asarray(q), jnp.asarray(k), cos, sin, sections
+    )
+    assert qe.shape == q.shape and ke.shape == k.shape
+
+    # when all three axes carry the SAME positions, mrope must equal plain rope
+    pos1 = np.arange(S)[None].repeat(B, 0)
+    pos_same = np.stack([pos1, pos1, pos1])
+    cos_s, sin_s = rope_cos_sin(spec, jnp.asarray(pos_same), seq_len=S)
+    qe_same, ke_same = apply_multimodal_rope(
+        jnp.asarray(q), jnp.asarray(k), cos_s, sin_s, sections
+    )
+    plain = RopeSpec(head_dim=D)
+    cos_p, sin_p = rope_cos_sin(plain, jnp.asarray(pos1), seq_len=S)
+    from specforge_tpu.ops.rope import apply_rope as _apply
+    qe_p, ke_p = _apply(jnp.asarray(q), jnp.asarray(k), cos_p, sin_p)
+    np.testing.assert_allclose(np.asarray(qe_same), np.asarray(qe_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ke_same), np.asarray(ke_p),
+                               rtol=1e-5, atol=1e-6)
