@@ -89,3 +89,19 @@ register_template(ChatTemplate(
     assistant_header="",
     end_token="",
 ))
+
+register_template(ChatTemplate(
+    name="glm",
+    system_header="<|system|>\n",
+    user_header="<|user|>\n",
+    assistant_header="<|assistant|>\n",
+    end_token="",
+))
+
+register_template(ChatTemplate(
+    name="gemma",
+    system_header="",
+    user_header="<start_of_turn>user\n",
+    assistant_header="<start_of_turn>model\n",
+    end_token="<end_of_turn>\n",
+))

@@ -170,3 +170,54 @@ def test_cli_plan(tmp_path, capsys):
     rendered = json.loads(capsys.readouterr().out)
     assert rendered["training"]["batch_size"] == 3
     assert rendered["run_id"] == "plan0"
+
+
+def test_cli_train_colocated_in_process(tmp_path, capsys):
+    """The actual `specforge-tpu train` path end-to-end (colocated, tiny)."""
+    from tests._fixtures import write_offline_dataset
+
+    data_dir = str(tmp_path / "clidata")
+    write_offline_dataset(data_dir, n=4)
+    # the tiny fixture has no target checkpoint: use an explicit vocab mapping
+    import numpy as np
+
+    from specforge_tpu.training.vocab_mapping import save_vocab_mapping
+    from tests._fixtures import make_vocab_maps
+
+    t2d, d2t = make_vocab_maps()
+    mapping_path = str(tmp_path / "vm.npz")
+    save_vocab_mapping(mapping_path, t2d, d2t)
+
+    # build a frozen head on disk? the CLI path loads target tables only when
+    # target_model_path is set; for hidden_state batches we must provide one.
+    from transformers import LlamaConfig, LlamaForCausalLM
+    import torch
+
+    target_dir = str(tmp_path / "target")
+    torch.manual_seed(0)
+    LlamaForCausalLM(LlamaConfig(
+        vocab_size=V, hidden_size=H, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )).save_pretrained(target_dir, safe_serialization=True)
+
+    config_path = str(tmp_path / "cli.json")
+    with open(config_path, "w") as f:
+        json.dump({
+            "run_id": "cli0",
+            "output_dir": str(tmp_path / "runs"),
+            "model": {
+                "target_model_path": target_dir,
+                "draft_config": TINY_DRAFT_CONFIG,
+                "vocab_mapping_path": mapping_path,
+            },
+            "data": {"train_data_path": data_dir, "max_length": MAXLEN,
+                     "num_workers": 0},
+            "training": {"strategy": "eagle3", "batch_size": 2,
+                         "num_epochs": 1, "ttt_length": 2, "log_interval": 1},
+            "tracking": {"backend": "none"},
+        }, f)
+    from specforge_tpu.cli import main
+
+    rc = main(["train", "-c", config_path])
+    assert rc == 0
+    assert (tmp_path / "runs" / "cli0-step2" / "contract.json").exists()
