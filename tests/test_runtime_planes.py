@@ -86,7 +86,7 @@ def test_controller_lifecycle_and_poisoning():
 def test_controller_ack_and_reconcile():
     released = []
     controller = DataFlowController(
-        SQLiteMetadataStore(":memory:") if False else InMemoryMetadataStore(),
+        InMemoryMetadataStore(),
         release_fn=released.extend,
     )
     refs = [_ref(i) for i in range(4)]
