@@ -141,19 +141,40 @@ def _resolve_vocab_mapping(config: Config, draft_config) -> Optional[tuple]:
     if config.model.vocab_mapping_path:
         return load_vocab_mapping(config.model.vocab_mapping_path)
     if config.data.train_data_path:
+        from specforge_tpu.parallel.multihost import (
+            barrier,
+            is_primary,
+            process_count,
+        )
+
         cache = os.path.join(
             config.output_dir, f"{config.run_id}.vocab_mapping.npz"
         )
-        if os.path.exists(cache):
-            return load_vocab_mapping(cache)
-        logger.info("deriving vocab mapping from %s",
-                    config.data.train_data_path)
-        t2d, d2t = derive_from_offline_dir(
-            config.data.train_data_path, vocab, draft_vocab
-        )
-        os.makedirs(config.output_dir, exist_ok=True)
-        save_vocab_mapping(cache, t2d, d2t)
-        return t2d, d2t
+        if process_count() <= 1:
+            if os.path.exists(cache):
+                return load_vocab_mapping(cache)
+            logger.info("deriving vocab mapping from %s",
+                        config.data.train_data_path)
+            t2d, d2t = derive_from_offline_dir(
+                config.data.train_data_path, vocab, draft_vocab
+            )
+            os.makedirs(config.output_dir, exist_ok=True)
+            save_vocab_mapping(cache, t2d, d2t)
+            return t2d, d2t
+        # multi-host: primary derives + writes the shared cache; the barrier
+        # is UNCONDITIONAL so every host executes the same collective
+        # sequence regardless of cache-file timing (shared-FS assumption,
+        # the reference's explicit-shared-file contract for disagg runs)
+        if is_primary() and not os.path.exists(cache):
+            logger.info("deriving vocab mapping from %s",
+                        config.data.train_data_path)
+            t2d, d2t = derive_from_offline_dir(
+                config.data.train_data_path, vocab, draft_vocab
+            )
+            os.makedirs(config.output_dir, exist_ok=True)
+            save_vocab_mapping(cache, t2d, d2t)
+        barrier("vocab-mapping")
+        return load_vocab_mapping(cache)
     return None
 
 
@@ -194,6 +215,17 @@ def _copy_target_embedding(variables, frozen):
 
 def build_training_run(config: Config, registry=None, frozen_override=None):
     """Build a fully wired offline/colocated Trainer (returns the Trainer)."""
+    from specforge_tpu.parallel.multihost import (
+        barrier,
+        is_primary,
+        maybe_initialize_distributed,
+        process_count,
+        shard_refs_for_process,
+    )
+
+    maybe_initialize_distributed()
+    procs = process_count()
+    primary = is_primary()
     resolved = resolve_run(config, registry)
     reg = resolved.registration
     providers = reg.providers
@@ -273,9 +305,16 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
             "params": shard_pytree_like_params(variables["params"], mesh),
         }
 
-    # loaders
+    # loaders — config batch_size is the GLOBAL per-micro-step batch; each
+    # host loads only its own rows (ref launch.py:174-219 per-rank sharding)
     if not config.data.train_data_path:
         raise ValueError("data.train_data_path is required for offline runs")
+    if t.batch_size % procs != 0:
+        raise ValueError(
+            f"training.batch_size={t.batch_size} must be divisible by "
+            f"{procs} processes"
+        )
+    local_batch = t.batch_size // procs
     contract = reg.spec.contract_for(FeatureMode.OFFLINE)
     collate = PaddingCollator(
         CollatorConfig(
@@ -286,9 +325,10 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
 
     def make_loader(root):
         refs = OfflineManifestReader(root).read()
+        refs = shard_refs_for_process(refs, t.batch_size)
         return FeatureDataLoader(
             FileFeatureStore(), collate, refs=refs,
-            batch_size=t.batch_size, num_workers=config.data.num_workers,
+            batch_size=local_batch, num_workers=config.data.num_workers,
             prefetch_batches=config.data.prefetch_batches, metadata=metadata,
         )
 
@@ -299,9 +339,14 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         else None
     )
 
-    tracker = build_tracker(
-        config.tracking.backend, output_dir=config.output_dir,
-        run_id=config.run_id, project=config.tracking.project,
+    # rank0-gated tracking: only the primary host writes metrics/markers
+    tracker = (
+        build_tracker(
+            config.tracking.backend, output_dir=config.output_dir,
+            run_id=config.run_id, project=config.tracking.project,
+        )
+        if primary
+        else build_tracker("none")
     )
     trainer_config = TrainerConfig(
         num_epochs=t.num_epochs,
@@ -355,5 +400,6 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         tracker=tracker,
         trainable_mask=trainable_mask,
         metadata=metadata,
+        world_size=procs,
         contract_fingerprints=fingerprints,
     )

@@ -39,6 +39,16 @@ def _train(args) -> int:
     role = config.training.role
     online = config.deployment.mode == "disaggregated"
 
+    if role != "producer":
+        # trainer-side roles may span hosts: join the JAX distributed
+        # runtime before any backend use (no-op single-host). The producer
+        # is a CPU-only process and must NOT join the trainer's world.
+        from specforge_tpu.parallel.multihost import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed()
+
     if online and role == "auto":
         from specforge_tpu.launch_plan import build_launch_plan, run_commands
 

@@ -21,9 +21,21 @@ from specforge_tpu.runtime.contracts import TrainBatch
 
 
 class Evaluator:
-    def __init__(self, strategy, metadata: Optional[Dict[str, Any]] = None):
+    def __init__(
+        self,
+        strategy,
+        metadata: Optional[Dict[str, Any]] = None,
+        device_put_fn=None,
+    ):
+        """``device_put_fn``: optional host-batch → device-array assembly.
+        Under multi-host it builds global arrays from each host's local eval
+        shard; per-host batch counts are equal by the ref-sharding contract
+        (parallel/multihost.py), so the collective schedule is globally
+        agreed and empty-shard deadlock cannot occur (ref
+        eval/evaluator.py:27-222)."""
         self.strategy = strategy
         self.metadata = dict(metadata or {})
+        self.device_put_fn = device_put_fn
         self._jitted = jax.jit(
             lambda variables, tensors, frozen: strategy.eval_outputs(
                 variables, tensors, frozen, self.metadata
@@ -49,7 +61,12 @@ class Evaluator:
                         variables, tensors, frozen, self.metadata
                     )
                 )
-            out = self._jitted(variables, batch.tensors, frozen)
+            tensors = (
+                self.device_put_fn(batch.tensors)
+                if self.device_put_fn is not None
+                else batch.tensors
+            )
+            out = self._jitted(variables, tensors, frozen)
             out = jax.device_get(out)
             for key, value in out.items():
                 acc = sums.get(key)

@@ -11,6 +11,13 @@ Layout mirrors the reference (training/checkpoint.py:35-, trainer.py:280-412):
 Resume validates a full contract — strategy, world size, batch/accum/total
 steps, model fingerprints — and refuses silently-divergent resumes. Rotation
 keeps ``max_checkpoints`` newest, never deleting the best.
+
+Multi-host: every process participates in the orbax array save/restore (each
+host writes the shards it owns), but all metadata writes — contract.json,
+latest marker, best meta, rotation — are gated on the primary process, the
+role of the reference's rank0-broadcast checkpoint decisions
+(training/controller.py:817-828). ``barrier_fn`` syncs the hosts around the
+directory lifecycle on a shared filesystem.
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
@@ -89,13 +96,18 @@ class CheckpointManager:
         max_checkpoints: int = 5,
         best_metric: str = BEST_METRIC_DEFAULT,
         best_mode: str = "max",
+        primary: bool = True,
+        barrier_fn: Optional[Callable[[str], None]] = None,
     ) -> None:
         self.output_dir = os.path.abspath(output_dir)
         self.run_id = run_id
         self.max_checkpoints = max_checkpoints
         self.best_metric = best_metric
         self.best_mode = best_mode
-        os.makedirs(self.output_dir, exist_ok=True)
+        self.primary = primary
+        self._barrier = barrier_fn or (lambda name: None)
+        if primary:
+            os.makedirs(self.output_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
     # --- paths ----------------------------------------------------------
@@ -119,24 +131,30 @@ class CheckpointManager:
     ) -> str:
         step_dir = self.step_dir(step)
         state_dir = os.path.join(step_dir, "state")
-        if os.path.exists(step_dir):
-            shutil.rmtree(step_dir)
-        os.makedirs(step_dir, exist_ok=True)
-        self._ckptr.save(state_dir, jax.device_get(state))
+        if self.primary:
+            if os.path.exists(step_dir):
+                shutil.rmtree(step_dir)
+            os.makedirs(step_dir, exist_ok=True)
+        self._barrier(f"ckpt-pre-{step}")
+        # every process participates: orbax writes each host's addressable
+        # shards (single-process: plain save of the device arrays)
+        self._ckptr.save(state_dir, state)
         self._ckptr.wait_until_finished()
-        payload = {
-            "contract": contract.to_json(),
-            "progress": progress.to_json(),
-            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
-        }
-        tmp = os.path.join(step_dir, "contract.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=2)
-        os.replace(tmp, os.path.join(step_dir, "contract.json"))
-        with open(self._latest_marker() + ".tmp", "w") as f:
-            f.write(str(step))
-        os.replace(self._latest_marker() + ".tmp", self._latest_marker())
-        self._rotate()
+        if self.primary:
+            payload = {
+                "contract": contract.to_json(),
+                "progress": progress.to_json(),
+                "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+            }
+            tmp = os.path.join(step_dir, "contract.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=2)
+            os.replace(tmp, os.path.join(step_dir, "contract.json"))
+            with open(self._latest_marker() + ".tmp", "w") as f:
+                f.write(str(step))
+            os.replace(self._latest_marker() + ".tmp", self._latest_marker())
+            self._rotate()
+        self._barrier(f"ckpt-post-{step}")
         return step_dir
 
     def _existing_steps(self) -> List[int]:
@@ -170,7 +188,7 @@ class CheckpointManager:
 
     def maybe_update_best(self, step: int, metrics: Dict[str, float]) -> bool:
         """Record ``step`` as best if its metric beats the stored one."""
-        if self.best_metric not in metrics:
+        if not self.primary or self.best_metric not in metrics:
             return False
         value = float(metrics[self.best_metric])
         current: Optional[float] = None

@@ -83,6 +83,10 @@ class Trainer:
         self.ack_fn = ack_fn
         self.world_size = world_size
         self.contract_fingerprints = dict(contract_fingerprints or {})
+        self._procs = jax.process_count()
+        self._primary = jax.process_index() == 0
+        if self._procs > 1 and mesh is None:
+            raise ValueError("multi-process training requires a mesh")
 
         if config.total_steps is None:
             try:
@@ -100,6 +104,26 @@ class Trainer:
             variables["params"], variables.get("buffers", {}), self.tx,
             trainable_mask=trainable_mask,
         )
+        if self.mesh is not None:
+            # commit non-fsdp-sharded leaves (buffers, step, frozen tables)
+            # to an explicitly replicated mesh sharding: multi-host jit
+            # rejects single-device-committed inputs, and resume templates
+            # must carry global shardings
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+            def _commit(x):
+                s = getattr(x, "sharding", None)
+                if isinstance(s, NamedSharding) and s.mesh.shape == dict(
+                    self.mesh.shape
+                ):
+                    return x  # already mesh-sharded (params / opt moments)
+                return jax.device_put(x, rep)
+
+            put_rep = lambda t: jax.tree_util.tree_map(_commit, t)  # noqa: E731
+            self.state = jax.tree_util.tree_map(_commit, self.state)
+            self.frozen = put_rep(self.frozen)
         self.train_step = make_train_step(
             strategy,
             self.tx,
@@ -109,16 +133,30 @@ class Trainer:
             lr_schedule=self.lr_schedule,
             trainable_mask=trainable_mask,
         )
+        from specforge_tpu.parallel.multihost import barrier as mh_barrier
+
         self.checkpoints = CheckpointManager(
             config.output_dir,
             config.run_id,
             max_checkpoints=config.max_checkpoints,
+            primary=self._primary,
+            barrier_fn=mh_barrier,
         )
-        self.evaluator = Evaluator(strategy, self.metadata)
+        self.evaluator = Evaluator(
+            strategy, self.metadata,
+            device_put_fn=(
+                self._device_put_eval_batch if self._procs > 1 else None
+            ),
+        )
         self.profiler = StepProfiler(config.profiling, config.run_id)
         self.progress = Progress()
         self._batch_sharding = (
             batch_sharding(self.mesh) if self.mesh is not None else None
+        )
+        self._eval_batch_sharding = (
+            batch_sharding(self.mesh, leading_accum=False)
+            if self.mesh is not None
+            else None
         )
 
     # --- contract --------------------------------------------------------
@@ -140,6 +178,14 @@ class Trainer:
 
     # --- device placement ------------------------------------------------
     def _device_put_batch(self, stacked: Dict[str, np.ndarray]):
+        if self._procs > 1:
+            # per-host local shards → one global array per tensor
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(v)
+                )
+                for k, v in stacked.items()
+            }
         if self._batch_sharding is None:
             return {k: jax.device_put(v) for k, v in stacked.items()}
         out = {}
@@ -149,6 +195,14 @@ class Trainer:
             except ValueError:
                 out[k] = jax.device_put(v)  # non-divisible: replicate
         return out
+
+    def _device_put_eval_batch(self, tensors: Dict[str, np.ndarray]):
+        return {
+            k: jax.make_array_from_process_local_data(
+                self._eval_batch_sharding, np.asarray(v)
+            )
+            for k, v in tensors.items()
+        }
 
     def _accum_groups(self, loader) -> Iterable[tuple]:
         """Group ``accum_steps`` consecutive TrainBatch into one [A, B, ...]
@@ -180,6 +234,7 @@ class Trainer:
 
         perf = PerfCounters()
         last_metrics: Dict[str, float] = {}
+        last_metrics_dev: Dict[str, Any] = {}
         try:
             for epoch in range(start_epoch, cfg.num_epochs):
                 self.progress.epoch = epoch
@@ -203,12 +258,9 @@ class Trainer:
 
                     t0 = time.monotonic()
                     batch = self._device_put_batch(stacked)
-                    self.state, metrics = self.train_step(
+                    self.state, metrics_dev = self.train_step(
                         self.state, batch, self.frozen
                     )
-                    metrics = {
-                        k: float(v) for k, v in jax.device_get(metrics).items()
-                    }
                     perf.compute_s += time.monotonic() - t0
 
                     n_samples = len(sample_ids)
@@ -224,32 +276,48 @@ class Trainer:
                         perf.ack_s += time.monotonic() - t0
 
                     self.profiler.on_step_end(step)
-                    last_metrics = metrics
+                    # metric arrays stay on device until a boundary needs
+                    # them — no per-step host sync (host/device overlap)
+                    last_metrics_dev = metrics_dev
 
                     new_step = step + 1
                     if cfg.log_interval and new_step % cfg.log_interval == 0:
+                        last_metrics = self._pull_metrics(last_metrics_dev)
+                        metrics = dict(last_metrics)
                         metrics.update(perf.window_metrics(n_samples))
                         self.tracker.log(metrics, new_step)
                         perf.reset()
                     if cfg.eval_interval and new_step % cfg.eval_interval == 0:
+                        last_metrics = self._pull_metrics(last_metrics_dev)
                         last_metrics.update(self._evaluate(new_step))
+                        last_metrics_dev = last_metrics
                     if (
                         cfg.checkpoint_interval
                         and new_step % cfg.checkpoint_interval == 0
                     ):
+                        last_metrics = self._pull_metrics(last_metrics_dev)
                         self._save(new_step, batch_size_hint, last_metrics)
                     data_t0 = time.monotonic()
 
                 # end of epoch: eval + checkpoint (progress records the NEXT
                 # position so resume starts at the following epoch)
+                last_metrics = self._pull_metrics(last_metrics_dev)
                 eval_metrics = self._evaluate(int(self.state.step))
                 last_metrics.update(eval_metrics)
+                last_metrics_dev = last_metrics
                 self.progress.epoch = epoch + 1
                 self.progress.samples_consumed = 0
                 self._save(int(self.state.step), batch_size_hint, last_metrics)
         finally:
             self.profiler.finalize()
         return last_metrics
+
+    def _pull_metrics(self, metrics_dev: Dict[str, Any]) -> Dict[str, float]:
+        if not metrics_dev:
+            return {}
+        if all(isinstance(v, float) for v in metrics_dev.values()):
+            return dict(metrics_dev)
+        return {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
 
     # --- eval / checkpoint ----------------------------------------------
     def _evaluate(self, step: int) -> Dict[str, float]:
@@ -268,11 +336,18 @@ class Trainer:
         self.checkpoints.maybe_update_best(step, metrics)
 
     def _restore(self, step: int) -> None:
-        template = jax.tree_util.tree_map(np.asarray, jax.device_get(self.state))
+        # abstract template: orbax restores straight into each leaf's live
+        # sharding (multi-host: each host reads only its shards)
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.Array)
+            else np.asarray(x),
+            self.state,
+        )
         state, progress, _metrics = self.checkpoints.restore(
             step, template, contract=self.resume_contract()
         )
-        self.state = jax.tree_util.tree_map(jax.device_put, state)
+        self.state = state
         self.progress = progress
         logger.info(
             "resumed %s at step %d (epoch %d, samples %d)",

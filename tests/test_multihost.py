@@ -1,0 +1,181 @@
+"""Multi-host (2-process × 4-device) offline training parity.
+
+The highest-leverage VERDICT item: a real multi-process run through the
+production composition/trainer/checkpoint paths must match the
+single-process 8-device run — same global batches, same mesh shape, same
+collective math (ref launch.py:1432-1539, controller.py:817-828; parity gate
+discipline of docs/benchmarks/eagle3-disaggregated-parity.md).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from specforge_tpu.application.composition import build_training_run
+from specforge_tpu.config.schema import Config
+from specforge_tpu.parallel.multihost import shard_refs_for_process
+from tests._fixtures import H, MAXLEN, V, VD, write_offline_dataset
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_DRAFT_CONFIG = {
+    "architectures": ["LlamaEagle3Draft"],
+    "vocab_size": V,
+    "draft_vocab_size": VD,
+    "hidden_size": H,
+    "intermediate_size": 64,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "num_hidden_layers": 1,
+    "max_position_embeddings": 128,
+}
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _config_payload(workdir, out_sub):
+    return {
+        "run_id": "mh0",
+        "output_dir": os.path.join(workdir, out_sub),
+        "model": {"draft_config": TINY_DRAFT_CONFIG},
+        "data": {
+            "train_data_path": os.path.join(workdir, "data"),
+            "eval_data_path": os.path.join(workdir, "data"),
+            "max_length": MAXLEN,
+            "num_workers": 0,
+        },
+        "training": {
+            "strategy": "eagle3",
+            "batch_size": 8,   # GLOBAL batch; 4 per process
+            "num_epochs": 1,
+            "log_interval": 1,
+            "ttt_length": 2,
+            "learning_rate": 1e-3,
+        },
+        "tracking": {"backend": "jsonl"},
+    }
+
+
+def _run_workers(workdir, num_epochs, resume):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    script = os.path.join(REPO_ROOT, "tests", "_mh_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(p), "2", str(port), workdir,
+             str(num_epochs), "1" if resume else "0"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+
+def _single_process_reference(workdir, num_epochs):
+    payload = _config_payload(workdir, "runs_single")
+    payload["training"]["num_epochs"] = num_epochs
+    config = Config.model_validate(payload)
+    rng = np.random.default_rng(7)
+    frozen = {
+        "target_head_weight": jnp.asarray(
+            rng.normal(size=(V, H)).astype(np.float32)
+        )
+    }
+    trainer = build_training_run(config, frozen_override=frozen)
+    metrics = trainer.fit()
+    flat = {
+        "/".join(k): np.asarray(jax.device_get(leaf), dtype=np.float32)
+        for k, leaf in traverse_util.flatten_dict(
+            trainer.state.params
+        ).items()
+    }
+    return flat, metrics
+
+
+def test_shard_refs_scheme():
+    refs = list(range(20))
+    p0 = shard_refs_for_process(refs, 8, proc_index=0, proc_count=2)
+    p1 = shard_refs_for_process(refs, 8, proc_index=1, proc_count=2)
+    assert p0 == [0, 1, 2, 3, 8, 9, 10, 11]
+    assert p1 == [4, 5, 6, 7, 12, 13, 14, 15]  # trailing 4 dropped everywhere
+    assert shard_refs_for_process(refs, 8, proc_index=0, proc_count=1) == refs
+    with pytest.raises(ValueError):
+        shard_refs_for_process(refs, 7, proc_index=0, proc_count=2)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    workdir = str(tmp_path)
+    write_offline_dataset(os.path.join(workdir, "data"), n=16)
+    with open(os.path.join(workdir, "run_config.json"), "w") as f:
+        json.dump(_config_payload(workdir, "runs_mh"), f)
+
+    _run_workers(workdir, num_epochs=1, resume=False)
+    single_params, single_metrics = _single_process_reference(workdir, 1)
+
+    mh = np.load(os.path.join(workdir, "mh_params.npz"))
+    assert set(mh.files) == set(single_params)
+    for name in single_params:
+        np.testing.assert_allclose(
+            mh[name], single_params[name], rtol=2e-5, atol=2e-6,
+            err_msg=name,
+        )
+    with open(os.path.join(workdir, "mh_metrics.json")) as f:
+        mh_metrics = json.load(f)
+    for key in ("eval/simulated_acc_len", "train/loss"):
+        if key in single_metrics and key in mh_metrics:
+            assert abs(mh_metrics[key] - float(single_metrics[key])) < 1e-4
+
+    # the primary wrote metrics + checkpoint artifacts exactly once
+    runs_mh = os.path.join(workdir, "runs_mh")
+    assert os.path.exists(os.path.join(runs_mh, "mh0.metrics.jsonl"))
+    assert os.path.exists(os.path.join(runs_mh, "mh0.latest"))
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host orbax save + restore: run 2 epochs with per-step
+    checkpoints, simulate a crash after step 3 (rewind the latest marker,
+    the e2e pattern), resume — must match an uninterrupted single-process
+    2-epoch run."""
+    workdir = str(tmp_path)
+    write_offline_dataset(os.path.join(workdir, "data"), n=16)
+    payload = _config_payload(workdir, "runs_mh")
+    payload["training"]["save_interval"] = 1
+    with open(os.path.join(workdir, "run_config.json"), "w") as f:
+        json.dump(payload, f)
+
+    _run_workers(workdir, num_epochs=2, resume=False)
+    # crash simulation: step 3 is mid-epoch-1 (2 steps/epoch)
+    with open(os.path.join(workdir, "runs_mh", "mh0.latest"), "w") as f:
+        f.write("3")
+    _run_workers(workdir, num_epochs=2, resume=True)
+    single_params, _ = _single_process_reference(workdir, 2)
+
+    mh = np.load(os.path.join(workdir, "mh_params.npz"))
+    for name in single_params:
+        np.testing.assert_allclose(
+            mh[name], single_params[name], rtol=2e-5, atol=2e-6,
+            err_msg=name,
+        )
