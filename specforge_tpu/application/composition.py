@@ -314,6 +314,13 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
             f"training.batch_size={t.batch_size} must be divisible by "
             f"{procs} processes"
         )
+    if procs > 1 and mesh is not None:
+        batch_devices = mesh.shape["dp"] * mesh.shape["fsdp"]
+        if t.batch_size % batch_devices != 0:
+            raise ValueError(
+                f"training.batch_size={t.batch_size} (global) must be "
+                f"divisible by dp*fsdp={batch_devices} devices"
+            )
     local_batch = t.batch_size // procs
     contract = reg.spec.contract_for(FeatureMode.OFFLINE)
     collate = PaddingCollator(
