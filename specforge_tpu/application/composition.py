@@ -232,9 +232,43 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
     t = config.training
     options = _strategy_options(config)
 
-    draft, draft_config = providers.build_draft(resolved.draft_config_dict)
+    # mesh first: the USP attention backend needs the mesh inside the model
+    n_devices = jax.device_count()
+    fsdp = t.fsdp_size or max(
+        n_devices // (t.dp_size * t.sp_ulysses_size * t.sp_ring_size), 1
+    )
+    mesh_cfg = MeshConfig(
+        dp=t.dp_size, fsdp=fsdp,
+        sp_ulysses=t.sp_ulysses_size, sp_ring=t.sp_ring_size,
+    )
+    mesh = build_mesh(mesh_cfg) if mesh_cfg.world_size == n_devices else None
+    use_usp = t.attention_backend == "usp"
+    if use_usp:
+        if mesh is None:
+            raise ValueError(
+                f"attention_backend=usp needs a full mesh: {mesh_cfg} vs "
+                f"{n_devices} devices"
+            )
+        sp = t.sp_ulysses_size * t.sp_ring_size
+        if config.data.max_length % sp != 0:
+            raise ValueError(
+                f"data.max_length={config.data.max_length} must be divisible "
+                f"by sp_ulysses*sp_ring={sp} for USP"
+            )
+
+    compute_dtype = (
+        jnp.float32
+        if config.model.compute_dtype == "float32"
+        else jnp.bfloat16
+    )
+    draft, draft_config = providers.build_draft(
+        resolved.draft_config_dict, dtype=compute_dtype
+    )
     if t.strategy == "eagle3" and t.attention_backend != "dense":
-        draft = draft.clone(attention_backend=t.attention_backend)
+        draft = draft.clone(
+            attention_backend=t.attention_backend,
+            mesh=mesh if use_usp else None,
+        )
     if options.get("mask_token_id") is None:
         options["mask_token_id"] = getattr(draft_config, "mask_token_id", 0)
     model = providers.build_training_model(draft, options)
@@ -289,16 +323,7 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
             ),
         }
 
-    # mesh
-    n_devices = jax.device_count()
-    fsdp = t.fsdp_size or max(
-        n_devices // (t.dp_size * t.sp_ulysses_size * t.sp_ring_size), 1
-    )
-    mesh_cfg = MeshConfig(
-        dp=t.dp_size, fsdp=fsdp,
-        sp_ulysses=t.sp_ulysses_size, sp_ring=t.sp_ring_size,
-    )
-    mesh = build_mesh(mesh_cfg) if mesh_cfg.world_size == n_devices else None
+    # shard params over the mesh (built above, before the draft clone)
     if mesh is not None:
         variables = {
             **variables,
@@ -309,19 +334,26 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
     # host loads only its own rows (ref launch.py:174-219 per-rank sharding)
     if not config.data.train_data_path:
         raise ValueError("data.train_data_path is required for offline runs")
-    if t.batch_size % procs != 0:
-        raise ValueError(
-            f"training.batch_size={t.batch_size} must be divisible by "
-            f"{procs} processes"
-        )
     if procs > 1 and mesh is not None:
+        from specforge_tpu.parallel.multihost import process_batch_blocks
+
         batch_devices = mesh.shape["dp"] * mesh.shape["fsdp"]
         if t.batch_size % batch_devices != 0:
             raise ValueError(
                 f"training.batch_size={t.batch_size} (global) must be "
                 f"divisible by dp*fsdp={batch_devices} devices"
             )
-    local_batch = t.batch_size // procs
+        _, my_blocks, total_blocks = process_batch_blocks(mesh)
+        local_batch = (t.batch_size // total_blocks) * my_blocks
+    elif procs > 1:
+        if t.batch_size % procs != 0:
+            raise ValueError(
+                f"training.batch_size={t.batch_size} must be divisible by "
+                f"{procs} processes"
+            )
+        local_batch = t.batch_size // procs
+    else:
+        local_batch = t.batch_size
     contract = reg.spec.contract_for(FeatureMode.OFFLINE)
     collate = PaddingCollator(
         CollatorConfig(
@@ -332,7 +364,7 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
 
     def make_loader(root):
         refs = OfflineManifestReader(root).read()
-        refs = shard_refs_for_process(refs, t.batch_size)
+        refs = shard_refs_for_process(refs, t.batch_size, mesh=mesh)
         return FeatureDataLoader(
             FileFeatureStore(), collate, refs=refs,
             batch_size=local_batch, num_workers=config.data.num_workers,
@@ -408,5 +440,6 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         trainable_mask=trainable_mask,
         metadata=metadata,
         world_size=procs,
+        seq_sharded=use_usp,
         contract_fingerprints=fingerprints,
     )

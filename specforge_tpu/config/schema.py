@@ -44,6 +44,9 @@ class ModelConfig(StrictModel):
     aux_hidden_state_layer_ids: Optional[List[int]] = None
     lm_head_key: str = "lm_head.weight"
     embed_key: str = "model.embed_tokens.weight"
+    #: activation/compute dtype for the draft (params stay fp32 masters);
+    #: float32 is for parity gates and debugging.
+    compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
 
     @model_validator(mode="after")
     def _one_draft_source(self):

@@ -139,12 +139,45 @@ def make_global_batch(
     return out
 
 
+def process_batch_blocks(mesh, proc_index: Optional[int] = None):
+    """This process's slice of the flattened ``(dp, fsdp)`` batch-block axis.
+
+    Returns ``(first_block, n_blocks_mine, n_blocks_total)``. With sequence
+    parallelism the sp axes may span processes: processes in the same batch
+    block then hold the SAME samples (each materializing its own sequence
+    chunk at device_put time) — the TPU-native equivalent of the reference's
+    per-SP-rank pre-sharded dataset (``process_data_usp``,
+    specforge/data/preprocessing.py:109-394).
+    """
+    import jax
+
+    devs = mesh.devices  # ndarray [dp, fsdp, sp_u, sp_r]
+    fsdp = devs.shape[1]
+    pid = jax.process_index() if proc_index is None else proc_index
+    blocks = sorted(
+        {
+            idx[0] * fsdp + idx[1]
+            for idx, dev in np.ndenumerate(devs)
+            if dev.process_index == pid
+        }
+    )
+    if not blocks:
+        raise ValueError(f"process {pid} owns no devices in mesh {mesh}")
+    if blocks != list(range(blocks[0], blocks[0] + len(blocks))):
+        raise ValueError(
+            f"process {pid} owns non-contiguous batch blocks {blocks}; "
+            "reorder mesh axes so dp/fsdp are outermost per process"
+        )
+    return blocks[0], len(blocks), devs.shape[0] * fsdp
+
+
 def shard_refs_for_process(
     refs: Sequence[Any],
     global_batch_size: int,
     *,
     proc_index: Optional[int] = None,
     proc_count: Optional[int] = None,
+    mesh=None,
 ) -> List[Any]:
     """Slice an ordered global ref list down to this process's share.
 
@@ -156,16 +189,27 @@ def shard_refs_for_process(
     equal — the property that makes eval/collective schedules deadlock-free
     (ref eval/evaluator.py:27-222).
     """
-    p = proc_index if proc_index is not None else process_index()
     n = proc_count if proc_count is not None else process_count()
     if n <= 1:
         return list(refs)
-    if global_batch_size % n != 0:
-        raise ValueError(
-            f"global batch {global_batch_size} not divisible by "
-            f"{n} processes"
-        )
-    local = global_batch_size // n
+    if mesh is not None:
+        first, mine, total = process_batch_blocks(mesh, proc_index)
+        if global_batch_size % total != 0:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{total} batch blocks (dp*fsdp)"
+            )
+        per_block = global_batch_size // total
+        start, local = first * per_block, mine * per_block
+    else:
+        p = proc_index if proc_index is not None else process_index()
+        if global_batch_size % n != 0:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{n} processes"
+            )
+        local = global_batch_size // n
+        start = p * local
     n_batches = len(refs) // global_batch_size
     dropped = len(refs) - n_batches * global_batch_size
     if dropped:
@@ -175,6 +219,6 @@ def shard_refs_for_process(
         )
     out: List[Any] = []
     for g in range(n_batches):
-        base = g * global_batch_size + p * local
+        base = g * global_batch_size + start
         out.extend(refs[base: base + local])
     return out

@@ -70,6 +70,7 @@ class Trainer:
         metadata: Optional[Dict[str, Any]] = None,
         ack_fn: Optional[Callable[[List[str], int], None]] = None,
         world_size: int = 1,
+        seq_sharded: bool = False,
         contract_fingerprints: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.strategy = strategy
@@ -87,6 +88,11 @@ class Trainer:
         self._primary = jax.process_index() == 0
         if self._procs > 1 and mesh is None:
             raise ValueError("multi-process training requires a mesh")
+        self._row_blocks = None
+        if self._procs > 1:
+            from specforge_tpu.parallel.multihost import process_batch_blocks
+
+            self._row_blocks = process_batch_blocks(mesh)
 
         if config.total_steps is None:
             try:
@@ -151,10 +157,14 @@ class Trainer:
         self.profiler = StepProfiler(config.profiling, config.run_id)
         self.progress = Progress()
         self._batch_sharding = (
-            batch_sharding(self.mesh) if self.mesh is not None else None
+            batch_sharding(self.mesh, seq_axis_sharded=seq_sharded)
+            if self.mesh is not None
+            else None
         )
         self._eval_batch_sharding = (
-            batch_sharding(self.mesh, leading_accum=False)
+            batch_sharding(
+                self.mesh, seq_axis_sharded=seq_sharded, leading_accum=False
+            )
             if self.mesh is not None
             else None
         )
@@ -177,13 +187,45 @@ class Trainer:
         )
 
     # --- device placement ------------------------------------------------
+    def _global_array(self, local: np.ndarray, sharding, batch_dim: int):
+        """Assemble a global array from this host's batch-row block.
+
+        Each host holds only its own batch rows (full sequences); the
+        callback serves each addressable device shard by translating global
+        batch indices to local ones. Sequence-axis shards (USP) slice out of
+        the locally-full sequence — the TPU-native process_data_usp."""
+        first, mine, total = self._row_blocks
+        local = np.asarray(local)
+        rows_local = local.shape[batch_dim]
+        per_block, rem = divmod(rows_local, mine)
+        if rem:
+            raise ValueError(
+                f"local batch {rows_local} not divisible by {mine} "
+                "owned batch blocks"
+            )
+        offset = first * per_block
+        global_shape = (
+            local.shape[:batch_dim]
+            + (per_block * total,)
+            + local.shape[batch_dim + 1:]
+        )
+
+        def cb(index):
+            idx = list(index)
+            sl = idx[batch_dim]
+            start = (sl.start or 0) - offset
+            stop = (
+                sl.stop if sl.stop is not None else global_shape[batch_dim]
+            ) - offset
+            idx[batch_dim] = slice(start, stop)
+            return local[tuple(idx)]
+
+        return jax.make_array_from_callback(global_shape, sharding, cb)
+
     def _device_put_batch(self, stacked: Dict[str, np.ndarray]):
         if self._procs > 1:
-            # per-host local shards → one global array per tensor
             return {
-                k: jax.make_array_from_process_local_data(
-                    self._batch_sharding, np.asarray(v)
-                )
+                k: self._global_array(v, self._batch_sharding, batch_dim=1)
                 for k, v in stacked.items()
             }
         if self._batch_sharding is None:
@@ -198,9 +240,7 @@ class Trainer:
 
     def _device_put_eval_batch(self, tensors: Dict[str, np.ndarray]):
         return {
-            k: jax.make_array_from_process_local_data(
-                self._eval_batch_sharding, np.asarray(v)
-            )
+            k: self._global_array(v, self._eval_batch_sharding, batch_dim=0)
             for k, v in tensors.items()
         }
 
