@@ -1,12 +1,14 @@
-"""Benchmark: EAGLE3 train-step MFU on one TPU chip.
+"""Benchmark: train-step MFU on one TPU chip.
 
-Measures the full jitted training step (compact-teacher projection + 7-step TTT
-unroll + fused CE loss + AdamW update) at a Qwen3-8B-eagle3-shaped draft config
-(configs/qwen3-8b-eagle3.json in the reference), and reports model FLOPs
-utilization against the chip's bf16 peak.
+``BENCH_ALGO=domino`` (default) measures the Domino training step at the
+reference's exact anchor config (qwen3-8b-domino.json: 5 layers, h4096,
+block 16 × 256 anchors, seq 768, bs 2 — BASELINE.md 43.5% H200 MFU,
+bench_domino_mfu.py:8-27). ``BENCH_ALGO=eagle3`` measures the EAGLE3 step
+(compact-teacher + 7-step TTT + fused CE) at the Qwen3-8B eagle3 shape.
 
-Comparison anchor (BASELINE.md): the reference Domino trainer sustains 43.5-44.1%
-MFU on H200; ``vs_baseline`` is our MFU / 0.435.
+FLOP accounting is conservative: 3x fwd matmul FLOPs for trainable-weight
+paths, 2x for frozen-weight paths (no remat recompute counted) — stricter
+than the reference's FlopCounterMode ~45 TFLOP/sample for Domino.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -74,11 +76,172 @@ def analytic_step_flops(b, s, cfg, length, target_vocab):
     return 3.0 * train_fwd + teacher
 
 
+def domino_step_flops(b, s, cfg, num_anchors, attn_chunk_blocks=8):
+    """Matmul FLOPs for one Domino optimizer step (our model's actual
+    compute graph; 3x trainable, 2x frozen-weight paths, no remat)."""
+    h = cfg.hidden_size
+    d = cfg.head_dim or (h // cfg.num_attention_heads)
+    heads = cfg.num_attention_heads
+    kvh = cfg.num_key_value_heads
+    inter = cfg.intermediate_size
+    v = cfg.vocab_size
+    n_capture = len(cfg.resolved_target_layer_ids)
+    block = cfg.block_size
+    q_len = num_anchors * block
+    tc = b * s          # context tokens
+    tq = b * q_len      # draft (mask-token) tokens
+    cq = min(attn_chunk_blocks, num_anchors) * block
+
+    def mm(m, k, n):
+        return 2.0 * m * k * n
+
+    train = 0.0
+    train += mm(tc, n_capture * h, h)                   # hidden projector
+    layers = cfg.num_hidden_layers
+    train += layers * 2 * mm(tc, h, kvh * d)            # ctx k, v
+    train += layers * (mm(tq, h, heads * d) + 2 * mm(tq, h, kvh * d))
+    train += layers * mm(tq, heads * d, h)              # o
+    train += layers * 2 * (2.0 * b * heads * q_len * (s + cq) * d)  # qk, pv
+    train += layers * 3 * mm(tq, h, inter)              # gate, up, down
+    if cfg.gru_hidden_dim:                              # domino GRU + MLP
+        gh = cfg.gru_hidden_dim
+        train += 2.0 * tq * (h * 3 * gh + gh * 3 * gh)
+        train += mm(tq, gh + h, cfg.emb_dim)
+        train += mm(tq, cfg.emb_dim, v)
+    frozen = mm(tq, h, v)                               # base logits (lm_head)
+    return 3.0 * train + 2.0 * frozen
+
+
+def bench_domino(batch, seq, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from specforge_tpu.algorithms.builtin import builtin_algorithm_registry
+    from specforge_tpu.training.optimizer import OptimizerConfig, build_optimizer
+    from specforge_tpu.training.train_step import TrainState, make_train_step
+
+    num_anchors = int(os.environ.get("BENCH_ANCHORS", "256"))
+    obj_chunk = int(os.environ.get("BENCH_OBJ_CHUNK", "8"))
+    moments_dtype = os.environ.get("BENCH_MOMENTS_DTYPE", "bfloat16")
+    vocab = int(os.environ.get("BENCH_TARGET_VOCAB", "151936"))
+    # the reference anchor config: configs/qwen3-8b-domino.json
+    draft_config = {
+        "architectures": ["DominoDraftModel"],
+        "vocab_size": vocab,
+        "hidden_size": 4096,
+        "intermediate_size": 12288,
+        "num_attention_heads": 32,
+        "num_key_value_heads": 8,
+        "head_dim": 128,
+        "num_hidden_layers": 5,
+        "num_target_layers": 36,
+        "max_position_embeddings": 40960,
+        "rope_theta": 1e6,
+        "block_size": 16,
+        "dflash_config": {
+            "mask_token_id": 151669,
+            "target_layer_ids": [1, 9, 17, 25, 33],
+            "projector_type": "domino",
+            "pure_draft_prefix_len": 1,
+            "emb_dim": 256,
+            "gru_hidden_dim": 1024,
+            "shift_label": True,
+        },
+    }
+    reg = builtin_algorithm_registry().resolve("domino")
+    providers = reg.providers
+    options = {
+        "num_anchors": num_anchors,
+        "objective_chunk_blocks": obj_chunk,
+        "mask_token_id": 151669,
+        "seed": 0,
+        "lambda_start": 1.0,
+        "decay_ratio": 0.5,
+    }
+    draft, cfg = providers.build_draft(draft_config, dtype=jnp.bfloat16)
+    model = providers.build_training_model(draft, options)
+    strategy = providers.build_strategy(model, options)
+
+    rng = jax.random.PRNGKey(0)
+    print("initializing domino params...", file=sys.stderr)
+    variables = providers.init_variables(model, cfg, options, rng, seq)
+    # 1.07B-param draft + fp32 Adam state exceeds one v5e chip's 15.75G HBM
+    # (multi-chip runs shard it over fsdp) — bf16 moments fit the single-chip
+    # anchor measurement
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-4, moments_dtype=moments_dtype), 1000
+    )
+    state = TrainState.create(variables["params"], variables.get("buffers", {}), tx)
+    variables = None
+    step_fn = make_train_step(
+        strategy, tx, accum_steps=1, total_steps=1000,
+        metadata={"target_repr": "hidden_state"},
+    )
+
+    np_rng = np.random.default_rng(0)
+    n_capture = len(cfg.resolved_target_layer_ids)
+    batch_tensors = {
+        "input_ids": jnp.asarray(
+            np_rng.integers(0, vocab, size=(1, batch, seq))
+        ),
+        "loss_mask": jnp.asarray(
+            (np_rng.random((1, batch, seq, 1)) > 0.2).astype(np.int32)
+        ),
+        "hidden_states": jnp.asarray(
+            np_rng.normal(size=(1, batch, seq, n_capture * cfg.hidden_size))
+        ).astype(jnp.bfloat16),
+    }
+    import jax as _jax
+
+    head_w = _jax.random.normal(
+        _jax.random.PRNGKey(1), (vocab, cfg.hidden_size), jnp.bfloat16
+    ) * 0.02
+    embed_w = _jax.random.normal(
+        _jax.random.PRNGKey(2), (vocab, cfg.hidden_size), jnp.bfloat16
+    ) * 0.02
+    frozen = {"target_head_weight": head_w, "target_embed_weight": embed_w}
+
+    print("compiling domino train step...", file=sys.stderr)
+    t0 = time.monotonic()
+    state, metrics = step_fn(state, batch_tensors, frozen)
+    _ = float(metrics["train/loss"])
+    print(f"compile+first step: {time.monotonic()-t0:.1f}s", file=sys.stderr)
+    state, metrics = step_fn(state, batch_tensors, frozen)
+    _ = float(metrics["train/loss"])
+    t0 = time.monotonic()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_tensors, frozen)
+    final_loss = float(metrics["train/loss"])
+    dt = (time.monotonic() - t0) / steps
+
+    flops = domino_step_flops(batch, seq, cfg, num_anchors)
+    peak, gen = detect_peak()
+    mfu = flops / dt / peak
+    print(
+        f"domino step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
+        f"{flops/dt/1e12:.1f}TF/s peak[{gen}]={peak/1e12:.0f}TF/s "
+        f"loss={final_loss:.3f}",
+        file=sys.stderr,
+    )
+    return mfu, "domino_train_step_mfu"
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     seq = int(os.environ.get("BENCH_SEQ", "768"))
     length = int(os.environ.get("BENCH_TTT_LENGTH", "7"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))
+
+    algo = os.environ.get("BENCH_ALGO", "domino")
+    if algo == "domino":
+        mfu, metric = bench_domino(batch, seq, steps)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(mfu, 4),
+            "unit": "fraction_of_peak_bf16",
+            "vs_baseline": round(mfu / BASELINE_MFU, 4),
+        }))
+        return
 
     import jax
     import jax.numpy as jnp

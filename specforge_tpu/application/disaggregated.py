@@ -82,6 +82,22 @@ def run_producer(config: Config, *, poll_interval: float = 0.2) -> int:
     controller.ingest_prompts(tasks)
 
     channel = StreamingRefChannel(_control_dir(config))
+    # producer restart recovery: the channel file is the durable record of
+    # what was already published — skip those prompts (exactly-once
+    # publication; a crash between store-put and publish re-captures, which
+    # at worst overwrites the same store keys). Ref: reference producer
+    # re-lease/attempt-cap semantics, launch.py:853-861.
+    replayed, _closed, _failure = StreamingRefChannel(_control_dir(config)).poll()
+    already_produced = 0
+    for ref in replayed:
+        pid = ref.prompt_id or ref.sample_id.split("/", 1)[0]
+        controller.complete_prompt(pid)
+        already_produced += 1
+    if already_produced:
+        logger.info(
+            "producer restart: skipping %d already-published prompts",
+            already_produced,
+        )
     flow = ProducerFlowControl(FlowControlConfig(
         high_watermark_refs=config.runtime.flow_high_watermark,
         low_watermark_refs=config.runtime.flow_low_watermark,
@@ -219,7 +235,14 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     controller = DataFlowController(ledger)
     window = t.batch_size * t.accumulation_steps
     channel.publish_consumer_quantum(window)
-    inbox_dir = os.path.join(state_dir, "inboxes")
+    # restart generation: a killed-and-restarted consumer must not replay
+    # inbox entries that were durably acked — each (re)start writes/reads a
+    # fresh inbox keyed by the ledger's durable step marker, and the
+    # distributor requeues exactly the committed-but-unacked tail
+    # (reference reconcile_on_restart, control_plane/controller.py:228 +
+    # tests/test_recovery.py semantics)
+    durable = ledger.durable_step() or 0
+    inbox_dir = os.path.join(state_dir, f"inboxes-g{durable}")
     distributor = RefDistributor(
         channel, controller, inbox_dir, world_size=1, window_samples=window
     )
@@ -265,13 +288,28 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
 
     release_fn = getattr(store, "release_refs", None)
 
-    def ack_fn(sample_ids: List[str], step: int):
-        controller.ack_train_refs(sample_ids, step)
-        refs = [ref_by_id.pop(sid) for sid in sample_ids if sid in ref_by_id]
+    # ack durability must never run ahead of checkpoint durability: acks are
+    # buffered and flushed only at checkpoint boundaries (and at run end), so
+    # a crash-restart resumes from the checkpoint with every unacked sample
+    # redelivered — exactly-once training relative to the restored state.
+    ack_every = t.save_interval if t.save_interval > 0 else 1
+    ack_buffer: List[str] = []
+
+    def _flush_acks(step: int):
+        if not ack_buffer:
+            return
+        ids, ack_buffer[:] = list(ack_buffer), []
+        controller.ack_train_refs(ids, step)
+        refs = [ref_by_id.pop(sid) for sid in ids if sid in ref_by_id]
         if release_fn is not None:
             release_fn(refs)
         else:
-            store.release(sample_ids)
+            store.release(ids)
+
+    def ack_fn(sample_ids: List[str], step: int):
+        ack_buffer.extend(sample_ids)
+        if step % ack_every == 0:
+            _flush_acks(step)
 
     tracker = build_tracker(
         config.tracking.backend, output_dir=config.output_dir,
@@ -304,6 +342,7 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     )
     try:
         metrics = trainer.fit()
+        _flush_acks(int(trainer.state.step))
         if feeder.failure:
             raise RuntimeError(f"producer failed: {feeder.failure}")
         return metrics

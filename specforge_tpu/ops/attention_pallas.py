@@ -384,6 +384,284 @@ def _ttt_flash_bwd(tq, tk, interpret, residuals, do):
 ttt_flash_attention_flat.defvjp(_ttt_flash_fwd, _ttt_flash_bwd)
 
 
+# --------------------------------------------------------------------------
+# offset-causal flash attention with LSE output (the ring-hop kernel)
+# --------------------------------------------------------------------------
+#
+# One ring hop attends local queries (global rows ``row_off + i``) to a
+# rotated K/V chunk (global cols ``col_off + j``) under GLOBAL causality
+# ``col <= row`` — which unifies the three hop cases (earlier chunk: all
+# allowed; own chunk: locally causal; later chunk: nothing) without a
+# per-device static branch. Returns the normalized output AND the row LSE so
+# hops (and TTT branch logits) merge in XLA by log-sum-exp — the reference
+# ring_flash_attn update_out_and_lse (layers/ring/ring_flash_attn.py:7,
+# utils.py:10-51) with the O(S_g^2) fp32 score matrix replaced by this tiled
+# kernel (VERDICT W1).
+
+
+def _lse_fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref,
+                    o_ref, lse_ref, m_acc, l_acc, o_acc,
+                    *, scale, tq, tk, sk):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+    row_off, col_off = off_ref[0], off_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_acc[...] = jnp.full_like(m_acc, NEG_INF)
+        l_acc[...] = jnp.zeros_like(l_acc)
+        o_acc[...] = jnp.zeros_like(o_acc)
+
+    # tile-skip under global causality (dynamic offsets)
+    @pl.when(j * tk + col_off <= i * tq + tq - 1 + row_off)
+    def _attend():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row, col = _row_ids(tq, tk, i, j)
+        allow = (col + col_off <= row + row_off) & (col < sk)
+        allow = allow & (valid_ref[0, 0] != 0)[None, :]
+        s = jnp.where(allow, s, NEG_INF)
+        m_old = m_acc[:, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(allow, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_old - m_new)
+        l_acc[...] = jnp.broadcast_to(
+            l_acc[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True),
+            l_acc.shape,
+        )
+        o_acc[...] = o_acc[...] * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_acc[...] = jnp.broadcast_to(m_new, m_acc.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        m = m_acc[:, 0:1]
+        l = l_acc[:, 0:1]
+        o_ref[0] = (o_acc[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse, (tq, STAT)).astype(jnp.float32)
+
+
+def _lse_bwd_dq_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, lse_ref,
+                       do_ref, dstat_ref, dq_ref, dq_acc,
+                       *, scale, tq, tk, sk):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+    row_off, col_off = off_ref[0], off_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(j * tk + col_off <= i * tq + tq - 1 + row_off)
+    def _attend():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0:1]
+        do = do_ref[0].astype(jnp.float32)
+        dstat = dstat_ref[0][:, 0:1]  # delta - dlse
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row, col = _row_ids(tq, tk, i, j)
+        allow = (col + col_off <= row + row_off) & (col < sk)
+        allow = allow & (valid_ref[0, 0] != 0)[None, :]
+        p = jnp.where(allow, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dstat)
+        dq_acc[...] = dq_acc[...] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _lse_bwd_dkv_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, lse_ref,
+                        do_ref, dstat_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                        *, scale, tq, tk, sk):
+    jk, iq = pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+    row_off, col_off = off_ref[0], off_ref[1]
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(iq * tq + tq - 1 + row_off >= jk * tk + col_off)
+    def _attend():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0:1]
+        do = do_ref[0].astype(jnp.float32)
+        dstat = dstat_ref[0][:, 0:1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row, col = _row_ids(tq, tk, iq, jk)
+        allow = (col + col_off <= row + row_off) & (col < sk)
+        allow = allow & (valid_ref[0, 0] != 0)[None, :]
+        p = jnp.where(allow, jnp.exp(s - lse), 0.0)
+        dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dstat)
+        dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _lse_specs(tq, tk, d, kb_unused=None):
+    q_spec = pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    valid_spec = pl.BlockSpec((1, 1, tk), lambda b, i, j: (b, 0, j),
+                              memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, tq, STAT), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return q_spec, k_spec, valid_spec, stat_spec, off_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_lse(q, k, v, key_valid, offsets, tq, tk, interpret):
+    """Offset-causal flash attention: ``(out [BH,Sq,D], lse [BH,Sq,1])``.
+
+    ``offsets`` is an int32 [2] array (row_offset, col_offset) of GLOBAL
+    positions; allowance is ``col + col_off <= row + row_off`` (plus
+    ``key_valid``). Rows with no allowed key return out=0, lse=-inf.
+    """
+    out, lse, _res = _flash_lse_fwd_impl(q, k, v, key_valid, offsets, tq, tk,
+                                         interpret)
+    return out, lse
+
+
+def _flash_lse_fwd_impl(q, k, v, key_valid, offsets, tq, tk, interpret):
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    tq = min(tq, max(sq, 8))
+    tk = min(tk, max(sk, 8))
+    grid = (bh, pl.cdiv(sq, tq), pl.cdiv(sk, tk))
+    q_spec, k_spec, valid_spec, stat_spec, off_spec = _lse_specs(tq, tk, d)
+    out, lse = pl.pallas_call(
+        functools.partial(_lse_fwd_kernel, scale=scale, tq=tq, tk=tk, sk=sk),
+        grid=grid,
+        in_specs=[off_spec, q_spec, k_spec, k_spec, valid_spec],
+        out_specs=[q_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, STAT), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, STAT), jnp.float32),
+            pltpu.VMEM((tq, STAT), jnp.float32),
+            pltpu.VMEM((tq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(offsets, q, k, v, key_valid[:, None, :])
+    return out, lse[..., :1], None
+
+
+def _flash_lse_fwd(q, k, v, key_valid, offsets, tq, tk, interpret):
+    out, lse, _ = _flash_lse_fwd_impl(q, k, v, key_valid, offsets, tq, tk,
+                                      interpret)
+    return (out, lse), (q, k, v, key_valid, offsets, lse, out)
+
+
+def _flash_lse_bwd(tq, tk, interpret, residuals, grads):
+    do, dlse = grads
+    q, k, v, key_valid, offsets, lse, out = residuals
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    tq = min(tq, max(sq, 8))
+    tk = min(tk, max(sk, 8))
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    # joint stat: ds = p * (dp - delta + dlse)
+    dstat = delta - dlse.astype(jnp.float32)
+    lse_b = jnp.broadcast_to(lse, (bh, sq, STAT))
+    dstat_b = jnp.broadcast_to(dstat, (bh, sq, STAT))
+    valid = key_valid[:, None, :]
+
+    q_spec, k_spec, valid_spec, stat_spec, off_spec = _lse_specs(tq, tk, d)
+    grid_q = (bh, pl.cdiv(sq, tq), pl.cdiv(sk, tk))
+    dq = pl.pallas_call(
+        functools.partial(_lse_bwd_dq_kernel, scale=scale, tq=tq, tk=tk,
+                          sk=sk),
+        grid=grid_q,
+        in_specs=[off_spec, q_spec, k_spec, k_spec, valid_spec, stat_spec,
+                  q_spec, stat_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        interpret=interpret,
+    )(offsets, q, k, v, valid, lse_b, do, dstat_b)
+
+    qi_spec = pl.BlockSpec((1, tq, d), lambda b, jk, iq: (b, iq, 0),
+                           memory_space=pltpu.VMEM)
+    ki_spec = pl.BlockSpec((1, tk, d), lambda b, jk, iq: (b, jk, 0),
+                           memory_space=pltpu.VMEM)
+    stat_i_spec = pl.BlockSpec((1, tq, STAT), lambda b, jk, iq: (b, iq, 0),
+                               memory_space=pltpu.VMEM)
+    valid_i_spec = pl.BlockSpec((1, 1, tk), lambda b, jk, iq: (b, 0, jk),
+                                memory_space=pltpu.VMEM)
+    grid_k = (bh, pl.cdiv(sk, tk), pl.cdiv(sq, tq))
+    dk, dv = pl.pallas_call(
+        functools.partial(_lse_bwd_dkv_kernel, scale=scale, tq=tq, tk=tk,
+                          sk=sk),
+        grid=grid_k,
+        in_specs=[off_spec, qi_spec, ki_spec, ki_spec, valid_i_spec,
+                  stat_i_spec, qi_spec, stat_i_spec],
+        out_specs=[ki_spec, ki_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, d), jnp.float32),
+            pltpu.VMEM((tk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(offsets, q, k, v, valid, lse_b, do, dstat_b)
+    return dq, dk, dv, None, None
+
+
+flash_attention_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
 def ttt_flash_attention(
     q: jnp.ndarray,                # [B, H, S, D]
     keys: List[jnp.ndarray],       # per-branch [B, KVH, S, D]

@@ -24,6 +24,7 @@ and all_to_all have transpose rules); per-hop attention runs under
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -64,6 +65,66 @@ def _chunk_attn_update(q, k, v, allow, m, l, o, scale):
     return m_new, l_new, o_new
 
 
+def _ring_ttt_attention_pallas(
+    q, k0, v0, branch_keys, branch_values, key_valid, axis_name,
+    interpret,
+):
+    """Pallas-tiled ring hops: each hop runs the offset-causal flash kernel
+    (O(tile) memory, no [S_g, S_g] fp32 score matrix — VERDICT W1) and
+    returns (out, lse); hops + TTT branch logits merge by log-sum-exp in XLA
+    (the reference update_out_and_lse, layers/ring/utils.py:10-51)."""
+    from specforge_tpu.ops.attention_pallas import flash_attention_lse
+
+    b, h, s_g, d = q.shape
+    ring_size = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    row_off = my * s_g
+    qf = q.reshape(b * h, s_g, d)
+    perm = [(i, (i + 1) % ring_size) for i in range(ring_size)]
+
+    def flat_valid(vld):
+        if vld is None:
+            return jnp.ones((b * h, s_g), jnp.int32)
+        return jnp.repeat(vld.astype(jnp.int32), h, axis=0).reshape(
+            b * h, s_g
+        )
+
+    outs, lses = [], []
+    k_cur, v_cur, valid_cur = k0, v0, key_valid
+    for hop in range(ring_size):
+        src = (my - hop) % ring_size
+        offsets = jnp.stack(
+            [row_off, src * s_g]
+        ).astype(jnp.int32)
+        out_h, lse_h = flash_attention_lse(
+            qf, k_cur.reshape(b * h, s_g, d), v_cur.reshape(b * h, s_g, d),
+            flat_valid(valid_cur), offsets, 256, 256, interpret,
+        )
+        outs.append(out_h.reshape(b, h, s_g, d).astype(jnp.float32))
+        lses.append(lse_h.reshape(b, h, s_g, 1))
+        if hop != ring_size - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            if valid_cur is not None:
+                valid_cur = jax.lax.ppermute(valid_cur, axis_name, perm)
+
+    # branch diagonal logits fold as single-key attention sources
+    q32 = q.astype(jnp.float32)
+    scale = 1.0 / (d ** 0.5)
+    for ki, vi in zip(branch_keys, branch_values):
+        wi = jnp.sum(
+            q32 * ki.astype(jnp.float32), axis=-1, keepdims=True
+        ) * scale
+        lses.append(wi)
+        outs.append(jnp.broadcast_to(vi.astype(jnp.float32), q.shape))
+
+    m = jnp.max(jnp.concatenate(lses, axis=-1), axis=-1, keepdims=True)
+    m = jnp.maximum(m, NEG_INF)  # all-masked rows stay finite-ish
+    numer = sum(o * jnp.exp(l - m) for o, l in zip(outs, lses))
+    denom = sum(jnp.exp(l - m) for l in lses)
+    return (numer / jnp.maximum(denom, 1e-30)).astype(q.dtype)
+
+
 def ring_ttt_attention(
     q: jnp.ndarray,                 # [B, Hl, S_g, D] (post-ulysses)
     k0: jnp.ndarray,                # branch-0 keys, same shape
@@ -72,12 +133,20 @@ def ring_ttt_attention(
     branch_values: List[jnp.ndarray],
     key_valid: Optional[jnp.ndarray],  # [B, S_g] validity of local k chunk
     axis_name: str,
+    impl: str = "dense",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Ring flash attention over the causal block + local TTT branch merge.
 
     Chunk layout is contiguous: ring rank r owns global positions
     ``[r*S_g, (r+1)*S_g)``. Returns [B, Hl, S_g, D] in q's dtype.
+    ``impl='pallas'`` uses the tiled offset-causal kernel per hop.
     """
+    if impl == "pallas":
+        return _ring_ttt_attention_pallas(
+            q, k0, v0, branch_keys, branch_values, key_valid, axis_name,
+            interpret,
+        )
     b, h, s_g, d = q.shape
     scale = 1.0 / (d ** 0.5)
     ring_size = jax.lax.axis_size(axis_name)
@@ -141,6 +210,8 @@ def usp_ttt_attention_local(
     key_valid: Optional[jnp.ndarray],  # [B, S_loc]
     ulysses_axis: str,
     ring_axis: str,
+    impl: str = "dense",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Full USP TTT attention for one device's shard (call inside shard_map).
 
@@ -163,7 +234,7 @@ def usp_ttt_attention_local(
 
     out = ring_ttt_attention(
         qg, keys_g[0], values_g[0], keys_g[1:], values_g[1:], valid_g,
-        ring_axis,
+        ring_axis, impl=impl, interpret=interpret,
     )
     out = ulysses_gather_heads(out, ulysses_axis)  # [B, H, S_loc, D]
     return out.transpose(0, 2, 1, 3).reshape(b, s_loc, h * d)
@@ -177,13 +248,24 @@ def usp_ttt_attention(
     key_valid: Optional[jnp.ndarray] = None,   # [B, S_global]
     ulysses_axis: str = "sp_ulysses",
     ring_axis: str = "sp_ring",
+    impl: Optional[str] = None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Global-view entry point: shard_maps the local kernel over the sp axes.
 
     The sequence axis is sharded over (ring, ulysses) — ring is the *outer*
     chunking (contiguous global chunks per ring rank), ulysses the inner.
-    Returns the global [B, S_global, H*D].
+    Returns the global [B, S_global, H*D]. ``impl`` defaults to the Pallas
+    tiled ring hop on TPU, dense elsewhere (override via
+    SPECFORGE_USP_HOP=dense|pallas).
     """
+    if impl is None:
+        impl = os.environ.get("SPECFORGE_USP_HOP")
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if impl is None:
+        impl = "pallas" if on_tpu else "dense"
+    if interpret is None:
+        interpret = not on_tpu
     shard_map = jax.shard_map
 
     n_branches = len(keys)
@@ -206,7 +288,7 @@ def usp_ttt_attention(
         return usp_ttt_attention_local(
             q_l, list(keys_l), list(values_l),
             valid_l if key_valid is not None else None,
-            ulysses_axis, ring_axis,
+            ulysses_axis, ring_axis, impl=impl, interpret=interpret,
         )
 
     return run(

@@ -32,6 +32,11 @@ class OptimizerConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    #: dtype of the Adam first/second moments. fp32 masters are kept either
+    #: way; "bfloat16" halves optimizer-state HBM — the single-chip answer to
+    #: the reference BF16Optimizer's CPU offload (specforge/optimizer.py:12;
+    #: multi-chip runs shard the fp32 state over fsdp instead).
+    moments_dtype: str = "float32"
 
 
 def build_lr_schedule(config: OptimizerConfig, total_steps: int) -> Callable:
@@ -65,6 +70,45 @@ def build_lr_schedule(config: OptimizerConfig, total_steps: int) -> Callable:
     return schedule
 
 
+def _scale_by_adam_lowp_moments(
+    b1: float, b2: float, eps: float, dtype
+) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in ``dtype`` (optax only
+    supports mu_dtype); accumulation happens in fp32 each step."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree_util.tree_map(
+            lambda m, g: (b1 * m.astype(f32) + (1 - b1) * g).astype(dtype),
+            state.mu, grads,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: (b2 * v.astype(f32) + (1 - b2) * g * g).astype(dtype),
+            state.nu, grads,
+        )
+        count = state.count + 1
+        c = count.astype(f32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        updates = jax.tree_util.tree_map(
+            lambda m, v: (m.astype(f32) / bc1)
+            / (jnp.sqrt(v.astype(f32) / bc2) + eps),
+            mu, nu,
+        )
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     config: OptimizerConfig,
     total_steps: int,
@@ -77,15 +121,26 @@ def build_optimizer(
     state.
     """
     schedule = build_lr_schedule(config, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adamw(
+    if config.moments_dtype == "float32":
+        adamw = optax.adamw(
             learning_rate=schedule,
             b1=config.adam_b1,
             b2=config.adam_b2,
             eps=config.adam_eps,
             weight_decay=config.weight_decay,
-        ),
+        )
+    else:
+        adamw = optax.chain(
+            _scale_by_adam_lowp_moments(
+                config.adam_b1, config.adam_b2, config.adam_eps,
+                jnp.dtype(config.moments_dtype),
+            ),
+            optax.add_decayed_weights(config.weight_decay),
+            optax.scale_by_learning_rate(schedule),
+        )
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        adamw,
     )
     if trainable_mask is not None:
         labels = jax.tree_util.tree_map(

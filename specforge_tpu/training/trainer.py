@@ -310,11 +310,6 @@ class Trainer:
                     perf.steps += 1
                     perf.samples += n_samples
 
-                    if self.ack_fn is not None:
-                        t0 = time.monotonic()
-                        self.ack_fn(sample_ids, step + 1)
-                        perf.ack_s += time.monotonic() - t0
-
                     self.profiler.on_step_end(step)
                     # metric arrays stay on device until a boundary needs
                     # them — no per-step host sync (host/device overlap)
@@ -337,6 +332,12 @@ class Trainer:
                     ):
                         last_metrics = self._pull_metrics(last_metrics_dev)
                         self._save(new_step, batch_size_hint, last_metrics)
+                    if self.ack_fn is not None:
+                        # after the checkpoint block: durable acks must never
+                        # run ahead of the restorable state
+                        t0 = time.monotonic()
+                        self.ack_fn(sample_ids, new_step)
+                        perf.ack_s += time.monotonic() - t0
                     data_t0 = time.monotonic()
 
                 # end of epoch: eval + checkpoint (progress records the NEXT

@@ -1,0 +1,273 @@
+"""Kill-and-restart recovery for the online disaggregated topology.
+
+The consumer is SIGKILLed mid-run and restarted: the SQLite ledger dedups
+replayed channel refs, the committed-but-unacked tail is requeued into a
+fresh inbox generation, acks never run ahead of checkpoints, and training
+completes with exactly the produced sample count — no lost or duplicated
+optimizer window (reference tests/test_recovery.py +
+control_plane/controller.py:228 reconcile_on_restart).
+
+The producer is also killed mid-production and restarted: the channel file is
+the durable publication record, so the restart skips already-published
+prompts (exactly-once publication).
+"""
+
+import json
+import os
+import shutil
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+import torch
+
+CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "cpp")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_PROMPTS = 16
+TOTAL_STEPS = 8  # 16 samples / batch 2
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def tiny_target(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("target")
+    torch.manual_seed(0)
+    LlamaForCausalLM(LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )).save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+@pytest.fixture()
+def online_stack(tiny_target, tmp_path):
+    """C++ store + capture server + prompts + config payload."""
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ toolchain")
+    subprocess.run(["make", "-C", CPP_DIR], check=True, capture_output=True)
+    store_port = _free_port()
+    store_proc = subprocess.Popen(
+        [os.path.join(CPP_DIR, "feature_store_server"),
+         "--port", str(store_port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    for _ in range(100):
+        try:
+            socket.create_connection(("127.0.0.1", store_port), 0.2).close()
+            break
+        except OSError:
+            time.sleep(0.05)
+
+    from specforge_tpu.inference.capture_server import (
+        CaptureEngine,
+        CaptureServer,
+    )
+
+    server = CaptureServer(CaptureEngine(
+        tiny_target, capture_layers=(1, 2, 2), max_length=32
+    )).start()
+
+    rng = np.random.default_rng(0)
+    prompt_path = tmp_path / "prompts.jsonl"
+    with open(prompt_path, "w") as f:
+        for _ in range(N_PROMPTS):
+            length = int(rng.integers(12, 32))
+            f.write(json.dumps({
+                "input_ids": rng.integers(0, 128, size=length).tolist(),
+                "loss_mask": (rng.random(length) > 0.3).astype(int).tolist(),
+            }) + "\n")
+
+    payload = {
+        "run_id": "rec0",
+        "output_dir": str(tmp_path / "runs"),
+        "model": {
+            "target_model_path": tiny_target,
+            "draft_config": {
+                "architectures": ["LlamaEagle3Draft"],
+                "vocab_size": 128, "draft_vocab_size": 48,
+                "hidden_size": 32, "intermediate_size": 64,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "max_position_embeddings": 256,
+            },
+        },
+        "data": {"prompt_path": str(prompt_path), "max_length": 32,
+                 "num_workers": 0},
+        "training": {
+            "strategy": "eagle3", "batch_size": 2,
+            "accumulation_steps": 1, "total_steps": TOTAL_STEPS,
+            "ttt_length": 2, "log_interval": 1, "save_interval": 1,
+            "resume": True,
+        },
+        "tracking": {"backend": "none"},
+        "runtime": {"store_backend": "network",
+                    "store_endpoint": f"127.0.0.1:{store_port}",
+                    "control_dir": str(tmp_path / "control")},
+        "deployment": {"mode": "disaggregated",
+                       "server_urls": [f"http://127.0.0.1:{server.port}"]},
+    }
+    try:
+        yield payload, store_port, tmp_path
+    finally:
+        server.stop()
+        store_proc.terminate()
+        store_proc.wait(timeout=10)
+
+
+def _spawn_consumer(tmp_path, payload):
+    config_path = tmp_path / "consumer.json"
+    with open(config_path, "w") as f:
+        json.dump(payload, f)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.Popen(
+        [sys.executable, os.path.join(REPO_ROOT, "tests",
+                                      "_consumer_worker.py"),
+         str(config_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+def _wait_for_checkpoint(tmp_path, step, timeout=300):
+    marker = tmp_path / "runs" / f"rec0-step{step}" / "contract.json"
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if marker.exists():
+            return
+        time.sleep(0.2)
+    raise TimeoutError(f"checkpoint step {step} never appeared")
+
+
+def _ledger_state(tmp_path):
+    from specforge_tpu.runtime.control_plane.metadata_store import (
+        SQLiteMetadataStore,
+    )
+
+    ledger = SQLiteMetadataStore(
+        str(tmp_path / "runs" / "rec0" / "consumer_state" / "consumer.sqlite")
+    )
+    acked = ledger.acked_ids()
+    committed = [r.sample_id for r in ledger.committed_refs()]
+    durable = ledger.durable_step()
+    ledger.close()
+    return acked, committed, durable
+
+
+@pytest.mark.slow
+def test_consumer_kill_and_restart(online_stack):
+    payload, store_port, tmp_path = online_stack
+    from specforge_tpu.application.disaggregated import run_producer
+    from specforge_tpu.config.schema import Config
+    from specforge_tpu.runtime.data_plane.network_store import (
+        NetworkFeatureStore,
+    )
+
+    config = Config.model_validate(payload)
+    produced = run_producer(config)
+    assert produced == N_PROMPTS
+
+    # phase 1: kill the consumer after it durably acked ~3 steps
+    proc = _spawn_consumer(tmp_path, payload)
+    try:
+        _wait_for_checkpoint(tmp_path, 3)
+    finally:
+        if proc.poll() is None:
+            os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=30)
+    assert proc.returncode != 0  # it was killed, not finished
+
+    acked_mid, committed_mid, durable_mid = _ledger_state(tmp_path)
+    assert durable_mid >= 1
+    assert len(acked_mid) < N_PROMPTS
+
+    # phase 2: restart — ledger dedup + unacked requeue + checkpoint resume
+    proc2 = _spawn_consumer(tmp_path, payload)
+    out, _ = proc2.communicate(timeout=600)
+    assert proc2.returncode == 0, out.decode()[-3000:]
+    metrics = json.loads(out.decode().strip().splitlines()[-1])
+    assert np.isfinite(metrics["train/loss"])
+
+    # exactly TOTAL_STEPS optimizer steps — no lost or duplicated window
+    with open(tmp_path / "runs" / f"rec0-step{TOTAL_STEPS}"
+              / "contract.json") as f:
+        contract = json.load(f)
+    assert contract["progress"]["global_step"] == TOTAL_STEPS
+
+    acked, committed, durable = _ledger_state(tmp_path)
+    assert durable == TOTAL_STEPS
+    assert len(acked) == N_PROMPTS                      # every sample acked
+    assert len(set(committed)) == N_PROMPTS             # ledger dedup held
+    # every trained sample released from the store
+    assert NetworkFeatureStore(
+        f"127.0.0.1:{store_port}"
+    ).health()["objects"] == 0
+
+
+@pytest.mark.slow
+def test_producer_kill_and_restart(online_stack):
+    payload, store_port, tmp_path = online_stack
+    from specforge_tpu.config.schema import Config
+    from specforge_tpu.runtime.data_plane.streaming_ref_channel import (
+        StreamingRefChannel,
+    )
+
+    # phase 1: producer subprocess killed after >=4 publications
+    config_path = tmp_path / "producer.json"
+    with open(config_path, "w") as f:
+        json.dump(payload, f)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    script = (
+        "import json, sys; "
+        "from specforge_tpu.config.schema import Config; "
+        "from specforge_tpu.application.disaggregated import run_producer; "
+        f"cfg = Config.model_validate(json.load(open(r'{config_path}'))); "
+        "run_producer(cfg)"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    channel_dir = payload["runtime"]["control_dir"]
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        refs, closed, _ = StreamingRefChannel(channel_dir).poll()
+        if len(refs) >= 4:
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.1)
+    if proc.poll() is None:
+        os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=30)
+    refs_mid, closed_mid, _ = StreamingRefChannel(channel_dir).poll()
+    assert not closed_mid
+
+    # phase 2: restart in-process — skips already-published prompts
+    from specforge_tpu.application.disaggregated import run_producer
+
+    config = Config.model_validate(payload)
+    produced_again = run_producer(config)
+    assert produced_again == N_PROMPTS - len(refs_mid)
+
+    refs_all, closed, _ = StreamingRefChannel(channel_dir).poll()
+    assert closed
+    ids = [r.sample_id for r in refs_all]
+    assert len(ids) == N_PROMPTS
+    assert len(set(ids)) == N_PROMPTS  # exactly-once publication

@@ -26,9 +26,10 @@ def _case(n_branches, seed=0):
     return q, keys, values
 
 
+@pytest.mark.parametrize("impl", ["dense", "pallas"])
 @pytest.mark.parametrize("topo", [(2, 2), (1, 4), (4, 1), (2, 4)])
 @pytest.mark.parametrize("n_branches", [1, 3])
-def test_usp_matches_dense(topo, n_branches):
+def test_usp_matches_dense(topo, n_branches, impl):
     u, r = topo
     mesh = build_mesh(
         MeshConfig(sp_ulysses=u, sp_ring=r), devices=jax.devices()[: u * r]
@@ -36,13 +37,14 @@ def test_usp_matches_dense(topo, n_branches):
     q, keys, values = _case(n_branches)
     bias = make_causal_bias(None, B, S)
     expected = ttt_branch_attention_reference(q, keys, values, bias)
-    got = usp_ttt_attention(mesh, q, keys, values)
+    got = usp_ttt_attention(mesh, q, keys, values, impl=impl)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
     )
 
 
-def test_usp_with_key_padding():
+@pytest.mark.parametrize("impl", ["dense", "pallas"])
+def test_usp_with_key_padding(impl):
     mesh = build_mesh(
         MeshConfig(sp_ulysses=2, sp_ring=2), devices=jax.devices()[:4]
     )
@@ -52,7 +54,8 @@ def test_usp_with_key_padding():
     bias = make_causal_bias(jnp.asarray(attention_mask), B, S)
     expected = ttt_branch_attention_reference(q, keys, values, bias)
     got = usp_ttt_attention(
-        mesh, q, keys, values, key_valid=jnp.asarray(attention_mask)
+        mesh, q, keys, values, key_valid=jnp.asarray(attention_mask),
+        impl=impl,
     )
     valid = attention_mask[0].astype(bool)
     np.testing.assert_allclose(
@@ -61,7 +64,8 @@ def test_usp_with_key_padding():
     )
 
 
-def test_usp_gradients_match_dense():
+@pytest.mark.parametrize("impl", ["dense", "pallas"])
+def test_usp_gradients_match_dense(impl):
     mesh = build_mesh(
         MeshConfig(sp_ulysses=2, sp_ring=2), devices=jax.devices()[:4]
     )
@@ -75,7 +79,9 @@ def test_usp_gradients_match_dense():
         return jnp.sum(out * out)
 
     def loss_usp(q, k0, v0):
-        out = usp_ttt_attention(mesh, q, [k0, keys[1]], [v0, values[1]])
+        out = usp_ttt_attention(
+            mesh, q, [k0, keys[1]], [v0, values[1]], impl=impl
+        )
         return jnp.sum(out * out)
 
     g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, keys[0], values[0])
