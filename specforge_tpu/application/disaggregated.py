@@ -105,6 +105,9 @@ def run_producer(config: Config, *, poll_interval: float = 0.2) -> int:
     store = _build_store(config)
     use_store_sink = config.runtime.store_backend == "network"
 
+    from specforge_tpu.inference.batch_partition import TargetBatchPartition
+
+    batch_size = config.runtime.capture_batch_size
     workers: List[RolloutWorker] = []
     for i, url in enumerate(config.deployment.server_urls):
         adapter = HTTPCaptureAdapter(
@@ -114,12 +117,24 @@ def run_producer(config: Config, *, poll_interval: float = 0.2) -> int:
                 config.runtime.store_endpoint if use_store_sink else None
             ),
         )
+        source_kwargs = (
+            dict(
+                batch_ref_source=adapter.produce_refs_batch,
+                batch_partition=TargetBatchPartition(
+                    max_batch_tokens=config.runtime.capture_batch_tokens,
+                    max_batch_size=batch_size,
+                ),
+                lease_limit=batch_size,
+            )
+            if batch_size > 1
+            else dict(ref_source=adapter.produce_refs)
+        )
         workers.append(RolloutWorker(
             f"producer-{i}",
             controller=controller,
-            ref_source=adapter.produce_refs,
             publish_fn=lambda refs, _c=channel: _c.publish_batch(refs),
             flow_control=flow,
+            **source_kwargs,
         ))
     if not workers:
         raise ValueError("online producer requires deployment.server_urls")

@@ -91,6 +91,11 @@ class RuntimeConfig(StrictModel):
     flow_low_watermark: int = Field(default=128, ge=0)
     #: network store endpoint (host:port) for the DCN feature service.
     store_endpoint: Optional[str] = None
+    #: batched capture prefill: prompts per /generate_batch request (1 =
+    #: per-request capture) and the token budget per batch
+    #: (ref TargetBatchPartition, inference/batch_partition.py:20).
+    capture_batch_size: int = Field(default=8, gt=0)
+    capture_batch_tokens: int = Field(default=8192, gt=0)
 
 
 class DeploymentConfig(StrictModel):

@@ -36,6 +36,53 @@ class GeneralParser:
             return []
         return self.tokenizer.encode(text, add_special_tokens=False)
 
+    @staticmethod
+    def _next_role(conversation, turn):
+        turns = list(conversation)
+        idx = next(
+            (i for i, t in enumerate(turns) if t is turn), len(turns) - 1
+        )
+        return turns[idx + 1].get("role") if idx + 1 < len(turns) else None
+
+    def _assistant_body_pieces(
+        self, content: str, next_role: Optional[str]
+    ) -> List[Tuple[List[int], int]]:
+        """Assistant body → (ids, supervised) pieces.
+
+        Honors two reference template behaviors: ``ignore_tokens`` (rendered
+        but never supervised, e.g. qwen3-instruct's empty think scaffold or
+        kimi-k3's stop-trimmed end token) and delimiter-style terminators
+        (end_token == user_header, e.g. glm-5.2/inkling: the terminator IS
+        the next turn's header, so mid-conversation it is not re-rendered)."""
+        tmpl = self.template
+        end = tmpl.end_token
+        drop_end = bool(end) and end == tmpl.user_header and (
+            next_role is not None
+        )
+        body = content if drop_end else content + end
+        prefix: List[str] = []
+        suffix: List[str] = []
+        changed = True
+        while changed:
+            changed = False
+            for ig in tmpl.ignore_tokens:
+                if ig and body.startswith(ig):
+                    prefix.append(ig)
+                    body = body[len(ig):]
+                    changed = True
+                if ig and body and body.endswith(ig):
+                    suffix.insert(0, ig)
+                    body = body[: -len(ig)]
+                    changed = True
+        out: List[Tuple[List[int], int]] = []
+        for text in prefix:
+            out.append((self._encode(text), 0))
+        if body:
+            out.append((self._encode(body), 1))
+        for text in suffix:
+            out.append((self._encode(text), 0))
+        return out
+
     def parse(
         self,
         conversation: Sequence[Dict[str, Any]],
@@ -77,10 +124,8 @@ class GeneralParser:
                 pieces.append((
                     self._encode(self.template.render_assistant_header()), 0
                 ))
-                pieces.append((
-                    self._encode(self.template.render_assistant_body(content)),
-                    1,
-                ))
+                next_role = self._next_role(conversation, turn)
+                pieces.extend(self._assistant_body_pieces(content, next_role))
             else:
                 raise ValueError(f"unknown conversation role {role!r}")
 
@@ -135,7 +180,7 @@ def build_dataset(
 ) -> List[ParsedSample]:
     """Tokenize a list of conversation records (reference
     ``build_eagle3_dataset``, data/preprocessing.py:109-394)."""
-    parser = GeneralParser(tokenizer, get_template(template_name))
+    parser = build_parser_for_template(tokenizer, template_name)
     out: List[ParsedSample] = []
     for record in records:
         conversation = normalize_conversation(record)
@@ -205,11 +250,10 @@ class ThinkingParser(GeneralParser):
                         self._encode(think_text),
                         1 if self.supervise_thinking else 0,
                     ))
-                pieces.append((
-                    self._encode(
-                        f"{remaining}{self.template.end_token}"
-                    ), 1,
-                ))
+                next_role = self._next_role(conversation, turn)
+                pieces.extend(
+                    self._assistant_body_pieces(remaining, next_role)
+                )
             else:
                 raise ValueError(f"unknown conversation role {role!r}")
         ids: List[int] = []
@@ -221,6 +265,53 @@ class ThinkingParser(GeneralParser):
             input_ids=np.asarray(ids[:max_length], np.int64),
             loss_mask=np.asarray(mask[:max_length], np.int64),
         )
+
+
+class GLMParser(ThinkingParser):
+    """GLM-5.2 hybrid-thinking rendering (reference GLMParser,
+    data/parse.py:510: forces ``enable_thinking=False``).
+
+    The assistant header carries the opening ``<think>`` scaffold; with
+    thinking disabled the span closes immediately, and any raw reasoning text
+    terminated by ``</think>`` at the head of the content stays unsupervised
+    context. The ``<|user|>`` terminator is delimiter-style + ignored (never
+    supervised)."""
+
+    def __init__(self, tokenizer, template, **kwargs):
+        kwargs.setdefault("supervise_thinking", False)
+        think_open = kwargs.get("think_open", "<think>")
+        if template.assistant_header.endswith(think_open):
+            # the scaffold opener moves into the (un)supervised think span so
+            # the ThinkingParser renders it exactly once
+            import dataclasses
+
+            template = dataclasses.replace(
+                template,
+                assistant_header=template.assistant_header[
+                    : -len(think_open)
+                ],
+            )
+        super().__init__(tokenizer, template, **kwargs)
+
+    def parse(self, conversation, max_length, *, add_bos=True):
+        rewritten = []
+        for turn in conversation:
+            if turn.get("role") in ("assistant", "gpt"):
+                content = str(turn.get("content", ""))
+                if self.think_open not in content:
+                    if self.think_close in content:
+                        # raw reasoning head (opener lives in the header)
+                        reasoning, rest = content.split(self.think_close, 1)
+                        content = (
+                            f"{self.think_open}{reasoning}"
+                            f"{self.think_close}{rest}"
+                        )
+                    else:
+                        # close the header's scaffold immediately
+                        content = f"{self.think_open}{self.think_close}{content}"
+                turn = {**turn, "content": content}
+            rewritten.append(turn)
+        return super().parse(rewritten, max_length, add_bos=add_bos)
 
 
 class HarmonyParser(GeneralParser):
@@ -266,6 +357,7 @@ PARSERS = {
     "general": GeneralParser,
     "thinking": ThinkingParser,
     "harmony": HarmonyParser,
+    "glm": GLMParser,
 }
 
 
@@ -274,3 +366,15 @@ def build_parser(kind: str, tokenizer, template_name: str, **kwargs):
 
     cls = PARSERS[kind]
     return cls(tokenizer, get_template(template_name), **kwargs)
+
+
+def build_parser_for_template(tokenizer, template_name: str, **kwargs):
+    """Resolve the parser family from the template's ``parser_type`` — the
+    reference's template→parser dispatch (data/parse.py:15-510)."""
+    from specforge_tpu.data.template import get_template
+
+    template = get_template(template_name)
+    cls = PARSERS[template.parser_type]
+    if template.parser_type == "thinking":
+        kwargs.setdefault("supervise_thinking", template.enable_thinking)
+    return cls(tokenizer, template, **kwargs)

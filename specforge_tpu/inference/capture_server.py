@@ -33,9 +33,25 @@ import numpy as np
 logger = logging.getLogger("specforge_tpu.capture_server")
 
 
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
 class CaptureEngine:
-    """Wraps the jitted target capture forward for request batching (bs 1 per
-    request here; the batching rollout rides multiple workers)."""
+    """Wraps the jitted target capture forward.
+
+    Batched prefill: :meth:`capture_batch` pads a request batch to bucketed
+    (batch, seq) shapes so XLA compiles a bounded set of variants, then runs
+    ONE forward — the reference TargetBatchPartition + patch-side batched
+    capture (batch_partition.py:20, capture D2H batching in
+    docs/benchmarks/domino-disaggregated-performance.md:76-79). A lock
+    serializes device use across server threads (one chip, donated buffers)."""
+
+    SEQ_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+    BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
     def __init__(self, target_model_path: str, capture_layers: Sequence[int],
                  layout: str = "eagle", max_length: int = 2048,
@@ -63,20 +79,44 @@ class CaptureEngine:
             "eagle": ("hidden_state", "target"),
             "dflash": ("hidden_states", "target_last_hidden_states"),
         }[layout]
+        self._device_lock = threading.Lock()
 
     def capture(self, input_ids: np.ndarray, loss_mask: np.ndarray):
-        length = min(len(input_ids), self.max_length)
-        ids = np.zeros((1, self.max_length), np.int32)
-        mask = np.zeros((1, self.max_length), np.int32)
-        ids[0, :length] = input_ids[:length]
-        mask[0, :length] = 1
-        aux, last = self._runner._run_batch(ids, mask)
-        return {
-            "input_ids": np.asarray(input_ids[:length], np.int64),
-            "loss_mask": np.asarray(loss_mask[:length], np.int64),
-            self.aux_name: aux[0, :length].astype(ml_dtypes.bfloat16),
-            self.last_name: last[0, :length].astype(ml_dtypes.bfloat16),
-        }
+        return self.capture_batch([(input_ids, loss_mask)])[0]
+
+    def capture_batch(self, samples):
+        """``samples``: list of (input_ids, loss_mask) → per-sample tensor
+        dicts, one jitted forward at bucketed shapes."""
+        lengths = [
+            min(len(ids), self.max_length) for ids, _ in samples
+        ]
+        seq = _bucket(
+            max(lengths),
+            [b for b in self.SEQ_BUCKETS if b <= self.max_length]
+            or [self.max_length],
+        )
+        seq = min(seq, self.max_length)
+        bsz = _bucket(len(samples), self.BATCH_BUCKETS)
+        ids = np.zeros((bsz, seq), np.int32)
+        mask = np.zeros((bsz, seq), np.int32)
+        for i, ((sample_ids, _), length) in enumerate(zip(samples, lengths)):
+            ids[i, :length] = sample_ids[:length]
+            mask[i, :length] = 1
+        with self._device_lock:
+            aux, last = self._runner._run_batch(ids, mask)
+            aux = np.asarray(aux)
+            last = np.asarray(last)
+        out = []
+        for i, ((sample_ids, sample_mask), length) in enumerate(
+            zip(samples, lengths)
+        ):
+            out.append({
+                "input_ids": np.asarray(sample_ids[:length], np.int64),
+                "loss_mask": np.asarray(sample_mask[:length], np.int64),
+                self.aux_name: aux[i, :length].astype(ml_dtypes.bfloat16),
+                self.last_name: last[i, :length].astype(ml_dtypes.bfloat16),
+            })
+        return out
 
 
 def _tensor_meta(tensors: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -108,13 +148,18 @@ class CaptureServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
+                handlers = {
+                    "/generate": server.handle_generate,
+                    "/generate_batch": server.handle_generate_batch,
+                }
+                handler = handlers.get(self.path)
+                if handler is None:
                     self._reply(404, {"error": "not found"})
                     return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(length))
-                    self._reply(200, server.handle_generate(body))
+                    self._reply(200, handler(body))
                 except Exception as exc:  # noqa: BLE001 — report to client
                     logger.exception("generate failed")
                     self._reply(500, {"error": str(exc)})
@@ -144,6 +189,29 @@ class CaptureServer:
                 )
             return self._stores[key]
 
+    def handle_generate_batch(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Batched prefill: {"samples": [{input_ids, loss_mask, sample_id}],
+        "spec_capture": {...}} → {"results": [per-sample meta_info dicts]}.
+        One jitted forward covers the whole batch (TargetBatchPartition
+        producer side pairs with this endpoint)."""
+        spec = body.get("spec_capture") or {}
+        requests = body["samples"]
+        samples = []
+        for req in requests:
+            ids = np.asarray(req["input_ids"], np.int64)
+            mask = np.asarray(
+                req.get("loss_mask", np.ones_like(ids)), np.int64
+            )
+            samples.append((ids, mask))
+        batch_tensors = self.engine.capture_batch(samples)
+        results = [
+            self._sink_one(
+                str(req.get("sample_id", f"sample-{i}")), tensors, spec
+            )
+            for i, (req, tensors) in enumerate(zip(requests, batch_tensors))
+        ]
+        return {"results": results}
+
     def handle_generate(self, body: Dict[str, Any]) -> Dict[str, Any]:
         input_ids = np.asarray(body["input_ids"], np.int64)
         loss_mask = np.asarray(
@@ -152,8 +220,13 @@ class CaptureServer:
         sample_id = str(body.get("sample_id", "sample"))
         spec = body.get("spec_capture") or {}
         tensors = self.engine.capture(input_ids, loss_mask)
-        meta = _tensor_meta(tensors)
+        return self._sink_one(sample_id, tensors, spec)
 
+    def _sink_one(
+        self, sample_id: str, tensors: Dict[str, np.ndarray],
+        spec: Dict[str, Any],
+    ) -> Dict[str, Any]:
+        meta = _tensor_meta(tensors)
         sink = spec.get("sink", "inline")
         if sink == "store":
             store = self._store_for(

@@ -47,6 +47,10 @@ class RolloutWorker:
         store=None,
         feature_source: Optional[FeatureSource] = None,
         ref_source: Optional[Callable[[PromptTask], List[SampleRef]]] = None,
+        batch_ref_source: Optional[
+            Callable[[List[PromptTask]], List[SampleRef]]
+        ] = None,
+        batch_partition=None,
         capture_config: Optional[CaptureConfig] = None,
         publish_fn: Optional[Callable[[List[SampleRef]], None]] = None,
         flow_control: Optional[ProducerFlowControl] = None,
@@ -54,12 +58,25 @@ class RolloutWorker:
         lease_limit: int = 1,
     ) -> None:
         """Exactly one of ``feature_source`` (tensors → this process puts them
-        into ``store``) or ``ref_source`` (a capture server wrote tensors
-        server-side; refs come back ready) must be given."""
-        if (feature_source is None) == (ref_source is None):
+        into ``store``), ``ref_source`` (a capture server wrote tensors
+        server-side; refs come back ready), or ``batch_ref_source`` (the
+        token-budget-batched variant, paired with ``batch_partition``) must
+        be given."""
+        n_sources = sum(
+            s is not None
+            for s in (feature_source, ref_source, batch_ref_source)
+        )
+        if n_sources != 1:
             raise ValueError(
-                "provide exactly one of feature_source / ref_source"
+                "provide exactly one of feature_source / ref_source / "
+                "batch_ref_source"
             )
+        if batch_ref_source is not None and batch_partition is None:
+            from specforge_tpu.inference.batch_partition import (
+                TargetBatchPartition,
+            )
+
+            batch_partition = TargetBatchPartition()
         if feature_source is not None and store is None:
             raise ValueError("feature_source mode requires a store")
         self.worker_id = worker_id
@@ -67,6 +84,8 @@ class RolloutWorker:
         self.store = store
         self.feature_source = feature_source
         self.ref_source = ref_source
+        self.batch_ref_source = batch_ref_source
+        self.batch_partition = batch_partition
         self.capture_config = capture_config
         self.publish_fn = publish_fn
         self.flow_control = flow_control
@@ -84,6 +103,28 @@ class RolloutWorker:
             self.worker_id, limit=self.lease_limit
         )
         produced = 0
+        if self.batch_ref_source is not None:
+            for batch in self.batch_partition.partition(tasks):
+                try:
+                    produced += self._process_batch(batch)
+                    self.health.processed += len(batch)
+                    self.health.consecutive_failures = 0
+                except Exception as exc:  # noqa: BLE001 — survive bad batches
+                    self.health.failed += len(batch)
+                    self.health.consecutive_failures += 1
+                    logger.warning(
+                        "worker %s failed batch of %d: %s",
+                        self.worker_id, len(batch), exc,
+                    )
+                    for task in batch:
+                        self.controller.fail_prompt(task.prompt_id, str(exc))
+                    if (
+                        self.health.consecutive_failures
+                        >= self.max_consecutive_failures
+                    ):
+                        self.health.dropped = True
+                        break
+            return produced
         for task in tasks:
             try:
                 produced += self._process(task)
@@ -108,6 +149,19 @@ class RolloutWorker:
                     )
                     break
         return produced
+
+    def _process_batch(self, batch: List[PromptTask]) -> int:
+        refs = self.batch_ref_source(batch)
+        committed = self.controller.commit_samples(refs)
+        if self.publish_fn is not None and committed:
+            self.publish_fn(committed)
+        if self.flow_control is not None and committed:
+            self.flow_control.on_published(
+                len(committed), sum(r.nbytes for r in committed)
+            )
+        for task in batch:
+            self.controller.complete_prompt(task.prompt_id)
+        return len(committed)
 
     def _process(self, task: PromptTask) -> int:
         if self.ref_source is not None:

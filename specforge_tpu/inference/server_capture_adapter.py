@@ -47,10 +47,12 @@ class HTTPCaptureAdapter:
         self.generation = generation
         self.timeout = timeout
 
-    def _post(self, body: Dict[str, Any]) -> Dict[str, Any]:
+    def _post(
+        self, body: Dict[str, Any], path: str = "/generate"
+    ) -> Dict[str, Any]:
         data = json.dumps(body).encode()
         req = urllib.request.Request(
-            f"{self.server_url}/generate", data=data,
+            f"{self.server_url}{path}", data=data,
             headers={"Content-Type": "application/json"},
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -84,8 +86,46 @@ class HTTPCaptureAdapter:
         )
         response = self._post(body)
         spec = response["meta_info"]["spec_capture"]
-        feature_meta = spec["features"]
+        return [self._ref_from_spec(task, spec, use_store)]
 
+    def produce_refs_batch(
+        self, tasks: List[PromptTask]
+    ) -> List[SampleRef]:
+        """One ``/generate_batch`` request for a token-budget batch of tasks
+        (reference TargetBatchPartition pairing, batch_partition.py:20)."""
+        if not tasks:
+            return []
+        use_store = self.store_endpoint is not None
+        body = {
+            "samples": [
+                {
+                    "input_ids": t.payload["input_ids"],
+                    "loss_mask": t.payload.get("loss_mask"),
+                    "sample_id": t.prompt_id,
+                }
+                for t in tasks
+            ],
+            "spec_capture": (
+                {
+                    "sink": "store",
+                    "store": self.store_endpoint,
+                    "generation": self.generation,
+                }
+                if use_store
+                else {"sink": "inline"}
+            ),
+        }
+        response = self._post(body, path="/generate_batch")
+        refs = []
+        for task, result in zip(tasks, response["results"]):
+            spec = result["meta_info"]["spec_capture"]
+            refs.append(self._ref_from_spec(task, spec, use_store))
+        return refs
+
+    def _ref_from_spec(
+        self, task: PromptTask, spec: Dict[str, Any], use_store: bool
+    ) -> SampleRef:
+        feature_meta = spec["features"]
         if use_store:
             specs = {
                 name: FeatureSpec(
@@ -108,12 +148,10 @@ class HTTPCaptureAdapter:
                 task.prompt_id, tensors,
                 metadata={"target_repr": "hidden_state"},
             )
-        return [
-            SampleRef(
-                sample_id=ref.sample_id,
-                features=ref.features,
-                prompt_id=task.prompt_id,
-                epoch=task.epoch,
-                metadata=ref.metadata,
-            )
-        ]
+        return SampleRef(
+            sample_id=ref.sample_id,
+            features=ref.features,
+            prompt_id=task.prompt_id,
+            epoch=task.epoch,
+            metadata=ref.metadata,
+        )

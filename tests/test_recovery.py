@@ -226,10 +226,15 @@ def test_producer_kill_and_restart(online_stack):
         StreamingRefChannel,
     )
 
-    # phase 1: producer subprocess killed after >=4 publications
+    # phase 1: producer subprocess with a tiny flow-control watermark — it
+    # publishes one batch then pauses (no consumer drains the channel), so
+    # the SIGKILL point is deterministic
+    phase1 = json.loads(json.dumps(payload))
+    phase1["runtime"]["flow_high_watermark"] = 4
+    phase1["runtime"]["flow_low_watermark"] = 2
     config_path = tmp_path / "producer.json"
     with open(config_path, "w") as f:
-        json.dump(payload, f)
+        json.dump(phase1, f)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
