@@ -6,29 +6,46 @@
 // Producer hosts PUT raw tensor buffers (shape/dtype ride in the SampleRef
 // metadata, never serialized blobs); trainer hosts GET into preallocated
 // buffers and DEL at the optimizer-durable ack. Lifetime semantics match the
-// reference store contract: objects are hard-pinned (the trainer is the
-// lifetime authority, no LRU), and puts above the byte budget are refused
-// loudly so producer flow control is the graceful path.
+// reference store contract (mooncake_store.py:161-860): objects are
+// hard-pinned by their lifetime authority (no LRU; ops 'I'/'U' manage pins,
+// DEL refuses pinned objects), a max-hold GC sweep ('C') collects unpinned
+// leaks, and puts above the byte budget are refused loudly so producer flow
+// control is the graceful path. Optional shared-secret auth ('A', --secret /
+// SPECFORGE_STORE_SECRET) mirrors the reference SharedDir AuthPolicy
+// (data_plane/disaggregated.py:52-69).
 //
 // Protocol (all integers little-endian):
 //   request:  op:u8  key_len:u32  key[key_len]  payload_len:u64  payload
+//     op 'A' = auth (payload = shared secret; required first when configured)
 //     op 'P' = put (payload = object bytes)
 //     op 'G' = get (payload empty)
-//     op 'D' = del (payload empty)
+//     op 'D' = del (payload empty; refuses pinned)
+//     op 'I' = pin (payload empty)
+//     op 'U' = unpin (payload empty)
+//     op 'C' = gc sweep (payload = u64 max age seconds; deletes unpinned
+//              objects untouched for longer; response = JSON count)
 //     op 'S' = stat (payload empty; response = JSON counters)
 //     op 'Q' = quit connection
-//   response: status:u8 ('0' ok, '1' missing, '2' over-budget, '3' error)
+//   response: status:u8 ('0' ok, '1' missing, '2' over-budget, '3' error,
+//                        '4' auth required/failed, '5' pinned)
 //             payload_len:u64  payload
+//
+// GETs are zero-copy server-side: the object buffer is shared_ptr-held, so
+// the socket write happens outside the store lock without duplicating the
+// bytes (the reference documents the same no-lock-across-RPC rule,
+// mooncake_store.py:47-55).
 //
 // Build: make -C cpp   (g++ -O2 -pthread, no external deps)
 
 #include <arpa/inet.h>
 #include <cerrno>
+#include <chrono>
 #include <csignal>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
@@ -41,12 +58,28 @@
 
 namespace {
 
+using Buffer = std::shared_ptr<const std::vector<uint8_t>>;
+
+uint64_t now_seconds() {
+  return static_cast<uint64_t>(
+      std::chrono::duration_cast<std::chrono::seconds>(
+          std::chrono::steady_clock::now().time_since_epoch())
+          .count());
+}
+
+struct Object {
+  Buffer data;
+  uint32_t pins = 0;
+  uint64_t last_touch = 0;
+};
+
 struct Store {
   std::mutex mu;
-  std::unordered_map<std::string, std::vector<uint8_t>> objects;
+  std::unordered_map<std::string, Object> objects;
   uint64_t resident_bytes = 0;
   uint64_t max_bytes = 0;  // 0 = unlimited
-  uint64_t puts = 0, gets = 0, dels = 0, rejected = 0;
+  uint64_t puts = 0, gets = 0, dels = 0, rejected = 0, swept = 0;
+  std::string secret;  // empty = auth disabled
 };
 
 Store g_store;
@@ -91,6 +124,7 @@ bool send_response(int fd, char status, const void* payload, uint64_t len) {
 void handle_connection(int fd) {
   int one = 1;
   ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  bool authed = g_store.secret.empty();
   for (;;) {
     uint8_t op;
     if (!read_exact(fd, &op, 1)) break;
@@ -103,76 +137,150 @@ void handle_connection(int fd) {
     uint64_t payload_len = 0;
     if (!read_exact(fd, &payload_len, 8)) break;
 
+    if (op == 'A') {
+      std::string provided(payload_len, '\0');
+      if (payload_len && !read_exact(fd, provided.data(), payload_len)) break;
+      if (g_store.secret.empty() || provided == g_store.secret) {
+        authed = true;
+        if (!send_response(fd, '0', nullptr, 0)) break;
+      } else {
+        send_response(fd, '4', nullptr, 0);
+        break;  // failed auth: drop the connection
+      }
+      continue;
+    }
+    if (!authed) {
+      // drain the payload so the log is clean, then refuse + drop
+      std::vector<uint8_t> sink(payload_len);
+      if (payload_len && !read_exact(fd, sink.data(), payload_len)) break;
+      send_response(fd, '4', nullptr, 0);
+      break;
+    }
+
     if (op == 'P') {
-      std::vector<uint8_t> payload(payload_len);
-      if (payload_len && !read_exact(fd, payload.data(), payload_len)) break;
+      auto payload = std::make_shared<std::vector<uint8_t>>(payload_len);
+      if (payload_len && !read_exact(fd, payload->data(), payload_len)) break;
       char status = '0';
       {
         std::lock_guard<std::mutex> lock(g_store.mu);
         auto it = g_store.objects.find(key);
-        uint64_t existing = it == g_store.objects.end() ? 0 : it->second.size();
+        uint64_t existing =
+            it == g_store.objects.end() ? 0 : it->second.data->size();
         uint64_t next = g_store.resident_bytes - existing + payload_len;
         if (g_store.max_bytes != 0 && next > g_store.max_bytes) {
           status = '2';
           g_store.rejected++;
         } else {
           g_store.resident_bytes = next;
-          g_store.objects[key] = std::move(payload);
+          Object& obj = g_store.objects[key];
+          obj.data = std::move(payload);
+          obj.last_touch = now_seconds();
           g_store.puts++;
         }
       }
       if (!send_response(fd, status, nullptr, 0)) break;
     } else if (op == 'G') {
-      // Copy under the lock (objects are MBs; holding the lock across the
-      // socket write would serialize every reader — the reference documents
-      // the same no-lock-across-RPC rule, mooncake_store.py:47-55).
-      std::vector<uint8_t> copy;
-      bool found = false;
+      Buffer data;
       {
         std::lock_guard<std::mutex> lock(g_store.mu);
         auto it = g_store.objects.find(key);
         if (it != g_store.objects.end()) {
-          copy = it->second;
-          found = true;
+          data = it->second.data;  // refcount only — no byte copy
+          it->second.last_touch = now_seconds();
           g_store.gets++;
         }
       }
-      if (found) {
-        if (!send_response(fd, '0', copy.data(), copy.size())) break;
+      if (data) {
+        if (!send_response(fd, '0', data->data(), data->size())) break;
       } else {
         if (!send_response(fd, '1', nullptr, 0)) break;
       }
     } else if (op == 'D') {
+      char status = '0';
       {
         std::lock_guard<std::mutex> lock(g_store.mu);
         auto it = g_store.objects.find(key);
         if (it != g_store.objects.end()) {
-          g_store.resident_bytes -= it->second.size();
-          g_store.objects.erase(it);
-          g_store.dels++;
+          if (it->second.pins > 0) {
+            status = '5';
+          } else {
+            g_store.resident_bytes -= it->second.data->size();
+            g_store.objects.erase(it);
+            g_store.dels++;
+          }
         }
       }
-      if (!send_response(fd, '0', nullptr, 0)) break;
+      if (!send_response(fd, status, nullptr, 0)) break;
+    } else if (op == 'I' || op == 'U') {
+      char status = '0';
+      {
+        std::lock_guard<std::mutex> lock(g_store.mu);
+        auto it = g_store.objects.find(key);
+        if (it == g_store.objects.end()) {
+          status = '1';
+        } else if (op == 'I') {
+          it->second.pins++;
+        } else if (it->second.pins > 0) {
+          it->second.pins--;
+        }
+      }
+      if (!send_response(fd, status, nullptr, 0)) break;
+    } else if (op == 'C') {
+      uint64_t max_age = 0;
+      if (payload_len == 8) {
+        if (!read_exact(fd, &max_age, 8)) break;
+      } else if (payload_len != 0) {
+        std::vector<uint8_t> sink(payload_len);
+        if (!read_exact(fd, sink.data(), payload_len)) break;
+      }
+      uint64_t cutoff = now_seconds() >= max_age
+                            ? now_seconds() - max_age
+                            : 0;
+      uint64_t removed = 0;
+      {
+        std::lock_guard<std::mutex> lock(g_store.mu);
+        for (auto it = g_store.objects.begin();
+             it != g_store.objects.end();) {
+          if (it->second.pins == 0 && it->second.last_touch <= cutoff) {
+            g_store.resident_bytes -= it->second.data->size();
+            it = g_store.objects.erase(it);
+            removed++;
+            g_store.swept++;
+          } else {
+            ++it;
+          }
+        }
+      }
+      char buf[64];
+      int n = std::snprintf(buf, sizeof(buf), "{\"removed\":%llu}",
+                            (unsigned long long)removed);
+      if (!send_response(fd, '0', buf, static_cast<uint64_t>(n))) break;
     } else if (op == 'S') {
-      char buf[256];
-      uint64_t count;
-      uint64_t resident, puts, gets, dels, rejected;
+      char buf[320];
+      uint64_t count, pinned = 0;
+      uint64_t resident, puts, gets, dels, rejected, swept;
       {
         std::lock_guard<std::mutex> lock(g_store.mu);
         count = g_store.objects.size();
+        for (const auto& kv : g_store.objects) {
+          if (kv.second.pins > 0) pinned++;
+        }
         resident = g_store.resident_bytes;
         puts = g_store.puts;
         gets = g_store.gets;
         dels = g_store.dels;
         rejected = g_store.rejected;
+        swept = g_store.swept;
       }
       int n = std::snprintf(
           buf, sizeof(buf),
           "{\"objects\":%llu,\"resident_bytes\":%llu,\"puts\":%llu,"
-          "\"gets\":%llu,\"dels\":%llu,\"rejected\":%llu}",
+          "\"gets\":%llu,\"dels\":%llu,\"rejected\":%llu,"
+          "\"pinned\":%llu,\"swept\":%llu}",
           (unsigned long long)count, (unsigned long long)resident,
           (unsigned long long)puts, (unsigned long long)gets,
-          (unsigned long long)dels, (unsigned long long)rejected);
+          (unsigned long long)dels, (unsigned long long)rejected,
+          (unsigned long long)pinned, (unsigned long long)swept);
       if (!send_response(fd, '0', buf, static_cast<uint64_t>(n))) break;
     } else {
       send_response(fd, '3', nullptr, 0);
@@ -187,14 +295,19 @@ void handle_connection(int fd) {
 int main(int argc, char** argv) {
   int port = 38100;
   uint64_t max_bytes = 0;
+  const char* env_secret = std::getenv("SPECFORGE_STORE_SECRET");
+  if (env_secret) g_store.secret = env_secret;
   for (int i = 1; i < argc; i++) {
     if (!std::strcmp(argv[i], "--port") && i + 1 < argc) {
       port = std::atoi(argv[++i]);
     } else if (!std::strcmp(argv[i], "--max-bytes") && i + 1 < argc) {
       max_bytes = std::strtoull(argv[++i], nullptr, 10);
+    } else if (!std::strcmp(argv[i], "--secret") && i + 1 < argc) {
+      g_store.secret = argv[++i];
     } else {
-      std::fprintf(stderr,
-                   "usage: %s [--port N] [--max-bytes N]\n", argv[0]);
+      std::fprintf(
+          stderr, "usage: %s [--port N] [--max-bytes N] [--secret S]\n",
+          argv[0]);
       return 2;
     }
   }
@@ -220,8 +333,10 @@ int main(int argc, char** argv) {
     std::perror("listen");
     return 1;
   }
-  std::printf("feature_store_server listening on port %d (max_bytes=%llu)\n",
-              port, (unsigned long long)max_bytes);
+  std::printf(
+      "feature_store_server listening on port %d (max_bytes=%llu, auth=%s)\n",
+      port, (unsigned long long)max_bytes,
+      g_store.secret.empty() ? "off" : "on");
   std::fflush(stdout);
 
   for (;;) {

@@ -56,7 +56,10 @@ def _build_store(config: Config):
             NetworkFeatureStore,
         )
 
-        return NetworkFeatureStore(config.runtime.store_endpoint)
+        return NetworkFeatureStore(
+            config.runtime.store_endpoint,
+            secret=config.runtime.store_secret,
+        )
     if backend == "shared_dir":
         from specforge_tpu.runtime.data_plane.feature_store import (
             SharedDirFeatureStore,

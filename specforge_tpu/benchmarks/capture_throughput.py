@@ -142,6 +142,48 @@ def main():
         "prefill_tok_per_s": round(batch_sps * tokens, 0),
     }))
 
+    # device-compute timing (scalar fetch only): isolates the prefill math
+    # from host<->device transfer — on this environment the axon debug tunnel
+    # caps D2H at ~30 MB/s, which the HTTP numbers above are bound by; real
+    # TPU VMs move capture tensors over PCIe and track these numbers instead.
+    import jax
+    import jax.numpy as jnp
+
+    runner = engine._runner
+    ids1 = np.zeros((1, 1024), np.int32)
+    ids1[0, :tokens] = prompts[0][:tokens]
+    mask1 = (ids1 != 0).astype(np.int32)
+    idsb = np.tile(ids1, (batch, 1))
+    maskb = np.tile(mask1, (batch, 1))
+
+    def device_time(ids, mask, reps=8):
+        aux, last = runner._forward(
+            runner.params, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        _ = float(jnp.sum(last))  # warm + sync
+        t0 = time.monotonic()
+        for _i in range(reps):
+            aux, last = runner._forward(
+                runner.params, jnp.asarray(ids), jnp.asarray(mask)
+            )
+        _ = float(jnp.sum(last))
+        return (time.monotonic() - t0) / reps
+
+    dt1 = device_time(ids1, mask1)
+    dtb = device_time(idsb, maskb)
+    dev_single = 1.0 / dt1
+    dev_batch = batch / dtb
+    print(json.dumps({
+        "metric": "capture_device_single_samples_per_s",
+        "value": round(dev_single, 2), "unit": "samples/s",
+    }))
+    print(json.dumps({
+        "metric": "capture_device_batched_samples_per_s",
+        "value": round(dev_batch, 2), "unit": "samples/s",
+        "speedup_vs_single": round(dev_batch / dev_single, 2),
+        "prefill_tok_per_s": round(dev_batch * tokens, 0),
+    }))
+
 
 if __name__ == "__main__":
     main()

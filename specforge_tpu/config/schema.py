@@ -91,6 +91,9 @@ class RuntimeConfig(StrictModel):
     flow_low_watermark: int = Field(default=128, ge=0)
     #: network store endpoint (host:port) for the DCN feature service.
     store_endpoint: Optional[str] = None
+    #: shared-secret auth for the network store (None = or env
+    #: SPECFORGE_STORE_SECRET; redacted from rendered plans/logs).
+    store_secret: Optional[str] = None
     #: batched capture prefill: prompts per /generate_batch request (1 =
     #: per-request capture) and the token budget per batch
     #: (ref TargetBatchPartition, inference/batch_partition.py:20).

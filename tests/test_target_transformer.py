@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from specforge_tpu.models.target.transformer import (
@@ -109,7 +110,48 @@ def test_tied_embeddings_lm_head(tmp_path):
     )
 
 
-def test_qwen3_moe_capture_matches_transformers(tmp_path):
+def test_moe_paths_agree_at_scale():
+    """dense-scan vs ragged_dot gather-by-expert on a bigger synthetic MoE
+    layer (the TPU speedup itself is measured by
+    benchmarks/moe_micro.py on hardware — CPU XLA lowers ragged_dot
+    densely, so cost analysis is not a valid FLOP proxy here)."""
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        _moe_mlp_dense,
+        _moe_mlp_gathered,
+    )
+
+    e, k, h, inter, toks = 16, 2, 64, 128, 256
+    cfg = TargetConfig(
+        vocab_size=1, hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=1, num_attention_heads=1, num_key_value_heads=1,
+        num_experts=e, num_experts_per_tok=k, moe_intermediate_size=inter,
+        norm_topk_prob=True,
+    )
+    rng = np.random.default_rng(0)
+    params = {"L.mlp.gate.weight": jnp.asarray(
+        rng.normal(size=(e, h)).astype(np.float32))}
+    for i in range(e):
+        params[f"L.mlp.experts.{i}.gate_proj.weight"] = jnp.asarray(
+            rng.normal(size=(inter, h)).astype(np.float32))
+        params[f"L.mlp.experts.{i}.up_proj.weight"] = jnp.asarray(
+            rng.normal(size=(inter, h)).astype(np.float32))
+        params[f"L.mlp.experts.{i}.down_proj.weight"] = jnp.asarray(
+            rng.normal(size=(h, inter)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, toks, h)).astype(np.float32))
+    out_dense = _moe_mlp_dense(params, cfg, "L", y)
+    out_gathered = _moe_mlp_gathered(params, cfg, "L", y)
+    np.testing.assert_allclose(
+        np.asarray(out_gathered), np.asarray(out_dense), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("moe_impl", ["dense", "gathered"])
+def test_qwen3_moe_capture_matches_transformers(tmp_path, monkeypatch,
+                                                moe_impl):
+    """Both MoE paths match HF: the lax.scan dense reference and the
+    ragged_dot gather-by-expert fast path (FLOPs ∝ top-k)."""
+    monkeypatch.setenv("SPECFORGE_MOE_IMPL", moe_impl)
     try:
         from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
     except ImportError:
