@@ -220,6 +220,18 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     from specforge_tpu.training.tracking import build_tracker
     import jax
 
+    from specforge_tpu.parallel.multihost import (
+        is_primary,
+        maybe_initialize_distributed,
+        process_count,
+        process_index,
+    )
+
+    maybe_initialize_distributed()
+    procs = process_count()
+    rank = process_index()
+    primary = is_primary()
+
     t = config.training
     if t.total_steps is None:
         raise ValueError("online consumer requires training.total_steps")
@@ -251,8 +263,15 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     state_dir = os.path.join(config.output_dir, config.run_id, "consumer_state")
     ledger = SQLiteMetadataStore(os.path.join(state_dir, "consumer.sqlite"))
     controller = DataFlowController(ledger)
+    if t.batch_size % procs != 0:
+        raise ValueError(
+            f"training.batch_size={t.batch_size} (global) must divide by "
+            f"{procs} consumer processes"
+        )
+    local_batch = t.batch_size // procs
     window = t.batch_size * t.accumulation_steps
-    channel.publish_consumer_quantum(window)
+    if primary:
+        channel.publish_consumer_quantum(window)
     # restart generation: a killed-and-restarted consumer must not replay
     # inbox entries that were durably acked — each (re)start writes/reads a
     # fresh inbox keyed by the ledger's durable step marker, and the
@@ -261,31 +280,38 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     # tests/test_recovery.py semantics)
     durable = ledger.durable_step() or 0
     inbox_dir = os.path.join(state_dir, f"inboxes-g{durable}")
-    distributor = RefDistributor(
-        channel, controller, inbox_dir, world_size=1, window_samples=window
-    )
 
+    # multi-host DP: the primary host is the sole channel reader; every host
+    # (including the primary) trains from its own per-rank inbox (reference
+    # rank0 RefDistributor + per-rank inboxes, launch.py:1432-1539)
+    distributor = None
+    pump_thread = None
     stop_pump = threading.Event()
+    if primary:
+        distributor = RefDistributor(
+            channel, controller, inbox_dir, world_size=procs,
+            window_samples=window,
+        )
 
-    def pump():
-        while not stop_pump.is_set():
-            distributor.pump()
-            distributor.forward_consumed()
-            if distributor.closed and distributor.staged_count >= 0:
-                return
-            time.sleep(0.1)
+        def pump():
+            while not stop_pump.is_set():
+                distributor.pump()
+                distributor.forward_consumed()
+                if distributor.closed and distributor.staged_count >= 0:
+                    return
+                time.sleep(0.1)
 
-    pump_thread = threading.Thread(target=pump, daemon=True)
-    pump_thread.start()
+        pump_thread = threading.Thread(target=pump, daemon=True)
+        pump_thread.start()
 
-    inbox = InboxChannel(inbox_dir, 0)
+    inbox = InboxChannel(inbox_dir, rank)
     feeder = InboxFeeder(inbox).start()
     collate = PaddingCollator(CollatorConfig(
         max_length=config.data.max_length, cast_float_dtype="float32"
     ))
     metadata = {"target_repr": "hidden_state"}
     loader = FeatureDataLoader(
-        store, collate, ref_queue=feeder.queue, batch_size=t.batch_size,
+        store, collate, ref_queue=feeder.queue, batch_size=local_batch,
         num_workers=config.data.num_workers, metadata=metadata,
     )
 
@@ -329,13 +355,47 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         if step % ack_every == 0:
             _flush_acks(step)
 
-    tracker = build_tracker(
-        config.tracking.backend, output_dir=config.output_dir,
-        run_id=config.run_id,
+    # mesh over the global device set (required multi-process)
+    import jax as _jax
+
+    from specforge_tpu.parallel.mesh import (
+        MeshConfig,
+        build_mesh,
+        shard_pytree_like_params,
+    )
+
+    n_devices = _jax.device_count()
+    fsdp = t.fsdp_size or max(
+        n_devices // (t.dp_size * t.sp_ulysses_size * t.sp_ring_size), 1
+    )
+    mesh_cfg = MeshConfig(dp=t.dp_size, fsdp=fsdp,
+                          sp_ulysses=t.sp_ulysses_size,
+                          sp_ring=t.sp_ring_size)
+    mesh = build_mesh(mesh_cfg) if mesh_cfg.world_size == n_devices else None
+    if procs > 1 and mesh is None:
+        raise ValueError(
+            f"multi-process consumer requires a full mesh: {mesh_cfg} vs "
+            f"{n_devices} devices"
+        )
+    if mesh is not None:
+        variables = {
+            **variables,
+            "params": shard_pytree_like_params(variables["params"], mesh),
+        }
+
+    tracker = (
+        build_tracker(
+            config.tracking.backend, output_dir=config.output_dir,
+            run_id=config.run_id,
+        )
+        if primary
+        else build_tracker("none")
     )
     trainer = Trainer(
         strategy,
         variables=variables,
+        mesh=mesh,
+        world_size=procs,
         train_loader=loader,
         config=TrainerConfig(
             num_epochs=1,

@@ -258,6 +258,14 @@ class Trainer:
                 }
                 sample_ids = [sid for b in window for sid in b.sample_ids]
                 metadata = window[0].metadata
+                # metadata is trace-static: silently dropping a divergent
+                # per-batch value would compile the wrong step (W8)
+                for b in window[1:]:
+                    if b.metadata != metadata:
+                        raise ValueError(
+                            "mixed metadata inside one accumulation window: "
+                            f"{metadata} vs {b.metadata}"
+                        )
                 yield stacked, sample_ids, metadata
                 window = []
 

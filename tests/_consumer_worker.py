@@ -14,6 +14,12 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # multi-host consumer runs join the distributed runtime from
+    # SPECFORGE_COORDINATOR/NUM_PROCESSES/PROCESS_ID env (run_consumer also
+    # calls this; doing it here keeps the config update ordering explicit)
+    from specforge_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
 
     from specforge_tpu.application.disaggregated import run_consumer
     from specforge_tpu.config.schema import Config

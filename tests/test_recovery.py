@@ -276,3 +276,69 @@ def test_producer_kill_and_restart(online_stack):
     ids = [r.sample_id for r in refs_all]
     assert len(ids) == N_PROMPTS
     assert len(set(ids)) == N_PROMPTS  # exactly-once publication
+
+
+@pytest.mark.slow
+def test_two_process_online_consumer(online_stack):
+    """Multi-host DP online consumption: the primary host is the sole
+    channel reader (RefDistributor, per-rank inboxes), both hosts train one
+    logical model over the global mesh, acks union in the shared ledger
+    (reference launch.py:1432-1539)."""
+    payload, store_port, tmp_path = online_stack
+    from specforge_tpu.application.disaggregated import run_producer
+    from specforge_tpu.config.schema import Config
+    from specforge_tpu.runtime.data_plane.network_store import (
+        NetworkFeatureStore,
+    )
+
+    payload = json.loads(json.dumps(payload))
+    payload["run_id"] = "mh-online"
+    payload["training"]["save_interval"] = 0
+    payload["training"]["resume"] = False
+
+    config = Config.model_validate(payload)
+    assert run_producer(config) == N_PROMPTS
+
+    config_path = tmp_path / "mh_consumer.json"
+    with open(config_path, "w") as f:
+        json.dump(payload, f)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["SPECFORGE_COORDINATOR"] = f"localhost:{port}"
+        env["SPECFORGE_NUM_PROCESSES"] = "2"
+        env["SPECFORGE_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO_ROOT, "tests", "_consumer_worker.py"),
+             str(config_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    metrics = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    # same jitted step over the global mesh: identical replicated metrics
+    assert abs(metrics[0]["train/loss"] - metrics[1]["train/loss"]) < 1e-6
+    assert np.isfinite(metrics[0]["train/loss"])
+
+    # all samples consumed + released; ledger acked everything exactly once
+    assert NetworkFeatureStore(
+        f"127.0.0.1:{store_port}"
+    ).health()["objects"] == 0
+    from specforge_tpu.runtime.control_plane.metadata_store import (
+        SQLiteMetadataStore,
+    )
+
+    ledger = SQLiteMetadataStore(str(
+        tmp_path / "runs" / "mh-online" / "consumer_state" / "consumer.sqlite"
+    ))
+    assert len(ledger.acked_ids()) == N_PROMPTS
+    ledger.close()
