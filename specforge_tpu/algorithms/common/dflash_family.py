@@ -42,9 +42,16 @@ _DPACE_LOSS_TYPES = _VALID_LOSS_TYPES - {"dflash"}
 
 
 def masked_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Per-token -log p[target] in fp32 (no reduction)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    """Per-token -log p[target] in fp32 (no reduction).
+
+    lse - picked form: XLA fuses the fp32 convert into the vocab reductions,
+    so no fp32 [.., V] log-softmax array is ever materialized in HBM (the
+    593MB-per-chunk allocation the full-vocab objective otherwise pays)."""
+    logits32 = logits.astype(jnp.float32)
+    m = jnp.max(logits32, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits32 - m[..., None]), axis=-1))
+    picked = jnp.take_along_axis(logits32, targets[..., None], axis=-1)[..., 0]
+    return lse - picked
 
 
 def compute_accept_len(

@@ -149,8 +149,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from specforge_tpu.inference.capture_server import _bucket
+
     runner = engine._runner
-    ids1 = np.zeros((1, 1024), np.int32)
+    seq_bucket = _bucket(
+        tokens,
+        [b for b in CaptureEngine.SEQ_BUCKETS if b <= engine.max_length]
+        or [engine.max_length],
+    )
+    ids1 = np.zeros((1, seq_bucket), np.int32)
     ids1[0, :tokens] = prompts[0][:tokens]
     mask1 = (ids1 != 0).astype(np.int32)
     idsb = np.tile(ids1, (batch, 1))
