@@ -131,6 +131,10 @@ class OnlineEagle3Model(nn.Module):
             position_ids = jnp.broadcast_to(
                 jnp.arange(seq_len, dtype=jnp.int32)[None], (batch_size, seq_len)
             )
+        elif position_ids.ndim == 3:
+            # batch-first mrope ids [B, 3, S] (the collator layout) → rope's
+            # [3, B, S] axis-major convention
+            position_ids = jnp.moveaxis(position_ids, 1, 0)
 
         cache: Tuple[tuple, tuple] = ((), ())
         cur_input_ids = input_ids

@@ -68,6 +68,29 @@ class PaddingCollator:
                 elif name == "attention_mask":
                     arr = arr.reshape(-1).astype(np.int32)
                     arr = _pad_to(arr, L, 0)
+                elif name == "position_ids":
+                    # [S] rope or [3, S] mrope (vision): pad the SEQUENCE
+                    # (last) axis; batch-first [B, 3, S] downstream, the
+                    # model transposes to rope's [3, B, S]
+                    # (ref padding_position_ids_3d, data/utils.py:84-105)
+                    arr = np.asarray(arr)
+                    if arr.ndim == 1:
+                        arr = _pad_to(arr.astype(np.int32), L, 0)
+                    elif arr.ndim == 2:
+                        if arr.shape[0] != 3:
+                            raise ValueError(
+                                "3D position_ids must be [3, S], got "
+                                f"{arr.shape}"
+                            )
+                        s = min(arr.shape[1], L)
+                        out3 = np.zeros((3, L), np.int32)
+                        out3[:, :s] = arr[:, :s]
+                        arr = out3
+                    else:
+                        raise ValueError(
+                            f"position_ids must be [S] or [3, S], got "
+                            f"{arr.shape}"
+                        )
                 else:
                     if arr.ndim == 1:
                         arr = _pad_to(arr, L, 0)

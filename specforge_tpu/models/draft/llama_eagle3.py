@@ -122,6 +122,11 @@ class Eagle3Attention(nn.Module):
 
         lck = len(cache[0])
         if self.rope_spec.scaling_type == "mrope":
+            if position_ids.ndim == 2:
+                # text-only sample: all three mrope axes share the positions
+                position_ids = jnp.broadcast_to(
+                    position_ids[None], (3,) + position_ids.shape
+                )
             cos, sin = rope_cos_sin(
                 self.rope_spec, position_ids + lck, s + lck, dtype=q.dtype
             )
