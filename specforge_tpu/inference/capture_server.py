@@ -55,7 +55,7 @@ class CaptureEngine:
 
     def __init__(self, target_model_path: str, capture_layers: Sequence[int],
                  layout: str = "eagle", max_length: int = 2048,
-                 target_config=None, target_params=None):
+                 target_config=None, target_params=None, mesh=None):
         from specforge_tpu.offline_capture.capture import (
             OfflineCaptureConfig,
             OfflineCaptureRunner,
@@ -74,6 +74,7 @@ class CaptureEngine:
             ),
             target_config=target_config,
             target_params=target_params,
+            mesh=mesh,
         )
         self.aux_name, self.last_name = {
             "eagle": ("hidden_state", "target"),

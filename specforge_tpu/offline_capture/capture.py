@@ -60,7 +60,14 @@ class OfflineCaptureRunner:
         *,
         target_config: Optional[TargetConfig] = None,
         target_params=None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional device mesh for multi-chip capture — target
+        params shard over the ``fsdp`` axis (largest divisible dim; XLA
+        inserts the all-gathers) so targets larger than one chip's HBM
+        capture on a slice. The TPU-native answer to the reference keeping
+        TP layers for its offline capture backend (SURVEY §2.8 row TP;
+        sglang tp_size per capture server)."""
         self.config = config
         if config.layout not in _LAYOUTS:
             raise ValueError(f"unknown layout {config.layout!r}")
@@ -72,6 +79,11 @@ class OfflineCaptureRunner:
             if target_params is not None
             else load_target_params(config.target_model_path, self.target_config)
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from specforge_tpu.parallel.mesh import shard_pytree_like_params
+
+            self.params = shard_pytree_like_params(self.params, mesh)
         target_config = self.target_config
         layers = tuple(config.capture_layers)
         self._forward = jax.jit(

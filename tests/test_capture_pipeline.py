@@ -207,3 +207,48 @@ def test_harmony_parser_supervises_final_channel():
     ], max_length=256)
     assert len(sample.input_ids) > len(without.input_ids)
     assert sample.loss_mask.sum() == without.loss_mask.sum()
+
+
+def test_sharded_capture_matches_single_device(tiny_target, tmp_path):
+    """Multi-chip capture: target params sharded over an 8-device fsdp mesh
+    (XLA all-gathers) produce the same features as the single-device forward
+    — targets bigger than one chip's HBM capture on a slice (the reference
+    keeps TP layers for its offline capture backend, SURVEY §2.8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        load_target_params,
+    )
+    from specforge_tpu.offline_capture.capture import (
+        OfflineCaptureConfig,
+        OfflineCaptureRunner,
+    )
+    from specforge_tpu.parallel.mesh import MeshConfig, build_mesh
+
+    tc = TargetConfig.from_file(tiny_target)
+    params32 = load_target_params(tiny_target, tc, dtype=jnp.float32)
+    cfg = OfflineCaptureConfig(
+        target_model_path=tiny_target,
+        output_dir=str(tmp_path / "unused"),
+        capture_layers=(1, 2, 2),
+        max_length=24,
+        batch_size=2,
+    )
+    single = OfflineCaptureRunner(cfg, target_config=tc,
+                                  target_params=params32)
+    mesh = build_mesh(MeshConfig(fsdp=jax.device_count()))
+    sharded = OfflineCaptureRunner(cfg, target_config=tc,
+                                   target_params=params32, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    ids = np.zeros((2, 24), np.int32)
+    mask = np.zeros((2, 24), np.int32)
+    for i, n in enumerate((14, 24)):
+        ids[i, :n] = rng.integers(0, 128, size=n)
+        mask[i, :n] = 1
+    aux_s, last_s = single._run_batch(ids, mask)
+    aux_m, last_m = sharded._run_batch(ids, mask)
+    np.testing.assert_allclose(aux_m, aux_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(last_m, last_s, rtol=2e-5, atol=2e-5)
