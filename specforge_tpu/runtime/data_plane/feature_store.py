@@ -94,6 +94,8 @@ class InMemoryFeatureStore(FeatureStore):
         self._put_count = 0
         self._fetch_count = 0
         self._release_count = 0
+        self._touched: Dict[str, float] = {}
+        self._pinned: set = set()
 
     def put_sample(self, sample_id, tensors, metadata=None) -> SampleRef:
         nbytes = sum(int(a.nbytes) for a in tensors.values())
@@ -118,6 +120,9 @@ class InMemoryFeatureStore(FeatureStore):
                 self._bytes[sample_id] = nbytes
                 self.resident_bytes += nbytes
                 self._put_count += 1
+            import time as _time
+
+            self._touched[sample_id] = _time.monotonic()
         features = {
             name: FeatureHandle(
                 uri=f"mem://{sample_id}/{name}.g{self.generation}",
@@ -151,6 +156,9 @@ class InMemoryFeatureStore(FeatureStore):
                 else dict(tensors)
             )
             self._fetch_count += 1
+            import time as _time
+
+            self._touched[ref.sample_id] = _time.monotonic()
             if self.consume_once:
                 self._free_locked(ref.sample_id)
         return out
@@ -160,12 +168,40 @@ class InMemoryFeatureStore(FeatureStore):
             self.resident_bytes -= self._bytes.pop(sample_id, 0)
             del self._data[sample_id]
             self._meta.pop(sample_id, None)
+            self._touched.pop(sample_id, None)
+            self._pinned.discard(sample_id)
             self._release_count += 1
 
     def release(self, sample_ids: Iterable[str]) -> None:
         with self._lock:
             for sid in sample_ids:
                 self._free_locked(sid)
+
+    # --- pin / max-hold GC (reference lease + max-hold sweep contract,
+    # runtime/data_plane/feature_store.py:110-660) -------------------------
+    def pin(self, sample_ids: Iterable[str]) -> None:
+        with self._lock:
+            self._pinned.update(sample_ids)
+
+    def unpin(self, sample_ids: Iterable[str]) -> None:
+        with self._lock:
+            self._pinned.difference_update(sample_ids)
+
+    def gc_sweep(self, max_age_seconds: float) -> int:
+        """Free UNPINNED samples untouched (no put/fetch) for longer than
+        ``max_age_seconds`` — leaked puts from crashed producers."""
+        import time as _time
+
+        cutoff = _time.monotonic() - max_age_seconds
+        removed = 0
+        with self._lock:
+            for sid in list(self._data):
+                if sid in self._pinned:
+                    continue
+                if self._touched.get(sid, 0.0) <= cutoff:
+                    self._free_locked(sid)
+                    removed += 1
+        return removed
 
     def health(self) -> Dict[str, Any]:
         with self._lock:

@@ -182,3 +182,57 @@ def test_dataloader_streaming_queue(tmp_path):
     )
     batches = list(loader)
     assert [b.sample_ids for b in batches] == [["s0", "s1"], ["s2", "s3"]]
+
+
+def test_sample_ref_queue_lease_ack_fail():
+    from specforge_tpu.runtime.contracts import (
+        FeatureHandle,
+        FeatureSpec,
+        SampleRef,
+    )
+    from specforge_tpu.runtime.data_plane.sample_ref_queue import (
+        SampleRefQueue,
+    )
+
+    def ref(sid):
+        return SampleRef(sample_id=sid, features={
+            "x": FeatureHandle(
+                uri=f"mem://{sid}/x.g0",
+                spec=FeatureSpec(name="x", shape=(4,), dtype="float32"),
+            )
+        })
+
+    q = SampleRefQueue(max_attempts=2)
+    assert q.stage([ref("a"), ref("b")]) == 2
+    assert q.stage([ref("a")]) == 0                    # idempotent
+
+    leased = q.lease("c1", limit=2)
+    assert [r.sample_id for r in leased] == ["a", "b"]
+    assert q.lease("c2", limit=2) == []                # invisible while leased
+
+    q.ack(["a"])
+    assert q.stage([ref("a")]) == 0                    # acked never restages
+
+    q.fail(["b"])                                      # attempt 1 -> ready
+    assert [r.sample_id for r in q.lease("c2")] == ["b"]
+    q.fail(["b"])                                      # attempt 2 == cap -> poisoned
+    assert q.lease("c2") == []
+    s = q.status()
+    assert s["acked"] == 1 and s["poisoned"] == 1 and s["staged"] == 0
+
+
+def test_inmemory_store_pin_and_gc_sweep():
+    from specforge_tpu.runtime.data_plane.feature_store import (
+        InMemoryFeatureStore,
+    )
+
+    store = InMemoryFeatureStore()
+    kept = store.put_sample("keep", {"x": np.ones(4, np.float32)})
+    store.put_sample("leak", {"x": np.zeros(4, np.float32)})
+    store.pin(["keep"])
+    removed = store.gc_sweep(0.0)
+    assert removed == 1
+    assert store.fetch(kept)["x"].sum() == 4.0
+    assert store.health()["resident_samples"] == 1
+    store.unpin(["keep"])
+    assert store.gc_sweep(0.0) == 1
