@@ -112,7 +112,7 @@ def domino_step_flops(b, s, cfg, num_anchors, attn_chunk_blocks=8):
     return 3.0 * train + 2.0 * frozen
 
 
-def bench_domino(batch, seq, steps):
+def bench_domino(batch, seq, steps, algo="domino"):
     import jax
     import jax.numpy as jnp
 
@@ -125,8 +125,23 @@ def bench_domino(batch, seq, steps):
     moments_dtype = os.environ.get("BENCH_MOMENTS_DTYPE", "bfloat16")
     vocab = int(os.environ.get("BENCH_TARGET_VOCAB", "151936"))
     # the reference anchor config: configs/qwen3-8b-domino.json
+    # (qwen3-8b-dflash.json = same backbone without the domino head)
+    dflash_cfg = {
+        "mask_token_id": 151669,
+        "target_layer_ids": [1, 9, 17, 25, 33],
+    }
+    if algo == "domino":
+        dflash_cfg.update({
+            "projector_type": "domino",
+            "pure_draft_prefix_len": 1,
+            "emb_dim": 256,
+            "gru_hidden_dim": 1024,
+            "shift_label": True,
+        })
     draft_config = {
-        "architectures": ["DominoDraftModel"],
+        "architectures": [
+            "DominoDraftModel" if algo == "domino" else "DFlashDraftModel"
+        ],
         "vocab_size": vocab,
         "hidden_size": 4096,
         "intermediate_size": 12288,
@@ -138,17 +153,9 @@ def bench_domino(batch, seq, steps):
         "max_position_embeddings": 40960,
         "rope_theta": 1e6,
         "block_size": 16,
-        "dflash_config": {
-            "mask_token_id": 151669,
-            "target_layer_ids": [1, 9, 17, 25, 33],
-            "projector_type": "domino",
-            "pure_draft_prefix_len": 1,
-            "emb_dim": 256,
-            "gru_hidden_dim": 1024,
-            "shift_label": True,
-        },
+        "dflash_config": dflash_cfg,
     }
-    reg = builtin_algorithm_registry().resolve("domino")
+    reg = builtin_algorithm_registry().resolve(algo)
     providers = reg.providers
     options = {
         "num_anchors": num_anchors,
@@ -218,12 +225,12 @@ def bench_domino(batch, seq, steps):
     peak, gen = detect_peak()
     mfu = flops / dt / peak
     print(
-        f"domino step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
+        f"{algo} step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
         f"{flops/dt/1e12:.1f}TF/s peak[{gen}]={peak/1e12:.0f}TF/s "
         f"loss={final_loss:.3f}",
         file=sys.stderr,
     )
-    return mfu, "domino_train_step_mfu"
+    return mfu, f"{algo}_train_step_mfu"
 
 
 def main():
@@ -233,8 +240,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "5"))
 
     algo = os.environ.get("BENCH_ALGO", "domino")
-    if algo == "domino":
-        mfu, metric = bench_domino(batch, seq, steps)
+    if algo in ("domino", "dflash"):
+        mfu, metric = bench_domino(batch, seq, steps, algo=algo)
         print(json.dumps({
             "metric": metric,
             "value": round(mfu, 4),

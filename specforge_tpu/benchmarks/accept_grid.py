@@ -1,0 +1,89 @@
+"""Accept-length grid: datasets × spec configs, one JSON report.
+
+The TPU-native equivalent of the reference's serving benchmark grid
+(benchmarks/README.md:11-67: accept-length + throughput over 13 datasets at
+a (batch, steps, topk, draft_tokens) grid against a live SGLang server) —
+here each cell drives the in-repo speculative-decoding harness with an
+exported draft.
+
+Usage:
+    python -m specforge_tpu.benchmarks.accept_grid \
+        --target <hf_dir> --export <export_dir> \
+        --dataset gsm8k=prompts/gsm8k.jsonl --dataset mt-bench=... \
+        --draft-tokens 2,4,8 --max-new-tokens 64 --out report.json
+
+Each prompts file is JSONL with {"input_ids": [...]} (already tokenized —
+produce with scripts/prepare_data.py + a tokenizer pass).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict, List
+
+
+def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
+             draft_tokens: List[int], max_new_tokens: int,
+             max_prompts: int) -> Dict:
+    from specforge_tpu.benchmarks.accept_length import measure_accept_length
+
+    cells = []
+    for name, path in datasets.items():
+        prompts = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    prompts.append(json.loads(line)["input_ids"])
+                if len(prompts) >= max_prompts:
+                    break
+        if not prompts:
+            print(f"dataset {name}: no prompts, skipping", file=sys.stderr)
+            continue
+        for k in draft_tokens:
+            report = measure_accept_length(
+                target_model_path=target,
+                draft_export_dir=export_dir,
+                prompts=prompts,
+                num_draft_tokens=k,
+                max_new_tokens=max_new_tokens,
+            )
+            cell = {
+                "dataset": name,
+                "num_draft_tokens": k,
+                "prompts": len(prompts),
+                "mean_accept_length": round(report.mean_accept_length, 4),
+            }
+            print(json.dumps(cell), file=sys.stderr)
+            cells.append(cell)
+    return {"grid": cells, "target": target, "export": export_dir}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--target", required=True)
+    parser.add_argument("--export", required=True)
+    parser.add_argument(
+        "--dataset", action="append", required=True,
+        metavar="NAME=PROMPTS_JSONL",
+    )
+    parser.add_argument("--draft-tokens", default="2,4,8")
+    parser.add_argument("--max-new-tokens", type=int, default=64)
+    parser.add_argument("--max-prompts", type=int, default=32)
+    parser.add_argument("--out", default="accept_grid.json")
+    args = parser.parse_args()
+
+    datasets = dict(spec.split("=", 1) for spec in args.dataset)
+    draft_tokens = [int(x) for x in args.draft_tokens.split(",")]
+    report = run_grid(
+        args.target, args.export, datasets, draft_tokens,
+        args.max_new_tokens, args.max_prompts,
+    )
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"cells": len(report["grid"]), "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
