@@ -56,7 +56,13 @@ def _train(args) -> int:
             config, args.config, managed_local=args.managed_local
         )
         print(plan.render())
-        return run_commands(plan)
+        stack = config.deployment.managed_local
+        grace = (
+            stack.shutdown_grace_s
+            if (args.managed_local and stack is not None)
+            else config.deployment.shutdown_grace_s
+        )
+        return run_commands(plan, grace_s=grace)
     if online and role == "producer":
         from specforge_tpu.application.disaggregated import run_producer
 

@@ -101,11 +101,53 @@ class RuntimeConfig(StrictModel):
     capture_batch_tokens: int = Field(default=8192, gt=0)
 
 
+class ManagedLocalStackConfig(StrictModel):
+    """Opt-in ownership of a complete single-node online capture stack —
+    the reference ManagedLocalStackConfig (schema.py:333) re-shaped for TPU:
+    chips replace CUDA device lists, the C++ feature store replaces
+    mooncake_master, and the JAX capture server replaces patched SGLang."""
+
+    #: feature-store byte budget (0 = unlimited) and readiness timeout.
+    store_max_bytes: int = Field(default=0, ge=0)
+    readiness_timeout_s: float = Field(default=120.0, gt=0)
+    #: SIGTERM-to-SIGKILL grace for stack teardown; must cover checkpoint
+    #: flush + store drain in the workers.
+    shutdown_grace_s: float = Field(default=30.0, gt=0)
+    #: capture-layer override for the spawned servers (EAGLE: 3 entries).
+    capture_layers: Optional[List[int]] = None
+    #: max_length for the spawned capture servers.
+    capture_max_length: int = Field(default=2048, gt=0)
+
+
 class DeploymentConfig(StrictModel):
     mode: Literal["colocated", "disaggregated"] = "colocated"
     #: capture-server URLs for online producers.
     server_urls: List[str] = Field(default_factory=list)
     num_producer_workers: int = Field(default=1, gt=0)
+    #: plain-supervisor teardown grace (managed stacks use
+    #: managed_local.shutdown_grace_s).
+    shutdown_grace_s: float = Field(default=30.0, gt=0)
+    managed_local: Optional[ManagedLocalStackConfig] = None
+
+    @model_validator(mode="after")
+    def _validate_urls(self):
+        seen = set()
+        for url in self.server_urls:
+            if not url.startswith(("http://", "https://")):
+                raise ValueError(
+                    f"deployment.server_urls entries must be http(s) URLs, "
+                    f"got {url!r}"
+                )
+            port = url.rsplit(":", 1)[-1].rstrip("/")
+            if not port.isdigit():
+                raise ValueError(
+                    f"deployment.server_urls entries must carry an explicit "
+                    f"port, got {url!r}"
+                )
+            if url in seen:
+                raise ValueError(f"duplicate capture server URL {url!r}")
+            seen.add(url)
+        return self
 
 
 class TrainingConfig(StrictModel):

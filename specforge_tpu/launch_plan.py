@@ -103,24 +103,44 @@ def build_launch_plan(
     extra: List[str] = []
 
     if managed_local:
+        from specforge_tpu.config.schema import ManagedLocalStackConfig
+
+        stack = config.deployment.managed_local or ManagedLocalStackConfig()
         endpoint = config.runtime.store_endpoint or "127.0.0.1:38100"
         port = endpoint.rsplit(":", 1)[1]
+        store_argv = [store_binary, "--port", port]
+        if stack.store_max_bytes:
+            store_argv += ["--max-bytes", str(stack.store_max_bytes)]
+        if config.runtime.store_secret:
+            store_argv += ["--secret", config.runtime.store_secret]
         commands.append(PlannedCommand(
             name="feature_store",
-            argv=(store_binary, "--port", port),
-            readiness=Readiness(kind="tcp", target=endpoint),
+            argv=tuple(store_argv),
+            readiness=Readiness(
+                kind="tcp", target=endpoint,
+                timeout_s=stack.readiness_timeout_s,
+            ),
         ))
         for i, url in enumerate(config.deployment.server_urls):
+            server_argv = [
+                sys.executable, "-m",
+                "specforge_tpu.inference.capture_server_main",
+                "--target-model", config.model.target_model_path or "",
+                "--port", url.rsplit(":", 1)[1],
+                "--config", config_path,
+                "--max-length", str(stack.capture_max_length),
+            ]
+            if stack.capture_layers:
+                server_argv += ["--capture-layers"] + [
+                    str(layer) for layer in stack.capture_layers
+                ]
             commands.append(PlannedCommand(
                 name=f"capture_server_{i}",
-                argv=(
-                    sys.executable, "-m",
-                    "specforge_tpu.inference.capture_server_main",
-                    "--target-model", config.model.target_model_path or "",
-                    "--port", url.rsplit(":", 1)[1],
-                    "--config", config_path,
+                argv=tuple(server_argv),
+                readiness=Readiness(
+                    kind="http", target=f"{url}/health",
+                    timeout_s=stack.readiness_timeout_s,
                 ),
-                readiness=Readiness(kind="http", target=f"{url}/health"),
             ))
 
     commands.append(PlannedCommand(
@@ -188,6 +208,7 @@ def run_commands(
     env: Optional[Dict[str, str]] = None,
     poll_interval: float = 0.5,
     on_spawn=None,
+    grace_s: float = 10.0,
 ) -> int:
     """Spawn the plan and supervise: readiness-gated startup, any unexpected
     exit tears the stack down; returns the first failing exit code (0 when all
@@ -225,4 +246,4 @@ def run_commands(
                     break
         return exit_code
     finally:
-        _terminate_processes(procs)
+        _terminate_processes(procs, grace_s=grace_s)

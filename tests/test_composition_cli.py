@@ -57,7 +57,8 @@ def test_config_strict_and_overrides():
 def test_config_topology_validation():
     with pytest.raises(Exception, match="disaggregated"):
         Config.model_validate(
-            {"deployment": {"server_urls": ["http://x"], "mode": "colocated"}}
+            {"deployment": {"server_urls": ["http://x:9000"],
+                            "mode": "colocated"}}
         )
     with pytest.raises(Exception, match="batch_size=1"):
         Config.model_validate(
