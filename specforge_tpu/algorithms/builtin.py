@@ -23,9 +23,18 @@ from specforge_tpu.algorithms.contracts import (
 )
 from specforge_tpu.algorithms.providers import (
     AlgorithmProviders,
+    ServerCaptureLayout,
     dflash_capture_layers,
     eagle_capture_layers,
     make_registration,
+)
+
+EAGLE_SERVER_CAPTURE = ServerCaptureLayout(
+    name="eagle", aux_feature="hidden_state", last_hidden_feature="target",
+)
+DFLASH_SERVER_CAPTURE = ServerCaptureLayout(
+    name="dflash", aux_feature="hidden_states",
+    last_hidden_feature="target_last_hidden_states",
 )
 from specforge_tpu.algorithms.registry import AlgorithmRegistry
 
@@ -128,6 +137,7 @@ EAGLE3 = make_registration(
             eagle_capture_layers(draft_config, n, override)
         ),
         frozen_requirements=frozenset({"target_head_weight"}),
+        server_capture=EAGLE_SERVER_CAPTURE,
     ),
 )
 
@@ -276,6 +286,7 @@ def _dflash_registration(name, draft_arch, wrapper_name, strategy_name,
             frozen_requirements=frozenset(
                 {"target_head_weight", "target_embed_weight"}
             ),
+            server_capture=DFLASH_SERVER_CAPTURE,
         ),
     )
 
@@ -356,6 +367,7 @@ PEAGLE = make_registration(
         ),
     ),
     AlgorithmProviders(
+        server_capture=EAGLE_SERVER_CAPTURE,
         build_draft=_peagle_build_draft,
         build_training_model=_peagle_build_training_model,
         build_strategy=_peagle_build_strategy,

@@ -27,6 +27,27 @@ ResolveCaptureLayers = Callable[..., Tuple[int, ...]]  # (draft_config, target_n
 
 
 @dataclass(frozen=True)
+class ServerCaptureLayout:
+    """Per-algorithm mapping of capture-engine artifacts → feature names
+    (the reference ServerStreamingProvider's ServerCaptureLayout,
+    common/providers.py:282-655): the server writes the aux-layer concat and
+    the post-norm last hidden under the names the algorithm's loader
+    expects."""
+
+    name: str                  # engine layout key ("eagle" | "dflash")
+    aux_feature: str           # feature name of the aux-layer concat
+    last_hidden_feature: str   # feature name of the post-norm last hidden
+    extra_features: Tuple[str, ...] = ("input_ids", "loss_mask")
+
+    @property
+    def feature_names(self) -> FrozenSet[str]:
+        return frozenset(
+            (self.aux_feature, self.last_hidden_feature)
+            + self.extra_features
+        )
+
+
+@dataclass(frozen=True)
 class AlgorithmProviders:
     build_draft: BuildDraft
     build_training_model: BuildTrainingModel
@@ -35,6 +56,8 @@ class AlgorithmProviders:
     resolve_capture_layers: ResolveCaptureLayers
     # frozen arrays the strategy reads from the `frozen` dict each step
     frozen_requirements: FrozenSet[str] = frozenset()
+    # server-side capture artifact → feature-name mapping (None = offline-only)
+    server_capture: Optional[ServerCaptureLayout] = None
 
 
 def make_registration(

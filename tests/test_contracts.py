@@ -67,3 +67,26 @@ def test_train_batch_allows_tensors_in_tensors():
     batch = TrainBatch(tensors={"input_ids": np.zeros((2, 4), np.int32)},
                        sample_ids=["s0"], metadata={"target_repr": "logits"})
     assert batch.tensors["input_ids"].shape == (2, 4)
+
+
+def test_server_capture_layouts_match_offline_schemas():
+    """Per-registration server-capture layouts (reference
+    ServerCaptureLayout) agree with each algorithm's offline feature names —
+    what the server writes is exactly what the loader reads."""
+    from specforge_tpu.algorithms.builtin import builtin_algorithm_registry
+
+    registry = builtin_algorithm_registry()
+    for reg in registry:
+        layout = reg.providers.server_capture
+        assert layout is not None, reg.name
+        schema = reg.spec.offline_schema
+        assert layout.aux_feature == schema.aux_feature, reg.name
+        if schema.last_hidden_feature is not None:
+            assert layout.last_hidden_feature == schema.last_hidden_feature, (
+                reg.name
+            )
+        # the server may capture more than an algorithm's minimal offline
+        # schema (dflash servers also write last-hidden for dspark)
+        assert frozenset(schema.feature_names) <= layout.feature_names, (
+            reg.name
+        )
