@@ -40,6 +40,11 @@ def main():
                         "capture layers + draft vocab size)")
     parser.add_argument("--capture-layers", type=int, nargs="*")
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument(
+        "--shard-over-devices", action="store_true",
+        help="shard target params over all local chips (fsdp mesh) — "
+             "captures targets larger than one chip's HBM",
+    )
     args = parser.parse_args()
 
     from transformers import AutoTokenizer
@@ -86,6 +91,14 @@ def main():
     )
     print(f"tokenized {len(samples)} supervised conversations")
 
+    mesh = None
+    if args.shard_over_devices:
+        import jax
+
+        from specforge_tpu.parallel.mesh import MeshConfig, build_mesh
+
+        mesh = build_mesh(MeshConfig(fsdp=jax.device_count()))
+        print(f"sharding target over {jax.device_count()} devices")
     runner = OfflineCaptureRunner(
         OfflineCaptureConfig(
             target_model_path=args.target_model,
@@ -96,6 +109,7 @@ def main():
             layout=layout,
         ),
         target_config=target_config,
+        mesh=mesh,
     )
     written = runner.run(
         [{"input_ids": s.input_ids, "loss_mask": s.loss_mask} for s in samples]

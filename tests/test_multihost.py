@@ -179,3 +179,24 @@ def test_two_process_checkpoint_resume(tmp_path):
             mh[name], single_params[name], rtol=2e-5, atol=2e-6,
             err_msg=name,
         )
+
+
+@pytest.mark.slow
+def test_two_process_uneven_eval_no_deadlock(tmp_path):
+    """Eval set NOT divisible by the global batch: drop-last trims the same
+    tail on every host, so per-host batch counts stay equal (the
+    collective-schedule agreement that prevents the reference's empty-shard
+    deadlock, eval/evaluator.py:27-222) and metrics match single-process."""
+    workdir = str(tmp_path)
+    write_offline_dataset(os.path.join(workdir, "data"), n=20)
+    with open(os.path.join(workdir, "run_config.json"), "w") as f:
+        json.dump(_config_payload(workdir, "runs_mh"), f)
+
+    _run_workers(workdir, num_epochs=1, resume=False)
+    _, single_metrics = _single_process_reference(workdir, 1)
+    with open(os.path.join(workdir, "mh_metrics.json")) as f:
+        mh_metrics = json.load(f)
+    assert abs(
+        mh_metrics["eval/simulated_acc_len"]
+        - float(single_metrics["eval/simulated_acc_len"])
+    ) < 1e-4
