@@ -258,11 +258,6 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         variables = _set_buffers(variables, *mapping)
 
     # --- streaming plane ---
-    store = _build_store(config)
-    channel = StreamingRefChannel(_control_dir(config))
-    state_dir = os.path.join(config.output_dir, config.run_id, "consumer_state")
-    ledger = SQLiteMetadataStore(os.path.join(state_dir, "consumer.sqlite"))
-    controller = DataFlowController(ledger)
     if t.batch_size % procs != 0:
         raise ValueError(
             f"training.batch_size={t.batch_size} (global) must divide by "
@@ -270,41 +265,67 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         )
     local_batch = t.batch_size // procs
     window = t.batch_size * t.accumulation_steps
-    if primary:
-        channel.publish_consumer_quantum(window)
-    # restart generation: a killed-and-restarted consumer must not replay
-    # inbox entries that were durably acked — each (re)start writes/reads a
-    # fresh inbox keyed by the ledger's durable step marker, and the
-    # distributor requeues exactly the committed-but-unacked tail
-    # (reference reconcile_on_restart, control_plane/controller.py:228 +
-    # tests/test_recovery.py semantics)
-    durable = ledger.durable_step() or 0
-    inbox_dir = os.path.join(state_dir, f"inboxes-g{durable}")
+    store = _build_store(config)
+    state_dir = os.path.join(config.output_dir, config.run_id, "consumer_state")
 
-    # multi-host DP: the primary host is the sole channel reader; every host
-    # (including the primary) trains from its own per-rank inbox (reference
-    # rank0 RefDistributor + per-rank inboxes, launch.py:1432-1539)
+    # shared-FS-free remote ranks: the channel/ledger/distributor live on the
+    # primary; this rank polls its inbox and routes acks over the rank-0 HTTP
+    # relay (reference InboxHTTPServer topology, http_inbox.py:78-324)
+    relay_url = config.runtime.inbox_server_url
+    remote_mode = (not primary) and bool(relay_url)
+
+    channel = None
+    ledger = None
+    controller = None
     distributor = None
+    relay_server = None
     pump_thread = None
     stop_pump = threading.Event()
-    if primary:
-        distributor = RefDistributor(
-            channel, controller, inbox_dir, world_size=procs,
-            window_samples=window,
+    if remote_mode:
+        from specforge_tpu.runtime.data_plane.http_inbox import (
+            RemoteInboxChannel,
         )
 
-        def pump():
-            while not stop_pump.is_set():
-                distributor.pump()
-                distributor.forward_consumed()
-                if distributor.closed and distributor.staged_count >= 0:
-                    return
-                time.sleep(0.1)
+        inbox = RemoteInboxChannel(relay_url, rank)
+    else:
+        channel = StreamingRefChannel(_control_dir(config))
+        ledger = SQLiteMetadataStore(
+            os.path.join(state_dir, "consumer.sqlite")
+        )
+        controller = DataFlowController(ledger)
+        if primary:
+            channel.publish_consumer_quantum(window)
+        # restart generation: a killed-and-restarted consumer must not replay
+        # inbox entries that were durably acked — each (re)start writes/reads
+        # a fresh inbox keyed by the ledger's durable step marker, and the
+        # distributor requeues exactly the committed-but-unacked tail
+        # (reference reconcile_on_restart, control_plane/controller.py:228 +
+        # tests/test_recovery.py semantics)
+        durable = ledger.durable_step() or 0
+        inbox_dir = os.path.join(state_dir, f"inboxes-g{durable}")
 
-        pump_thread = threading.Thread(target=pump, daemon=True)
-        pump_thread.start()
+        # multi-host DP: the primary host is the sole channel reader; every
+        # host (including the primary) trains from its own per-rank inbox
+        # (reference rank0 RefDistributor + per-rank inboxes,
+        # launch.py:1432-1539)
+        if primary:
+            distributor = RefDistributor(
+                channel, controller, inbox_dir, world_size=procs,
+                window_samples=window,
+            )
 
-    inbox = InboxChannel(inbox_dir, rank)
+            def pump():
+                while not stop_pump.is_set():
+                    distributor.pump()
+                    distributor.forward_consumed()
+                    if distributor.closed and distributor.staged_count >= 0:
+                        return
+                    time.sleep(0.1)
+
+            pump_thread = threading.Thread(target=pump, daemon=True)
+            pump_thread.start()
+
+        inbox = InboxChannel(inbox_dir, rank)
     feeder = InboxFeeder(inbox).start()
     collate = PaddingCollator(CollatorConfig(
         max_length=config.data.max_length, cast_float_dtype="float32"
@@ -332,6 +353,36 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
 
     release_fn = getattr(store, "release_refs", None)
 
+    def _apply_ack(ids: List[str], step: int):
+        """Authority-side durable ack: ledger marker, then store release."""
+        controller.ack_train_refs(ids, step)
+        refs = [ref_by_id.pop(sid) for sid in ids if sid in ref_by_id]
+        missing = [sid for sid in ids if sid not in {
+            r.sample_id for r in refs
+        }]
+        if missing and ledger is not None:
+            # remote ranks' refs never flowed through this rank's loader:
+            # resolve them from the committed ledger for the store release
+            wanted = set(missing)
+            refs.extend(
+                r for r in ledger.committed_refs() if r.sample_id in wanted
+            )
+        if release_fn is not None:
+            release_fn(refs)
+        else:
+            store.release(ids)
+
+    if primary and config.runtime.inbox_server_port:
+        from specforge_tpu.runtime.data_plane.http_inbox import (
+            InboxHTTPServer,
+        )
+
+        relay_server = InboxHTTPServer(
+            inbox_dir, port=config.runtime.inbox_server_port,
+            ack_fn=_apply_ack,
+        ).start()
+        logger.info("inbox relay serving on port %d", relay_server.port)
+
     # ack durability must never run ahead of checkpoint durability: acks are
     # buffered and flushed only at checkpoint boundaries (and at run end), so
     # a crash-restart resumes from the checkpoint with every unacked sample
@@ -343,12 +394,13 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         if not ack_buffer:
             return
         ids, ack_buffer[:] = list(ack_buffer), []
-        controller.ack_train_refs(ids, step)
-        refs = [ref_by_id.pop(sid) for sid in ids if sid in ref_by_id]
-        if release_fn is not None:
-            release_fn(refs)
+        if remote_mode:
+            inbox.post_ack(ids, step)
+            inbox.report_consumed()
+            for sid in ids:
+                ref_by_id.pop(sid, None)
         else:
-            store.release(ids)
+            _apply_ack(ids, step)
 
     def ack_fn(sample_ids: List[str], step: int):
         ack_buffer.extend(sample_ids)
@@ -427,4 +479,7 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     finally:
         stop_pump.set()
         feeder.stop()
-        ledger.close()
+        if relay_server is not None:
+            relay_server.stop()
+        if ledger is not None:
+            ledger.close()

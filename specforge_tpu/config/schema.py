@@ -99,6 +99,12 @@ class RuntimeConfig(StrictModel):
     #: (ref TargetBatchPartition, inference/batch_partition.py:20).
     capture_batch_size: int = Field(default=8, gt=0)
     capture_batch_tokens: int = Field(default=8192, gt=0)
+    #: rank-0 HTTP inbox relay for multi-host online consumers WITHOUT a
+    #: shared control filesystem: the primary serves its per-rank inboxes +
+    #: accepts routed acks on inbox_server_port; remote ranks point
+    #: inbox_server_url at it (ref http_inbox relay, launch.py:1432-).
+    inbox_server_port: int = Field(default=0, ge=0)
+    inbox_server_url: Optional[str] = None
 
 
 class ManagedLocalStackConfig(StrictModel):

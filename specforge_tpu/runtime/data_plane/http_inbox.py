@@ -26,10 +26,15 @@ from specforge_tpu.runtime.contracts import SampleRef
 
 
 class InboxHTTPServer:
-    def __init__(self, inbox_dir: str, host: str = "0.0.0.0", port: int = 0):
+    def __init__(self, inbox_dir: str, host: str = "0.0.0.0", port: int = 0,
+                 ack_fn=None):
+        """``ack_fn(sample_ids, step)``: applied on POST /ack — remote ranks
+        route durable acks through the authority host (SQLite ledger + store
+        release stay on rank 0; no shared filesystem required)."""
         self.inbox_dir = os.path.abspath(inbox_dir)
         self._consumed: Dict[int, int] = {}
         self._lock = threading.Lock()
+        self.ack_fn = ack_fn
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -67,13 +72,27 @@ class InboxHTTPServer:
                 self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/consumed":
-                    self._reply(404, {"error": "not found"})
-                    return
                 length = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(length))
-                server.record_consumed(int(body["rank"]), int(body["count"]))
-                self._reply(200, {"status": "ok"})
+                if self.path == "/consumed":
+                    server.record_consumed(
+                        int(body["rank"]), int(body["count"])
+                    )
+                    self._reply(200, {"status": "ok"})
+                    return
+                if self.path == "/ack":
+                    if server.ack_fn is None:
+                        self._reply(400, {"error": "acks not accepted"})
+                        return
+                    try:
+                        server.ack_fn(
+                            list(body["sample_ids"]), int(body["step"])
+                        )
+                        self._reply(200, {"status": "ok"})
+                    except Exception as exc:  # noqa: BLE001 — report upstream
+                        self._reply(500, {"error": str(exc)})
+                    return
+                self._reply(404, {"error": "not found"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
@@ -119,19 +138,38 @@ class InboxHTTPServer:
 class RemoteInboxChannel:
     """Drop-in for InboxChannel on hosts without the shared control dir."""
 
-    def __init__(self, base_url: str, rank: int, timeout: float = 30.0):
+    def __init__(self, base_url: str, rank: int, timeout: float = 30.0,
+                 startup_grace_s: float = 120.0):
         self.base_url = base_url.rstrip("/")
         self.rank = rank
         self.timeout = timeout
+        self.startup_grace_s = startup_grace_s
         self._offset = 0
         self.consumed = 0
+        self._first_failure: Optional[float] = None
 
     def poll(self):
+        import time as _time
+
         url = (
             f"{self.base_url}/inbox/{self.rank}?offset={self._offset}"
         )
-        with urllib.request.urlopen(url, timeout=self.timeout) as resp:
-            body = json.loads(resp.read())
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                body = json.loads(resp.read())
+        except OSError:
+            # the authority's relay may start after this rank: tolerate
+            # connection errors within the startup grace window
+            now = _time.monotonic()
+            if self._first_failure is None:
+                self._first_failure = now
+            if now - self._first_failure > self.startup_grace_s:
+                raise
+            return [], False, None
+        self._first_failure = None
+        return self._parse(body)
+
+    def _parse(self, body):
         self._offset = body["next_offset"]
         refs: List[SampleRef] = []
         closed = False
@@ -156,3 +194,17 @@ class RemoteInboxChannel:
         )
         with urllib.request.urlopen(req, timeout=self.timeout):
             pass
+
+    def post_ack(self, sample_ids, step: int) -> None:
+        """Route a durable ack through the authority host's ledger/store."""
+        data = json.dumps({
+            "rank": self.rank, "sample_ids": list(sample_ids),
+            "step": int(step),
+        }).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}/ack", data=data,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"remote ack failed: {resp.status}")

@@ -342,3 +342,70 @@ def test_two_process_online_consumer(online_stack):
     ))
     assert len(ledger.acked_ids()) == N_PROMPTS
     ledger.close()
+
+
+@pytest.mark.slow
+def test_two_process_online_consumer_http_relay(online_stack):
+    """Shared-FS-free multi-host online: the non-primary rank reads its
+    inbox and routes durable acks over the primary's HTTP relay — no SQLite
+    or inbox files touched outside rank 0 (reference rank-0 relay topology,
+    http_inbox.py:78-324)."""
+    payload, store_port, tmp_path = online_stack
+    from specforge_tpu.application.disaggregated import run_producer
+    from specforge_tpu.config.schema import Config
+    from specforge_tpu.runtime.data_plane.network_store import (
+        NetworkFeatureStore,
+    )
+
+    relay_port = _free_port()
+    payload = json.loads(json.dumps(payload))
+    payload["run_id"] = "mh-relay"
+    payload["training"]["save_interval"] = 0
+    payload["training"]["resume"] = False
+    payload["runtime"]["inbox_server_port"] = relay_port
+    payload["runtime"]["inbox_server_url"] = f"http://127.0.0.1:{relay_port}"
+
+    config = Config.model_validate(payload)
+    assert run_producer(config) == N_PROMPTS
+
+    config_path = tmp_path / "relay_consumer.json"
+    with open(config_path, "w") as f:
+        json.dump(payload, f)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["SPECFORGE_COORDINATOR"] = f"localhost:{port}"
+        env["SPECFORGE_NUM_PROCESSES"] = "2"
+        env["SPECFORGE_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO_ROOT, "tests", "_consumer_worker.py"),
+             str(config_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    metrics = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert abs(metrics[0]["train/loss"] - metrics[1]["train/loss"]) < 1e-6
+
+    # every object released — remote acks reached the authority's ledger
+    assert NetworkFeatureStore(
+        f"127.0.0.1:{store_port}"
+    ).health()["objects"] == 0
+    from specforge_tpu.runtime.control_plane.metadata_store import (
+        SQLiteMetadataStore,
+    )
+
+    ledger = SQLiteMetadataStore(str(
+        tmp_path / "runs" / "mh-relay" / "consumer_state" / "consumer.sqlite"
+    ))
+    assert len(ledger.acked_ids()) == N_PROMPTS
+    ledger.close()
