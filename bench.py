@@ -138,10 +138,20 @@ def bench_domino(batch, seq, steps, algo="domino"):
             "gru_hidden_dim": 1024,
             "shift_label": True,
         })
+    elif algo == "dspark":
+        # configs/qwen3-8b-dspark.json heads
+        dflash_cfg.update({
+            "projector_type": "dspark",
+            "markov_rank": 64,
+            "markov_head_type": "gated",
+            "enable_confidence_head": True,
+        })
+    arch = {
+        "domino": "DominoDraftModel",
+        "dspark": "DSparkDraftModel",
+    }.get(algo, "DFlashDraftModel")
     draft_config = {
-        "architectures": [
-            "DominoDraftModel" if algo == "domino" else "DFlashDraftModel"
-        ],
+        "architectures": [arch],
         "vocab_size": vocab,
         "hidden_size": 4096,
         "intermediate_size": 12288,
@@ -198,6 +208,10 @@ def bench_domino(batch, seq, steps, algo="domino"):
             np_rng.normal(size=(1, batch, seq, n_capture * cfg.hidden_size))
         ).astype(jnp.bfloat16),
     }
+    if algo == "dspark":
+        batch_tensors["target_last_hidden_states"] = jnp.asarray(
+            np_rng.normal(size=(1, batch, seq, cfg.hidden_size))
+        ).astype(jnp.bfloat16)
     import jax as _jax
 
     head_w = _jax.random.normal(
@@ -240,7 +254,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "5"))
 
     algo = os.environ.get("BENCH_ALGO", "domino")
-    if algo in ("domino", "dflash"):
+    if algo in ("domino", "dflash", "dspark"):
         mfu, metric = bench_domino(batch, seq, steps, algo=algo)
         print(json.dumps({
             "metric": metric,

@@ -112,6 +112,19 @@ bool write_exact(int fd, const void* buf, size_t n) {
   return true;
 }
 
+// Read-and-discard without allocating payload_len bytes: unauthenticated
+// peers must not be able to command arbitrary allocations (bad_alloc in a
+// connection thread would terminate the whole store).
+bool drain_payload(int fd, uint64_t len) {
+  uint8_t buf[1 << 16];
+  while (len > 0) {
+    size_t chunk = len < sizeof(buf) ? static_cast<size_t>(len) : sizeof(buf);
+    if (!read_exact(fd, buf, chunk)) return false;
+    len -= chunk;
+  }
+  return true;
+}
+
 bool send_response(int fd, char status, const void* payload, uint64_t len) {
   uint8_t header[9];
   header[0] = static_cast<uint8_t>(status);
@@ -138,6 +151,11 @@ void handle_connection(int fd) {
     if (!read_exact(fd, &payload_len, 8)) break;
 
     if (op == 'A') {
+      if (payload_len > 4096) {  // no real secret is this long
+        drain_payload(fd, payload_len);
+        send_response(fd, '4', nullptr, 0);
+        break;
+      }
       std::string provided(payload_len, '\0');
       if (payload_len && !read_exact(fd, provided.data(), payload_len)) break;
       if (g_store.secret.empty() || provided == g_store.secret) {
@@ -150,14 +168,23 @@ void handle_connection(int fd) {
       continue;
     }
     if (!authed) {
-      // drain the payload so the log is clean, then refuse + drop
-      std::vector<uint8_t> sink(payload_len);
-      if (payload_len && !read_exact(fd, sink.data(), payload_len)) break;
+      // bounded drain (never allocate attacker-controlled sizes), refuse, drop
+      if (!drain_payload(fd, payload_len)) break;
       send_response(fd, '4', nullptr, 0);
       break;
     }
 
     if (op == 'P') {
+      if (g_store.max_bytes != 0 && payload_len > g_store.max_bytes) {
+        // refuse before allocating: over-budget puts must not OOM the server
+        if (!drain_payload(fd, payload_len)) break;
+        {
+          std::lock_guard<std::mutex> lock(g_store.mu);
+          g_store.rejected++;
+        }
+        if (!send_response(fd, '2', nullptr, 0)) break;
+        continue;
+      }
       auto payload = std::make_shared<std::vector<uint8_t>>(payload_len);
       if (payload_len && !read_exact(fd, payload->data(), payload_len)) break;
       char status = '0';
@@ -230,8 +257,7 @@ void handle_connection(int fd) {
       if (payload_len == 8) {
         if (!read_exact(fd, &max_age, 8)) break;
       } else if (payload_len != 0) {
-        std::vector<uint8_t> sink(payload_len);
-        if (!read_exact(fd, sink.data(), payload_len)) break;
+        if (!drain_payload(fd, payload_len)) break;
       }
       uint64_t cutoff = now_seconds() >= max_age
                             ? now_seconds() - max_age

@@ -192,20 +192,22 @@ PROCESSORS = {
     "json": process_generic,
 }
 
-# HF hub presets (hub id, default split) — used when --input is absent
+# HF hub presets (hub id, config name or None, default split) — used when
+# --input is absent; gsm8k/hendrycks_math/opc require an explicit config
 HUB_PRESETS = {
-    "ultrachat": ("HuggingFaceH4/ultrachat_200k", "train_sft"),
-    "sharegpt": ("Aeala/ShareGPT_Vicuna_unfiltered", "train"),
-    "opc": ("OpenCoder-LLM/opc-sft-stage1", "train"),
-    "gsm8k": ("openai/gsm8k", "train"),
-    "hendrycks_math": ("EleutherAI/hendrycks_math", "train"),
-    "math_qa": ("allenai/math_qa", "train"),
-    "codealpaca-20k": ("sahil2801/CodeAlpaca-20k", "train"),
-    "opencodeinstruct": ("nvidia/OpenCodeInstruct", "train"),
+    "ultrachat": ("HuggingFaceH4/ultrachat_200k", None, "train_sft"),
+    "sharegpt": ("Aeala/ShareGPT_Vicuna_unfiltered", None, "train"),
+    "opc": ("OpenCoder-LLM/opc-sft-stage1",
+            "largescale_diverse_instruct", "train"),
+    "gsm8k": ("openai/gsm8k", "main", "train"),
+    "hendrycks_math": ("EleutherAI/hendrycks_math", "algebra", "train"),
+    "math_qa": ("allenai/math_qa", None, "train"),
+    "codealpaca-20k": ("sahil2801/CodeAlpaca-20k", None, "train"),
+    "opencodeinstruct": ("nvidia/OpenCodeInstruct", None, "train"),
     "magicoder-evol-instruct": ("ise-uiuc/Magicoder-Evol-Instruct-110K",
-                                "train"),
-    "sciq": ("allenai/sciq", "train"),
-    "camel": ("camel-ai/math", "train"),
+                                None, "train"),
+    "sciq": ("allenai/sciq", None, "train"),
+    "camel": ("camel-ai/math", None, "train"),
 }
 
 
@@ -221,11 +223,13 @@ def _iter_file(path):
                 yield json.loads(line)
 
 
-def _iter_hub(dataset, split):
+def _iter_hub(dataset, split, subset=None):
     from datasets import load_dataset
 
-    hub_id, default_split = HUB_PRESETS[dataset]
-    yield from load_dataset(hub_id, split=split or default_split)
+    hub_id, default_subset, default_split = HUB_PRESETS[dataset]
+    name = subset or default_subset
+    args = (hub_id, name) if name else (hub_id,)
+    yield from load_dataset(*args, split=split or default_split)
 
 
 def convert(rows, processor, output):
@@ -257,12 +261,14 @@ def main():
                                         "stream from the HF hub preset")
     parser.add_argument("--output", required=True)
     parser.add_argument("--split", default=None)
+    parser.add_argument("--subset", default=None,
+                        help="dataset config name (e.g. opc subsets)")
     args = parser.parse_args()
 
     if args.input:
         rows = _iter_file(args.input)
     elif args.dataset in HUB_PRESETS:
-        rows = _iter_hub(args.dataset, args.split)
+        rows = _iter_hub(args.dataset, args.split, args.subset)
     else:
         parser.error(f"--input required for dataset {args.dataset!r}")
     convert(rows, PROCESSORS[args.dataset], args.output)

@@ -235,6 +235,16 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     t = config.training
     if t.total_steps is None:
         raise ValueError("online consumer requires training.total_steps")
+    if t.resume and t.save_interval <= 0:
+        # with no checkpoints, per-step durable acks would release samples a
+        # restart can never recover (acks must not run ahead of restorable
+        # state) — refuse the unsafe combination
+        raise ValueError(
+            "online consumer with training.resume=true requires "
+            "training.save_interval > 0 (acks flush at checkpoint "
+            "boundaries; without checkpoints a restart would lose every "
+            "acked sample)"
+        )
     resolved = resolve_run(config)
     reg = resolved.registration
     options = _strategy_options(config)
@@ -282,11 +292,7 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
     pump_thread = None
     stop_pump = threading.Event()
     if remote_mode:
-        from specforge_tpu.runtime.data_plane.http_inbox import (
-            RemoteInboxChannel,
-        )
-
-        inbox = RemoteInboxChannel(relay_url, rank)
+        pass  # channel/ledger/distributor live on the primary host
     else:
         channel = StreamingRefChannel(_control_dir(config))
         ledger = SQLiteMetadataStore(
@@ -296,9 +302,13 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         if primary:
             channel.publish_consumer_quantum(window)
         # restart generation: a killed-and-restarted consumer must not replay
-        # inbox entries that were durably acked — each (re)start writes/reads
-        # a fresh inbox keyed by the ledger's durable step marker, and the
-        # distributor requeues exactly the committed-but-unacked tail
+        # inbox entries that were distributed pre-crash — each (re)start
+        # writes/reads a fresh inbox keyed by the ledger's durable step
+        # marker, and the primary CLEARS that generation's directory before
+        # staging (a crash before the first ack leaves durable_step
+        # unchanged, so the same key would otherwise still hold the
+        # pre-crash fan-out and every requeued ref would deliver twice);
+        # the distributor requeues exactly the committed-but-unacked tail
         # (reference reconcile_on_restart, control_plane/controller.py:228 +
         # tests/test_recovery.py semantics)
         durable = ledger.durable_step() or 0
@@ -309,6 +319,10 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         # (reference rank0 RefDistributor + per-rank inboxes,
         # launch.py:1432-1539)
         if primary:
+            import shutil as _shutil
+
+            if os.path.exists(inbox_dir):
+                _shutil.rmtree(inbox_dir)
             distributor = RefDistributor(
                 channel, controller, inbox_dir, world_size=procs,
                 window_samples=window,
@@ -325,6 +339,20 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
             pump_thread = threading.Thread(target=pump, daemon=True)
             pump_thread.start()
 
+    if procs > 1:
+        # EVERY process joins: shared-dir ranks must not open the generation
+        # dir before the primary's restart-clear, and collective sequences
+        # must match across relay-mode and shared-dir ranks alike
+        from specforge_tpu.parallel.multihost import barrier
+
+        barrier("inbox-generation")
+    if remote_mode:
+        from specforge_tpu.runtime.data_plane.http_inbox import (
+            RemoteInboxChannel,
+        )
+
+        inbox = RemoteInboxChannel(relay_url, rank)
+    else:
         inbox = InboxChannel(inbox_dir, rank)
     feeder = InboxFeeder(inbox).start()
     collate = PaddingCollator(CollatorConfig(
@@ -357,16 +385,12 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         """Authority-side durable ack: ledger marker, then store release."""
         controller.ack_train_refs(ids, step)
         refs = [ref_by_id.pop(sid) for sid in ids if sid in ref_by_id]
-        missing = [sid for sid in ids if sid not in {
-            r.sample_id for r in refs
-        }]
+        have = {r.sample_id for r in refs}
+        missing = [sid for sid in ids if sid not in have]
         if missing and ledger is not None:
             # remote ranks' refs never flowed through this rank's loader:
-            # resolve them from the committed ledger for the store release
-            wanted = set(missing)
-            refs.extend(
-                r for r in ledger.committed_refs() if r.sample_id in wanted
-            )
+            # resolve them with a targeted ledger query for the store release
+            refs.extend(ledger.committed_refs_by_ids(missing))
         if release_fn is not None:
             release_fn(refs)
         else:

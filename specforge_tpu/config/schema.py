@@ -137,15 +137,23 @@ class DeploymentConfig(StrictModel):
 
     @model_validator(mode="after")
     def _validate_urls(self):
+        from urllib.parse import urlsplit
+
         seen = set()
         for url in self.server_urls:
-            if not url.startswith(("http://", "https://")):
+            parts = urlsplit(url)
+            if parts.scheme not in ("http", "https"):
                 raise ValueError(
                     f"deployment.server_urls entries must be http(s) URLs, "
                     f"got {url!r}"
                 )
-            port = url.rsplit(":", 1)[-1].rstrip("/")
-            if not port.isdigit():
+            try:
+                port = parts.port
+            except ValueError as exc:
+                raise ValueError(
+                    f"deployment.server_urls entry {url!r}: {exc}"
+                ) from exc
+            if port is None:
                 raise ValueError(
                     f"deployment.server_urls entries must carry an explicit "
                     f"port, got {url!r}"

@@ -91,12 +91,11 @@ class CaptureEngine:
         lengths = [
             min(len(ids), self.max_length) for ids, _ in samples
         ]
-        seq = _bucket(
-            max(lengths),
-            [b for b in self.SEQ_BUCKETS if b <= self.max_length]
-            or [self.max_length],
-        )
-        seq = min(seq, self.max_length)
+        # max_length is always the terminal bucket: a fallback below the
+        # longest prompt would overflow the padded buffer
+        buckets = [b for b in self.SEQ_BUCKETS if b < self.max_length]
+        buckets.append(self.max_length)
+        seq = _bucket(max(lengths), buckets)
         bsz = _bucket(len(samples), self.BATCH_BUCKETS)
         ids = np.zeros((bsz, seq), np.int32)
         mask = np.zeros((bsz, seq), np.int32)
@@ -200,8 +199,10 @@ class CaptureServer:
         samples = []
         for req in requests:
             ids = np.asarray(req["input_ids"], np.int64)
+            raw_mask = req.get("loss_mask")  # key may be present-but-null
             mask = np.asarray(
-                req.get("loss_mask", np.ones_like(ids)), np.int64
+                raw_mask if raw_mask is not None else np.ones_like(ids),
+                np.int64,
             )
             samples.append((ids, mask))
         batch_tensors = self.engine.capture_batch(samples)
@@ -215,8 +216,10 @@ class CaptureServer:
 
     def handle_generate(self, body: Dict[str, Any]) -> Dict[str, Any]:
         input_ids = np.asarray(body["input_ids"], np.int64)
+        raw_mask = body.get("loss_mask")  # key may be present-but-null
         loss_mask = np.asarray(
-            body.get("loss_mask", np.ones_like(input_ids)), np.int64
+            raw_mask if raw_mask is not None else np.ones_like(input_ids),
+            np.int64,
         )
         sample_id = str(body.get("sample_id", "sample"))
         spec = body.get("spec_capture") or {}

@@ -111,22 +111,30 @@ def build_launch_plan(
         store_argv = [store_binary, "--port", port]
         if stack.store_max_bytes:
             store_argv += ["--max-bytes", str(stack.store_max_bytes)]
+        store_env: Tuple[Tuple[str, str], ...] = ()
         if config.runtime.store_secret:
-            store_argv += ["--secret", config.runtime.store_secret]
+            # via env, never argv: env is redacted by plan.render() and
+            # invisible to `ps` (the server reads SPECFORGE_STORE_SECRET)
+            store_env = (
+                ("SPECFORGE_STORE_SECRET", config.runtime.store_secret),
+            )
         commands.append(PlannedCommand(
             name="feature_store",
             argv=tuple(store_argv),
+            env=store_env,
             readiness=Readiness(
                 kind="tcp", target=endpoint,
                 timeout_s=stack.readiness_timeout_s,
             ),
         ))
+        from urllib.parse import urlsplit
+
         for i, url in enumerate(config.deployment.server_urls):
             server_argv = [
                 sys.executable, "-m",
                 "specforge_tpu.inference.capture_server_main",
                 "--target-model", config.model.target_model_path or "",
-                "--port", url.rsplit(":", 1)[1],
+                "--port", str(urlsplit(url).port),
                 "--config", config_path,
                 "--max-length", str(stack.capture_max_length),
             ]

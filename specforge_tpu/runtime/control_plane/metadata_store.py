@@ -39,6 +39,11 @@ class MetadataStore(abc.ABC):
     @abc.abstractmethod
     def committed_refs(self) -> List[SampleRef]: ...
 
+    def committed_refs_by_ids(self, sample_ids) -> List[SampleRef]:
+        """Targeted lookup (default: filter the full scan)."""
+        wanted = set(sample_ids)
+        return [r for r in self.committed_refs() if r.sample_id in wanted]
+
     def close(self) -> None:
         pass
 
@@ -170,6 +175,19 @@ class SQLiteMetadataStore(MetadataStore):
                 "SELECT ref_json FROM committed ORDER BY rowid"
             ).fetchall()
             return [SampleRef.from_json(json.loads(r[0])) for r in rows]
+
+    def committed_refs_by_ids(self, sample_ids) -> List[SampleRef]:
+        ids = list(sample_ids)
+        if not ids:
+            return []
+        placeholders = ",".join("?" for _ in ids)
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT ref_json FROM committed WHERE sample_id IN "
+                f"({placeholders}) ORDER BY rowid",
+                ids,
+            ).fetchall()
+        return [SampleRef.from_json(json.loads(r[0])) for r in rows]
 
     def close(self) -> None:
         with self._lock:

@@ -234,9 +234,16 @@ class NetworkFeatureStore(FeatureStore):
                 key = "/".join(handle.uri.split("/", 3)[3:])
                 try:
                     status, _ = conn.request(b"D", key)
-                    if status == 5:  # pinned: the authority unpins + removes
+                    # pinned: the lifetime authority unpins until removable
+                    # (pin counts can exceed 1 after crash-readopt cycles)
+                    attempts = 0
+                    while status == 5 and attempts < 64:
                         conn.request(b"U", key)
-                        conn.request(b"D", key)
+                        status, _ = conn.request(b"D", key)
+                        attempts += 1
+                    if status == 5:
+                        with self._pending_lock:
+                            self._pending_removals.append(key)
                 except (OSError, ConnectionError):
                     with self._pending_lock:
                         self._pending_removals.append(key)

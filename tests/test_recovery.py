@@ -409,3 +409,42 @@ def test_two_process_online_consumer_http_relay(online_stack):
     ))
     assert len(ledger.acked_ids()) == N_PROMPTS
     ledger.close()
+
+
+@pytest.mark.slow
+def test_consumer_kill_before_first_ack(online_stack):
+    """Crash BEFORE any durable ack: the restart clears the unchanged inbox
+    generation (same durable step key) so pre-crash fan-out is never
+    delivered alongside the requeued refs — no double-trained samples
+    (review finding: stale generation reuse)."""
+    payload, store_port, tmp_path = online_stack
+    from specforge_tpu.application.disaggregated import run_producer
+    from specforge_tpu.config.schema import Config
+
+    config = Config.model_validate(payload)
+    assert run_producer(config) == N_PROMPTS
+
+    proc = _spawn_consumer(tmp_path, payload)
+    ledger_path = (
+        tmp_path / "runs" / "rec0" / "consumer_state" / "consumer.sqlite"
+    )
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline and not ledger_path.exists():
+        time.sleep(0.05)
+    # kill as early as possible — often before the first optimizer step acks
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=30)
+
+    proc2 = _spawn_consumer(tmp_path, payload)
+    out, _ = proc2.communicate(timeout=600)
+    assert proc2.returncode == 0, out.decode()[-3000:]
+
+    with open(tmp_path / "runs" / f"rec0-step{TOTAL_STEPS}"
+              / "contract.json") as f:
+        contract = json.load(f)
+    # exactly TOTAL_STEPS — a stale inbox generation would deliver
+    # duplicates and overshoot; lost samples would undershoot
+    assert contract["progress"]["global_step"] == TOTAL_STEPS
+    acked, committed, durable = _ledger_state(tmp_path)
+    assert len(acked) == N_PROMPTS
+    assert durable == TOTAL_STEPS
