@@ -247,6 +247,132 @@ def bench_domino(batch, seq, steps, algo="domino"):
     return mfu, f"{algo}_train_step_mfu"
 
 
+def peagle_step_flops(s, cfg, num_depths, dsr, dsr_min):
+    """Matmul FLOPs for one P-EAGLE optimizer step (bs 1): COD queries
+    through the 4-layer draft + draft-vocab head (3x trainable), teacher
+    head fwd-only."""
+    import math as _math
+
+    h = cfg.hidden_size
+    d = cfg.resolved_head_dim
+    heads = cfg.num_attention_heads
+    kvh = cfg.num_key_value_heads
+    inter = cfg.intermediate_size
+    vd = cfg.draft_vocab_size
+    v = cfg.vocab_size
+    caps = [s] + [
+        int(_math.ceil(s * max(dsr ** depth, dsr_min)))
+        for depth in range(1, num_depths)
+    ]
+    q = sum(caps)
+
+    def mm(m, k, n):
+        return 2.0 * m * k * n
+
+    layers = cfg.num_hidden_layers
+    train = 0.0
+    train += mm(s, 3 * h, h)                            # fc projector
+    train += layers * (
+        mm(q, 2 * h, heads * d) + 2 * mm(q, 2 * h, kvh * d)
+        + mm(q, heads * d, h) + 3 * mm(q, h, inter)
+    )
+    train += layers * 2 * (2.0 * heads * q * s * d)     # qk, pv vs context
+    train += mm(q, h, vd)                               # draft-vocab head
+    teacher = mm(s, h, v)                               # frozen head, fwd-only
+    return 3.0 * train + teacher
+
+
+def bench_peagle(seq, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from specforge_tpu.algorithms.builtin import builtin_algorithm_registry
+    from specforge_tpu.training.optimizer import OptimizerConfig, build_optimizer
+    from specforge_tpu.training.train_step import TrainState, make_train_step
+
+    vocab = int(os.environ.get("BENCH_TARGET_VOCAB", "151936"))
+    moments_dtype = os.environ.get("BENCH_MOMENTS_DTYPE", "bfloat16")
+    num_depths, dsr, dsr_min = 8, 0.7, 0.2
+    draft_config = {
+        "architectures": ["PEagleDraftModel"],
+        "vocab_size": vocab,
+        "draft_vocab_size": 32000,
+        "hidden_size": 4096,
+        "intermediate_size": 12288,
+        "num_attention_heads": 32,
+        "num_key_value_heads": 8,
+        "head_dim": 128,
+        "num_hidden_layers": 4,
+        "max_position_embeddings": 40960,
+        "rope_theta": 1e6,
+    }
+    reg = builtin_algorithm_registry().resolve("peagle")
+    providers = reg.providers
+    options = {
+        "num_depths": num_depths,
+        "down_sample_ratio": dsr,
+        "down_sample_ratio_min": dsr_min,
+        "seed": 0,
+    }
+    draft, cfg = providers.build_draft(draft_config, dtype=jnp.bfloat16)
+    model = providers.build_training_model(draft, options)
+    strategy = providers.build_strategy(model, options)
+    rng = jax.random.PRNGKey(0)
+    print("initializing peagle params...", file=sys.stderr)
+    variables = providers.init_variables(model, cfg, options, rng, seq)
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-4, moments_dtype=moments_dtype), 1000
+    )
+    state = TrainState.create(variables["params"], variables.get("buffers", {}), tx)
+    variables = None
+    step_fn = make_train_step(
+        strategy, tx, accum_steps=1, total_steps=1000,
+        metadata={"target_repr": "hidden_state"},
+    )
+    np_rng = np.random.default_rng(0)
+    batch_tensors = {
+        "input_ids": jnp.asarray(
+            np_rng.integers(0, vocab, size=(1, 1, seq))
+        ),
+        "attention_mask": jnp.ones((1, 1, seq), jnp.int32),
+        "loss_mask": jnp.asarray(
+            (np_rng.random((1, 1, seq, 1)) > 0.2).astype(np.int32)
+        ),
+        "hidden_state": jnp.asarray(
+            np_rng.normal(size=(1, 1, seq, 3 * cfg.hidden_size))
+        ).astype(jnp.bfloat16),
+        "target": jnp.asarray(
+            np_rng.normal(size=(1, 1, seq, cfg.hidden_size))
+        ).astype(jnp.bfloat16),
+    }
+    head_w = jax.random.normal(
+        jax.random.PRNGKey(1), (vocab, cfg.hidden_size), jnp.bfloat16
+    ) * 0.02
+    frozen = {"target_head_weight": head_w}
+    print("compiling peagle train step...", file=sys.stderr)
+    t0 = time.monotonic()
+    state, metrics = step_fn(state, batch_tensors, frozen)
+    _ = float(metrics["train/loss"])
+    print(f"compile+first step: {time.monotonic()-t0:.1f}s", file=sys.stderr)
+    state, metrics = step_fn(state, batch_tensors, frozen)
+    _ = float(metrics["train/loss"])
+    t0 = time.monotonic()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_tensors, frozen)
+    final_loss = float(metrics["train/loss"])
+    dt = (time.monotonic() - t0) / steps
+    flops = peagle_step_flops(seq, cfg, num_depths, dsr, dsr_min)
+    peak, gen = detect_peak()
+    mfu = flops / dt / peak
+    print(
+        f"peagle step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
+        f"{flops/dt/1e12:.1f}TF/s peak[{gen}]={peak/1e12:.0f}TF/s "
+        f"loss={final_loss:.3f}",
+        file=sys.stderr,
+    )
+    return mfu, "peagle_train_step_mfu"
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "2"))
     seq = int(os.environ.get("BENCH_SEQ", "768"))
@@ -254,6 +380,15 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "5"))
 
     algo = os.environ.get("BENCH_ALGO", "domino")
+    if algo == "peagle":
+        mfu, metric = bench_peagle(seq, steps)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(mfu, 4),
+            "unit": "fraction_of_peak_bf16",
+            "vs_baseline": round(mfu / BASELINE_MFU, 4),
+        }))
+        return
     if algo in ("domino", "dflash", "dspark"):
         mfu, metric = bench_domino(batch, seq, steps, algo=algo)
         print(json.dumps({
