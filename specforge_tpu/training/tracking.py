@@ -100,6 +100,57 @@ class WandbTracker(Tracker):
         self.run.finish()
 
 
+class MlflowTracker(Tracker):
+    """mlflow backend (reference tracker family, tracker.py:75-360)."""
+
+    def __init__(self, experiment: str, run_id: str):
+        import mlflow  # noqa: F401 — availability probe
+
+        self._mlflow = mlflow
+        mlflow.set_experiment(experiment)
+        self._run = mlflow.start_run(run_name=run_id)
+
+    def log(self, metrics, step):
+        self._mlflow.log_metrics(
+            {k.replace("/", "."): float(v) for k, v in metrics.items()},
+            step=step,
+        )
+
+    def log_config(self, config):
+        flat = {}
+
+        def _walk(obj, prefix=""):
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    _walk(v, f"{prefix}{k}.")
+            else:
+                flat[prefix[:-1]] = str(obj)
+
+        _walk(redact_config(config))
+        self._mlflow.log_params(flat)
+
+    def finish(self):
+        self._mlflow.end_run()
+
+
+class SwanlabTracker(Tracker):
+    """swanlab backend (reference tracker family, tracker.py:75-360)."""
+
+    def __init__(self, project: str, run_id: str):
+        import swanlab
+
+        self._run = swanlab.init(project=project, experiment_name=run_id)
+
+    def log(self, metrics, step):
+        self._run.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def log_config(self, config):
+        self._run.config.update(redact_config(config))
+
+    def finish(self):
+        self._run.finish()
+
+
 class MultiTracker(Tracker):
     def __init__(self, trackers: List[Tracker]):
         self.trackers = trackers
@@ -148,6 +199,20 @@ def build_tracker(
                 trackers.append(WandbTracker(project or "specforge-tpu", run_id))
             except ImportError:
                 logger.warning("wandb unavailable; skipping tracker")
+        elif name == "mlflow":
+            try:
+                trackers.append(
+                    MlflowTracker(project or "specforge-tpu", run_id)
+                )
+            except ImportError:
+                logger.warning("mlflow unavailable; skipping tracker")
+        elif name == "swanlab":
+            try:
+                trackers.append(
+                    SwanlabTracker(project or "specforge-tpu", run_id)
+                )
+            except ImportError:
+                logger.warning("swanlab unavailable; skipping tracker")
         else:
             raise ValueError(f"unknown tracker backend {name!r}")
     if not trackers:
