@@ -276,7 +276,7 @@ def peagle_step_flops(s, cfg, num_depths, dsr, dsr_min):
         mm(q, 2 * h, heads * d) + 2 * mm(q, 2 * h, kvh * d)
         + mm(q, heads * d, h) + 3 * mm(q, h, inter)
     )
-    train += layers * 2 * (2.0 * heads * q * s * d)     # qk, pv vs context
+    train += layers * 2 * (2.0 * heads * q * q * d)     # qk, pv: dense [T, T]
     train += mm(q, h, vd)                               # draft-vocab head
     teacher = mm(s, h, v)                               # frozen head, fwd-only
     return 3.0 * train + teacher

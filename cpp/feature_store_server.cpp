@@ -175,8 +175,22 @@ void handle_connection(int fd) {
     }
 
     if (op == 'P') {
-      if (g_store.max_bytes != 0 && payload_len > g_store.max_bytes) {
-        // refuse before allocating: over-budget puts must not OOM the server
+      bool over_budget = false;
+      if (g_store.max_bytes != 0) {
+        // refuse BEFORE allocating: check against the current residency,
+        // not just the absolute budget — a near-full store must not make
+        // transient full-payload allocations (bad_alloc would terminate
+        // the whole server). The post-read in-lock check below stays as
+        // the authoritative race-free decision.
+        std::lock_guard<std::mutex> lock(g_store.mu);
+        auto it = g_store.objects.find(key);
+        uint64_t existing =
+            it == g_store.objects.end() ? 0 : it->second.data->size();
+        over_budget =
+            g_store.resident_bytes - existing + payload_len >
+            g_store.max_bytes;
+      }
+      if (over_budget) {
         if (!drain_payload(fd, payload_len)) break;
         {
           std::lock_guard<std::mutex> lock(g_store.mu);

@@ -228,6 +228,14 @@ def _iter_hub(dataset, split, subset=None):
 
     hub_id, default_subset, default_split = HUB_PRESETS[dataset]
     name = subset or default_subset
+    if name and not subset:
+        # don't let a pinned default read like the full dataset
+        print(
+            f"note: {dataset} defaults to config {name!r}; pass --subset "
+            "to choose another (hendrycks_math has 7 subjects, opc has 3 "
+            "stages)",
+            file=sys.stderr,
+        )
     args = (hub_id, name) if name else (hub_id,)
     yield from load_dataset(*args, split=split or default_split)
 

@@ -125,9 +125,12 @@ def main():
 
     all_devices = jax.devices()
     n = len(all_devices)
-    print(f"measuring 1-device baseline...", file=sys.stderr)
+    # baseline on each host's OWN first device: every process measures a
+    # local 1-device mesh simultaneously (no cross-host collectives, no
+    # non-addressable shards), then all join the full-world measurement
+    print("measuring 1-device baseline...", file=sys.stderr)
     sps_1, dt_1 = _throughput(
-        all_devices[:1], batch_per_device, seq, hidden, vocab, steps
+        jax.local_devices()[:1], batch_per_device, seq, hidden, vocab, steps
     )
     if n > 1:
         print(f"measuring {n}-device throughput...", file=sys.stderr)

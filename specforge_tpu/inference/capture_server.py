@@ -91,12 +91,19 @@ class CaptureEngine:
         lengths = [
             min(len(ids), self.max_length) for ids, _ in samples
         ]
-        # max_length is always the terminal bucket: a fallback below the
-        # longest prompt would overflow the padded buffer
+        # the terminal bucket must cover the data on BOTH axes: a fallback
+        # below the longest prompt / largest batch would overflow the
+        # padded buffer
         buckets = [b for b in self.SEQ_BUCKETS if b < self.max_length]
         buckets.append(self.max_length)
         seq = _bucket(max(lengths), buckets)
-        bsz = _bucket(len(samples), self.BATCH_BUCKETS)
+        n = len(samples)
+        batch_buckets = [b for b in self.BATCH_BUCKETS if b < n]
+        terminal = 1
+        while terminal < n:
+            terminal *= 2
+        batch_buckets.append(terminal)
+        bsz = _bucket(n, batch_buckets)
         ids = np.zeros((bsz, seq), np.int32)
         mask = np.zeros((bsz, seq), np.int32)
         for i, ((sample_ids, _), length) in enumerate(zip(samples, lengths)):

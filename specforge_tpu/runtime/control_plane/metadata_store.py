@@ -178,16 +178,19 @@ class SQLiteMetadataStore(MetadataStore):
 
     def committed_refs_by_ids(self, sample_ids) -> List[SampleRef]:
         ids = list(sample_ids)
-        if not ids:
-            return []
-        placeholders = ",".join("?" for _ in ids)
-        with self._lock:
-            rows = self._conn.execute(
-                "SELECT ref_json FROM committed WHERE sample_id IN "
-                f"({placeholders}) ORDER BY rowid",
-                ids,
-            ).fetchall()
-        return [SampleRef.from_json(json.loads(r[0])) for r in rows]
+        out: List[SampleRef] = []
+        # chunk below SQLITE_MAX_VARIABLE_NUMBER (999 on older builds)
+        for start in range(0, len(ids), 500):
+            chunk = ids[start:start + 500]
+            placeholders = ",".join("?" for _ in chunk)
+            with self._lock:
+                rows = self._conn.execute(
+                    "SELECT ref_json FROM committed WHERE sample_id IN "
+                    f"({placeholders}) ORDER BY rowid",
+                    chunk,
+                ).fetchall()
+            out.extend(SampleRef.from_json(json.loads(r[0])) for r in rows)
+        return out
 
     def close(self) -> None:
         with self._lock:
