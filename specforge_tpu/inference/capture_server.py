@@ -40,6 +40,24 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def resolve_batch_shape(
+    n_samples: int, longest: int, max_length: int,
+    seq_buckets: Sequence[int], batch_buckets: Sequence[int],
+) -> tuple:
+    """(bsz, seq) padded bucket shape covering the request on BOTH axes —
+    the terminal bucket always covers the data (an undersized fallback
+    would overflow the padded buffer)."""
+    buckets = [b for b in seq_buckets if b < max_length]
+    buckets.append(max_length)
+    seq = _bucket(min(longest, max_length), buckets)
+    cap = [b for b in batch_buckets if b < n_samples]
+    terminal = 1
+    while terminal < n_samples:
+        terminal *= 2
+    cap.append(terminal)
+    return _bucket(n_samples, cap), seq
+
+
 class CaptureEngine:
     """Wraps the jitted target capture forward.
 
@@ -91,19 +109,10 @@ class CaptureEngine:
         lengths = [
             min(len(ids), self.max_length) for ids, _ in samples
         ]
-        # the terminal bucket must cover the data on BOTH axes: a fallback
-        # below the longest prompt / largest batch would overflow the
-        # padded buffer
-        buckets = [b for b in self.SEQ_BUCKETS if b < self.max_length]
-        buckets.append(self.max_length)
-        seq = _bucket(max(lengths), buckets)
-        n = len(samples)
-        batch_buckets = [b for b in self.BATCH_BUCKETS if b < n]
-        terminal = 1
-        while terminal < n:
-            terminal *= 2
-        batch_buckets.append(terminal)
-        bsz = _bucket(n, batch_buckets)
+        bsz, seq = resolve_batch_shape(
+            len(samples), max(lengths), self.max_length,
+            self.SEQ_BUCKETS, self.BATCH_BUCKETS,
+        )
         ids = np.zeros((bsz, seq), np.int32)
         mask = np.zeros((bsz, seq), np.int32)
         for i, ((sample_ids, _), length) in enumerate(zip(samples, lengths)):

@@ -141,3 +141,24 @@ def test_worker_batch_mode_commits_all(capture_server):
         t.prompt_id for t in tasks
     )
     assert controller.status()["prompts_pending"] == 0
+
+
+def test_resolve_batch_shape_edges():
+    """Bucket shapes always COVER the request on both axes (review finding:
+    undersized terminal buckets overflowed the padded buffer)."""
+    from specforge_tpu.inference.capture_server import (
+        CaptureEngine,
+        resolve_batch_shape,
+    )
+
+    sb, bb = CaptureEngine.SEQ_BUCKETS, CaptureEngine.BATCH_BUCKETS
+    # non-power-of-two max_length is the terminal seq bucket
+    assert resolve_batch_shape(1, 1400, 1500, sb, bb) == (1, 1500)
+    assert resolve_batch_shape(1, 100, 1500, sb, bb) == (1, 128)
+    # batch beyond the largest preset bucket rounds up, never truncates
+    bsz, _ = resolve_batch_shape(32, 10, 2048, sb, bb)
+    assert bsz >= 32
+    bsz, _ = resolve_batch_shape(17, 10, 2048, sb, bb)
+    assert bsz >= 17
+    # prompts longer than max_length clamp to it
+    assert resolve_batch_shape(2, 9999, 2048, sb, bb) == (2, 2048)
