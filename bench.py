@@ -108,8 +108,20 @@ def domino_step_flops(b, s, cfg, num_anchors, attn_chunk_blocks=8):
         train += 2.0 * tq * (h * 3 * gh + gh * 3 * gh)
         train += mm(tq, gh + h, cfg.emb_dim)
         train += mm(tq, cfg.emb_dim, v)
+    teacher = 0.0
+    if cfg.markov_rank:                                 # dspark markov bias
+        r = cfg.markov_rank
+        train += mm(tq, r, v)       # latent @ W2 (fwd + d_lat + dW2 = 3x)
+        if cfg.markov_head_type == "gated":
+            train += mm(tq, h + r, r)
+        elif cfg.markov_head_type == "rnn":
+            train += mm(tq, 3 * r + h, 3 * r)
+        if cfg.enable_confidence_head:
+            train += mm(tq, h, 1)
+        # teacher projection of aligned target hidden (stop-grad, fwd-only)
+        teacher = mm(tq, h, v)
     frozen = mm(tq, h, v)                               # base logits (lm_head)
-    return 3.0 * train + 2.0 * frozen
+    return 3.0 * train + 2.0 * frozen + teacher
 
 
 def bench_domino(batch, seq, steps, algo="domino"):

@@ -167,6 +167,9 @@ def _dflash_family_training_model(wrapper_cls):
             objective_chunk_blocks=int(
                 options.get("objective_chunk_blocks", 128)
             ),
+            fused_objective=bool(
+                options.get("fused_vocab_objective", True)
+            ),
         )
         from specforge_tpu.algorithms.common.dflash_family import (
             OnlineDFlashModel,

@@ -30,6 +30,14 @@ import jax.numpy as jnp
 
 from specforge_tpu.models.draft.dflash import DFlashDraftModel
 from specforge_tpu.ops.chunking import checkpointed_chunk_reduce
+from specforge_tpu.ops.fused_objective import (
+    _DFlashOpts,
+    _DominoOpts,
+    _DSparkOpts,
+    dflash_objective_fused,
+    domino_objective_fused,
+    dspark_objective_fused,
+)
 from specforge_tpu.ops.masks import sample_anchor_positions
 
 _VALID_LOSS_TYPES = {
@@ -74,6 +82,11 @@ class OnlineDFlashModel(nn.Module):
     objective_chunk_blocks: int = 128
     loss_type: str = "dflash"
     dpace_alpha: float = 0.5
+    # Fused objective: frozen-head CE with forward-computed input gradients
+    # (ops/fused_objective.py) — 2 vocab matmuls per chunk instead of the
+    # checkpointed path's 3 (fwd + remat + d_hidden). Same math; the unfused
+    # path is kept for parity testing.
+    fused_objective: bool = True
 
     def _check(self):
         if self.loss_type not in _VALID_LOSS_TYPES:
@@ -233,12 +246,38 @@ class OnlineDFlashModel(nn.Module):
 
         n = anchor_positions.shape[1]
         hidden_4d = output_hidden.reshape(b, n, self.block_size, -1)
-        loss_num, loss_den, correct_num, accuracy_den = checkpointed_chunk_reduce(
-            self._objective_chunk_terms(lm_head_weight),
-            hidden_4d, target_ids, weight_mask,
-            chunk_size=self.objective_chunk_blocks, axis=1,
-            initializing=self.is_initializing(),
-        )
+        if self.fused_objective:
+            loss_weights = weight_mask
+            if (
+                self.loss_type == "dflash"
+                and self.loss_decay_gamma
+                and self.loss_decay_gamma > 0
+            ):
+                positions = jnp.arange(self.block_size, dtype=jnp.float32)
+                decay = jnp.exp(
+                    -jnp.maximum(positions - 1, 0) / self.loss_decay_gamma
+                )
+                loss_weights = weight_mask * decay[None, None, :]
+            loss_num, loss_den, correct_num, accuracy_den = (
+                dflash_objective_fused(
+                    hidden_4d, target_ids, loss_weights, weight_mask,
+                    lm_head_weight,
+                    _DFlashOpts(
+                        loss_type=self.loss_type,
+                        dpace_alpha=float(self.dpace_alpha),
+                        chunk_blocks=int(self.objective_chunk_blocks),
+                    ),
+                )
+            )
+        else:
+            loss_num, loss_den, correct_num, accuracy_den = (
+                checkpointed_chunk_reduce(
+                    self._objective_chunk_terms(lm_head_weight),
+                    hidden_4d, target_ids, weight_mask,
+                    chunk_size=self.objective_chunk_blocks, axis=1,
+                    initializing=self.is_initializing(),
+                )
+            )
         loss_denominator = (
             loss_den if self.loss_type == "dflash" else jnp.asarray(float(b))
         )
@@ -313,6 +352,32 @@ class OnlineDominoModel(OnlineDFlashModel):
             decay = jnp.exp(-jnp.maximum(k - offset, 0) / self.loss_decay_gamma)
             weight_mask = weight_mask * decay[None, None, :]
 
+        if self.fused_objective:
+            prev_emb = jnp.take(embed_weight, prev_ids, axis=0)
+            corr_act = self.draft_model.correction_activation(
+                prev_emb, hidden4d
+            )
+            p1_kernel = self.draft_model.logits_head_kernel()
+            (
+                blend_num, final_num, base_num, loss_den, correct_num,
+                base_correct, accuracy_den, accept_num, base_accept_num,
+                accept_den,
+            ) = domino_objective_fused(
+                hidden4d, corr_act, p1_kernel, target_ids, weight_mask,
+                eval_weight_mask, jnp.asarray(lambda_base, jnp.float32),
+                lm_head_weight,
+                _DominoOpts(chunk_blocks=int(self.objective_chunk_blocks)),
+            )
+            valid_token_count = loss_den + 1e-6
+            final_loss = final_num / valid_token_count
+            base_loss = base_num / valid_token_count
+            loss = blend_num / valid_token_count
+            return self._domino_outputs(
+                loss, final_loss, base_loss, correct_num, base_correct,
+                accuracy_den, accept_num, base_accept_num, accept_den,
+                lambda_base,
+            )
+
         def chunk_fn(hidden, prev_ids_c, target_ids_c, w_mask, ew_mask):
             base_logits = jnp.einsum(
                 "bnkh,vh->bnkv", hidden, lm_head_weight.astype(hidden.dtype)
@@ -367,6 +432,15 @@ class OnlineDominoModel(OnlineDFlashModel):
         final_loss = final_num / valid_token_count
         base_loss = base_num / valid_token_count
         loss = (1.0 - lambda_base) * final_loss + lambda_base * base_loss
+        return self._domino_outputs(
+            loss, final_loss, base_loss, correct_num, base_correct,
+            accuracy_den, accept_num, base_accept_num, accept_den, lambda_base,
+        )
+
+    def _domino_outputs(
+        self, loss, final_loss, base_loss, correct_num, base_correct,
+        accuracy_den, accept_num, base_accept_num, accept_den, lambda_base,
+    ):
         accuracy = correct_num / (accuracy_den + 1e-6)
         metrics = {
             "final_loss": jax.lax.stop_gradient(final_loss),
@@ -461,6 +535,12 @@ class OnlineDSparkModel(OnlineDFlashModel):
                 pred_idx.reshape(b, -1)[..., None],
                 axis=1,
             ).reshape(b, n, self.block_size, h)
+
+        if self.fused_objective:
+            return self._fused_call(
+                hidden_4d, prev_token_ids, target_ids, loss_weights,
+                eval_mask, aligned_target_hidden, lm_head_weight, loss_den,
+            )
 
         def chunk_fn(hidden, prev_ids_c, target_ids_c, lw, em, ath):
             base_logits = jnp.einsum(
@@ -572,7 +652,80 @@ class OnlineDSparkModel(OnlineDFlashModel):
             + self.dspark_l1_loss_alpha * l1_num
             + self.dspark_confidence_head_alpha * conf_num
         ) / global_den
+        return self._dspark_outputs(
+            loss, ce_num, l1_num, conf_num, conf_err, correct_num, eval_den,
+            agree_num, t_top1, d_top1, tau_num, tau_den, loss_den,
+        )
 
+    def _fused_call(self, hidden_4d, prev_token_ids, target_ids, loss_weights,
+                    eval_mask, aligned_target_hidden, lm_head_weight,
+                    loss_den):
+        """Fused-objective DSpark: the two full-vocab paths (draft CE+L1,
+        teacher projection) run once each inside ``dspark_objective_fused``;
+        the tiny confidence BCE is ordinary autodiff outside, consuming the
+        op's stop-gradient acceptance probability."""
+        latent = self.draft_model.markov_latents(prev_token_ids, hidden_4d)
+        w2 = self.draft_model.markov_kernel()
+        has_markov = latent is not None
+        if not has_markov:
+            latent = jnp.zeros((*hidden_4d.shape[:3], 1), hidden_4d.dtype)
+            w2 = jnp.zeros((1, 1), jnp.float32)
+        has_target = aligned_target_hidden is not None
+        ath = (
+            aligned_target_hidden
+            if has_target
+            else jnp.zeros((*hidden_4d.shape[:3], 1), hidden_4d.dtype)
+        )
+        (
+            vocab_num, ce_num, l1_num, correct_num, eval_den, _ce_pos,
+            _correct_pos, _pos_den, agree_num, t_top1, d_top1, tau_num,
+            tau_den, accept_probability,
+        ) = dspark_objective_fused(
+            hidden_4d, latent, w2, ath, target_ids, loss_weights,
+            eval_mask, lm_head_weight,
+            _DSparkOpts(
+                chunk_blocks=int(self.objective_chunk_blocks),
+                ce_alpha=float(self.dspark_ce_loss_alpha),
+                l1_alpha=float(self.dspark_l1_loss_alpha),
+                has_markov=has_markov,
+                has_target=has_target,
+            ),
+        )
+
+        zero = jnp.zeros((), jnp.float32)
+        conf_num = conf_err = zero
+        conf_pred = self.draft_model.predict_confidence(
+            hidden_4d, prev_token_ids=prev_token_ids
+        )
+        if conf_pred is not None and self.dspark_confidence_head_alpha > 0:
+            if not has_target:
+                raise ValueError(
+                    "DSpark confidence loss requires target_last_hidden_states"
+                )
+            ap = jax.lax.stop_gradient(accept_probability)
+            logits_f = conf_pred.astype(jnp.float32)
+            conf_per_token = (
+                jnp.maximum(logits_f, 0)
+                - logits_f * ap
+                + jnp.log1p(jnp.exp(-jnp.abs(logits_f)))
+            )
+            conf_num = jnp.sum(conf_per_token * loss_weights)
+            conf_err = jnp.sum(
+                jnp.abs(jax.nn.sigmoid(logits_f) - ap) * loss_weights
+            )
+
+        global_den = jnp.maximum(jax.lax.stop_gradient(loss_den), 1e-6)
+        loss = (
+            vocab_num + self.dspark_confidence_head_alpha * conf_num
+        ) / global_den
+        return self._dspark_outputs(
+            loss, ce_num, l1_num, conf_num, conf_err, correct_num, eval_den,
+            agree_num, t_top1, d_top1, tau_num, tau_den, loss_den,
+        )
+
+    def _dspark_outputs(self, loss, ce_num, l1_num, conf_num, conf_err,
+                        correct_num, eval_den, agree_num, t_top1, d_top1,
+                        tau_num, tau_den, loss_den):
         ratio_metrics = {
             "acc": (correct_num, eval_den),
             "ce_loss": (jax.lax.stop_gradient(ce_num), loss_den),

@@ -97,6 +97,7 @@ def _strategy_options(config: Config) -> Dict[str, Any]:
         "num_anchors": t.num_anchors,
         "loss_decay_gamma": t.loss_decay_gamma,
         "objective_chunk_blocks": t.objective_chunk_blocks,
+        "fused_vocab_objective": t.fused_vocab_objective,
         "loss_type": t.loss_type,
         "dpace_alpha": t.dpace_alpha,
         "lambda_start": t.lambda_base_start,

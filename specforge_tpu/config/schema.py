@@ -198,6 +198,9 @@ class TrainingConfig(StrictModel):
     num_anchors: int = Field(default=512, gt=0)
     loss_decay_gamma: Optional[float] = None
     objective_chunk_blocks: int = Field(default=128, ge=0)
+    # fused frozen-head CE with forward-computed input gradients (DFlash
+    # family); disable only for debugging against the checkpointed path
+    fused_vocab_objective: bool = True
     loss_type: Literal[
         "dflash", "dpace", "dpace-cumulative-confidence-only",
         "dpace-continuation-value-only",

@@ -30,6 +30,22 @@ FULL_ATTENTION = "full_attention"
 SLIDING_ATTENTION = "sliding_attention"
 
 
+class KernelParam(nn.Module):
+    """Bias-free linear kernel exposed as a raw array (same param path and
+    init as ``nn.Dense(use_bias=False)``: ``<name>/kernel`` of shape
+    ``(in_features, out_features)``) so fused objectives
+    (ops/fused_objective.py) can consume the weight directly instead of
+    calling the layer."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
 def build_target_layer_ids(num_target_layers: int, num_draft_layers: int):
     """Evenly spaced capture layers (reference dflash.py:271-281)."""
     if num_draft_layers == 1:

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from specforge_tpu.models.draft.base import register_draft
-from specforge_tpu.models.draft.dflash import DFlashConfig, DFlashDraftModel
+from specforge_tpu.models.draft.dflash import (
+    DFlashConfig,
+    DFlashDraftModel,
+    KernelParam,
+)
 
 
 class GRU(nn.Module):
@@ -76,12 +80,13 @@ class DominoDraftModel(DFlashDraftModel):
             )
         self.prefix_gru = GRU(cfg.gru_hidden_dim, dtype=self.dtype,
                               name="prefix_gru")
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name=name,
+        self.embed_proj_0 = nn.Dense(
+            cfg.emb_dim, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="embed_proj_0",
         )
-        self.embed_proj_0 = dense(cfg.emb_dim, "embed_proj_0")
-        self.embed_proj_1 = dense(cfg.vocab_size, "embed_proj_1")
+        self.embed_proj_1 = KernelParam(
+            (cfg.emb_dim, cfg.vocab_size), name="embed_proj_1"
+        )
 
     @property
     def suffix_start(self) -> int:
@@ -92,18 +97,15 @@ class DominoDraftModel(DFlashDraftModel):
             else 1 + cfg.pure_draft_prefix_len
         )
 
-    def apply_logits_head(
+    def correction_activation(
         self,
-        base_logits: jnp.ndarray,   # [B, N, block, V]
-        *,
-        prev_token_ids: Optional[jnp.ndarray] = None,
-        prev_token_embeddings: Optional[jnp.ndarray] = None,
-        hidden_states: jnp.ndarray,  # [B, N, block, h]
+        prev_token_embeddings: jnp.ndarray,  # [B, N, block, emb_hidden]
+        hidden_states: jnp.ndarray,          # [B, N, block, h]
     ) -> jnp.ndarray:
-        if prev_token_embeddings is None:
-            raise ValueError("DominoDraftModel requires prev_token_embeddings")
+        """Pre-``embed_proj_1`` activation [B, N, block, emb_dim], zeroed
+        before ``suffix_start`` (prefix block positions get no correction)."""
         cfg = self.config
-        b, n, bs = base_logits.shape[:3]
+        b, n, bs = hidden_states.shape[:3]
         start = self.suffix_start
 
         if cfg.shift_label:
@@ -121,9 +123,27 @@ class DominoDraftModel(DFlashDraftModel):
         concat = jnp.concatenate(
             [z_n, prefix_states.astype(z_n.dtype)], axis=-1
         )
-        logits_e = self.embed_proj_1(jax.nn.silu(self.embed_proj_0(concat)))
-        prefix_logits = base_logits[:, :, :start, :]
-        suffix_logits = base_logits[:, :, start:, :] + logits_e.astype(
-            base_logits.dtype
-        )
-        return jnp.concatenate([prefix_logits, suffix_logits], axis=2)
+        act = jax.nn.silu(self.embed_proj_0(concat))
+        pad = jnp.zeros((b, n, start, act.shape[-1]), act.dtype)
+        return jnp.concatenate([pad, act], axis=2)
+
+    def logits_head_kernel(self) -> jnp.ndarray:
+        """Trainable ``embed_proj_1`` kernel [emb_dim, vocab]."""
+        return self.embed_proj_1()
+
+    def apply_logits_head(
+        self,
+        base_logits: jnp.ndarray,   # [B, N, block, V]
+        *,
+        prev_token_ids: Optional[jnp.ndarray] = None,
+        prev_token_embeddings: Optional[jnp.ndarray] = None,
+        hidden_states: jnp.ndarray,  # [B, N, block, h]
+    ) -> jnp.ndarray:
+        if prev_token_embeddings is None:
+            raise ValueError("DominoDraftModel requires prev_token_embeddings")
+        act = self.correction_activation(prev_token_embeddings, hidden_states)
+        kernel = self.embed_proj_1().astype(act.dtype)
+        logits_e = act @ kernel
+        # prefix rows of ``act`` are exact zeros, so adding everywhere equals
+        # the reference's prefix/suffix concatenate
+        return base_logits + logits_e.astype(base_logits.dtype)

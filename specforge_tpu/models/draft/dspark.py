@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from specforge_tpu.models.draft.base import register_draft
-from specforge_tpu.models.draft.dflash import DFlashConfig, DFlashDraftModel
+from specforge_tpu.models.draft.dflash import (
+    DFlashConfig,
+    DFlashDraftModel,
+    KernelParam,
+)
 
 
 class VanillaMarkovHead(nn.Module):
@@ -31,9 +35,10 @@ class VanillaMarkovHead(nn.Module):
             self.vocab_size, self.markov_rank, dtype=self.dtype,
             param_dtype=jnp.float32, name="markov_w1",
         )
-        self.markov_w2 = nn.Dense(
-            self.vocab_size, use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, name="markov_w2",
+        # raw kernel (same param path/shape/init as the nn.Dense it replaces)
+        # so the fused objective can matmul it directly
+        self.markov_w2 = KernelParam(
+            (self.markov_rank, self.vocab_size), name="markov_w2"
         )
         self._setup_extra()
 
@@ -43,17 +48,22 @@ class VanillaMarkovHead(nn.Module):
     def get_prev_embeddings(self, token_ids):
         return self.markov_w1(token_ids)
 
-    def project_bias(self, latent):
-        return self.markov_w2(latent)
+    def w2_kernel(self) -> jnp.ndarray:
+        """Trainable bias-projection kernel [markov_rank, vocab]."""
+        return self.markov_w2()
 
-    def compute_step_bias(self, token_ids, hidden_states):
-        return self.project_bias(self.get_prev_embeddings(token_ids))
+    def project_bias(self, latent):
+        return latent.astype(self.dtype) @ self.markov_w2().astype(self.dtype)
+
+    def block_latents(self, token_ids, hidden_states):
+        """Pre-``markov_w2`` latent [..., block, markov_rank]; the logit bias
+        is ``project_bias(block_latents(...))``."""
+        return self.get_prev_embeddings(token_ids)
 
     def apply_block_logits(self, base_logits, *, token_ids, hidden_states):
         """base_logits [..., block, V]; token_ids [..., block] (prev tokens)."""
-        return base_logits + self.compute_step_bias(
-            token_ids, hidden_states
-        ).astype(base_logits.dtype)
+        latent = self.block_latents(token_ids, hidden_states)
+        return base_logits + self.project_bias(latent).astype(base_logits.dtype)
 
 
 class GatedMarkovHead(VanillaMarkovHead):
@@ -65,7 +75,7 @@ class GatedMarkovHead(VanillaMarkovHead):
             name="gate_proj",
         )
 
-    def compute_step_bias(self, token_ids, hidden_states):
+    def block_latents(self, token_ids, hidden_states):
         if hidden_states is None:
             raise ValueError("gated Markov head requires hidden_states")
         prev = self.get_prev_embeddings(token_ids)
@@ -73,7 +83,7 @@ class GatedMarkovHead(VanillaMarkovHead):
             [hidden_states.astype(prev.dtype), prev], axis=-1
         )
         gate = jax.nn.sigmoid(self.gate_proj(gate_in)).astype(prev.dtype)
-        return self.project_bias(gate * prev)
+        return gate * prev
 
 
 class RNNMarkovHead(VanillaMarkovHead):
@@ -94,24 +104,24 @@ class RNNMarkovHead(VanillaMarkovHead):
         candidate = jnp.tanh(raw[..., r:2 * r])
         output = jnp.tanh(raw[..., 2 * r:])
         new_state = gate * state + (1.0 - gate) * candidate
-        return new_state, self.project_bias(output)
+        return new_state, output
 
-    def apply_block_logits(self, base_logits, *, token_ids, hidden_states):
+    def block_latents(self, token_ids, hidden_states):
         if hidden_states is None:
             raise ValueError("rnn Markov head requires hidden_states")
-        block = base_logits.shape[-2]
+        block = token_ids.shape[-1]
         state = jnp.zeros(
-            (*base_logits.shape[:-2], self.markov_rank), self.dtype
+            (*token_ids.shape[:-1], self.markov_rank), self.dtype
         )
         outs = []
         for step in range(block):
             prev_emb = self.get_prev_embeddings(token_ids[..., step])
-            state, bias = self._rnn_step(
+            state, out = self._rnn_step(
                 state, prev_emb, hidden_states[..., step, :]
             )
-            outs.append(
-                base_logits[..., step, :] + bias.astype(base_logits.dtype)
-            )
+            outs.append(out)
+        # single [.., block, rank] @ [rank, V] matmul instead of per-step
+        # projections (the recurrence itself stays sequential)
         return jnp.stack(outs, axis=-2)
 
 
@@ -180,6 +190,18 @@ class DSparkDraftModel(DFlashDraftModel):
         return self.markov_head.apply_block_logits(
             base_logits, token_ids=prev_token_ids, hidden_states=hidden_states
         )
+
+    def markov_latents(self, prev_token_ids, hidden_states):
+        """Pre-projection Markov latent [..., block, rank] (None if no head)."""
+        if self.markov_head is None:
+            return None
+        return self.markov_head.block_latents(prev_token_ids, hidden_states)
+
+    def markov_kernel(self):
+        """Trainable Markov bias kernel [rank, vocab] (None if no head)."""
+        if self.markov_head is None:
+            return None
+        return self.markov_head.w2_kernel()
 
     def predict_confidence(self, hidden_states, *, prev_token_ids=None):
         if self.confidence_head is None:

@@ -243,6 +243,165 @@ def test_dspark_forward(markov_type):
         assert key in rm
 
 
+def _tree_allclose(a, b, rtol, atol):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert len(flat_a) == len(flat_b)
+    for key, va in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(flat_b[jax.tree_util.keystr(key)]),
+            rtol=rtol, atol=atol, err_msg=jax.tree_util.keystr(key),
+        )
+
+
+@pytest.mark.parametrize("loss_type", [
+    "dflash", "dpace", "dpace-cumulative-confidence-only",
+    "dpace-continuation-value-only",
+])
+def test_fused_dflash_objective_matches_checkpointed(loss_type):
+    """Fused forward-gradient objective == checkpointed-remat objective:
+    loss, metrics, and parameter gradients."""
+    cfg = DFlashConfig.from_dict(BASE_CFG)
+    draft = DFlashDraftModel(cfg, dtype=jnp.float32, attn_chunk_blocks=2)
+    kwargs = dict(
+        draft_model=draft, mask_token_id=MASK_TOKEN, block_size=BS,
+        num_anchors=N_ANCHORS, objective_chunk_blocks=2, loss_type=loss_type,
+        loss_decay_gamma=3.0 if loss_type == "dflash" else None,
+    )
+    fused = OnlineDFlashModel(**kwargs, fused_objective=True)
+    plain = OnlineDFlashModel(**kwargs, fused_objective=False)
+    _, variables, _, _, call_args = _build("dflash")
+
+    def run(model, params):
+        loss, acc, metrics = model.apply({"params": params}, *call_args)
+        return loss, (acc, metrics)
+
+    (lf, (af, mf)), gf = jax.value_and_grad(
+        lambda p: run(fused, p), has_aux=True
+    )(variables["params"])
+    (lp, (ap, mp)), gp = jax.value_and_grad(
+        lambda p: run(plain, p), has_aux=True
+    )(variables["params"])
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    np.testing.assert_allclose(float(af), float(ap), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(mf["loss_terms"][0]), float(mp["loss_terms"][0]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(mf["loss_terms"][1]), float(mp["loss_terms"][1]), rtol=1e-6
+    )
+    _tree_allclose(gf, gp, rtol=2e-4, atol=5e-6)
+
+
+@pytest.mark.parametrize("shift_label", [False, True])
+@pytest.mark.parametrize("lambda_base", [0.0, 0.37, 1.0])
+def test_fused_domino_objective_matches_checkpointed(shift_label, lambda_base):
+    extra = dict(
+        projector_type="domino", emb_dim=16, gru_hidden_dim=16,
+        shift_label=shift_label, pure_draft_prefix_len=1,
+    )
+    cfg = DFlashConfig.from_dict({**BASE_CFG, **extra})
+    draft = DominoDraftModel(cfg, dtype=jnp.float32, attn_chunk_blocks=2)
+    kwargs = dict(
+        draft_model=draft, mask_token_id=MASK_TOKEN, block_size=BS,
+        num_anchors=N_ANCHORS, objective_chunk_blocks=2,
+        shift_label=shift_label, loss_decay_gamma=4.0,
+    )
+    fused = OnlineDominoModel(**kwargs, fused_objective=True)
+    plain = OnlineDominoModel(**kwargs, fused_objective=False)
+    _, variables, _, _, call_args = _build("domino", **extra)
+
+    lam = jnp.asarray(lambda_base, jnp.float32)
+
+    def run(model, params):
+        loss, acc, metrics = model.apply({"params": params}, *call_args, lam)
+        return loss, (acc, metrics)
+
+    (lf, (af, mf)), gf = jax.jit(jax.value_and_grad(
+        lambda p: run(fused, p), has_aux=True
+    ))(variables["params"])
+    (lp, (ap, mp)), gp = jax.jit(jax.value_and_grad(
+        lambda p: run(plain, p), has_aux=True
+    ))(variables["params"])
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(af), float(ap), rtol=1e-6)
+    for key in ("final_loss", "base_loss", "base_accuracy", "accept_len",
+                "base_accept_len"):
+        np.testing.assert_allclose(
+            float(mf[key]), float(mp[key]), rtol=1e-5, atol=1e-7,
+            err_msg=key,
+        )
+    _tree_allclose(gf, gp, rtol=2e-4, atol=5e-6)
+
+
+@pytest.mark.parametrize("markov_type", ["vanilla", "gated", "rnn"])
+def test_fused_dspark_objective_matches_checkpointed(markov_type):
+    """Fused DSpark objective (CE + L1 + external confidence BCE) ==
+    checkpointed path: loss, every ratio metric, and parameter gradients."""
+    extra = dict(
+        projector_type="dspark", markov_rank=8, markov_head_type=markov_type,
+        enable_confidence_head=True,
+    )
+    cfg = DFlashConfig.from_dict({**BASE_CFG, **extra})
+    draft = DSparkDraftModel(cfg, dtype=jnp.float32, attn_chunk_blocks=2)
+    kwargs = dict(
+        draft_model=draft, mask_token_id=MASK_TOKEN, block_size=BS,
+        num_anchors=N_ANCHORS, objective_chunk_blocks=2,
+        loss_decay_gamma=3.0,
+    )
+    fused = OnlineDSparkModel(**kwargs, fused_objective=True)
+    plain = OnlineDSparkModel(**kwargs, fused_objective=False)
+    _, variables, _, _, call_args = _build("dspark", **extra)
+
+    def run(model, params):
+        loss, acc, metrics = model.apply({"params": params}, *call_args)
+        return loss, (acc, metrics)
+
+    (lf, (af, mf)), gf = jax.jit(jax.value_and_grad(
+        lambda p: run(fused, p), has_aux=True
+    ))(variables["params"])
+    (lp, (ap, mp)), gp = jax.jit(jax.value_and_grad(
+        lambda p: run(plain, p), has_aux=True
+    ))(variables["params"])
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(af), float(ap), rtol=1e-6)
+    for key, (num_f, den_f) in mf["ratio_metrics"].items():
+        num_p, den_p = mp["ratio_metrics"][key]
+        np.testing.assert_allclose(
+            float(num_f), float(num_p), rtol=1e-4, atol=1e-6, err_msg=key
+        )
+        np.testing.assert_allclose(
+            float(den_f), float(den_p), rtol=1e-6, err_msg=key
+        )
+    _tree_allclose(gf, gp, rtol=5e-4, atol=1e-5)
+
+
+def test_fused_dspark_no_markov_no_target():
+    """fused == checkpointed when the Markov head is disabled and no teacher
+    hidden states are provided (CE-only objective)."""
+    extra = dict(projector_type="dspark", markov_rank=0)
+    cfg = DFlashConfig.from_dict({**BASE_CFG, **extra})
+    draft = DSparkDraftModel(cfg, dtype=jnp.float32, attn_chunk_blocks=2)
+    kwargs = dict(
+        draft_model=draft, mask_token_id=MASK_TOKEN, block_size=BS,
+        num_anchors=N_ANCHORS, objective_chunk_blocks=2,
+        dspark_l1_loss_alpha=0.0, dspark_confidence_head_alpha=0.0,
+    )
+    fused = OnlineDSparkModel(**kwargs, fused_objective=True)
+    plain = OnlineDSparkModel(**kwargs, fused_objective=False)
+    _, variables, _, _, call_args = _build("dspark", **extra)
+    call_args = call_args[:-1]  # drop target_last_hidden_states
+
+    def run(model, params):
+        return model.apply({"params": params}, *call_args)[0]
+
+    lf, gf = jax.value_and_grad(lambda p: run(fused, p))(variables["params"])
+    lp, gp = jax.value_and_grad(lambda p: run(plain, p))(variables["params"])
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    _tree_allclose(gf, gp, rtol=2e-4, atol=5e-6)
+
+
 @pytest.mark.parametrize("kind", ["dflash", "domino", "dspark"])
 def test_strategies_through_train_step(kind):
     extra = {}
