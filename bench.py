@@ -164,6 +164,7 @@ def bench_domino(batch, seq, steps, algo="domino"):
     }.get(algo, "DFlashDraftModel")
     draft_config = {
         "architectures": [arch],
+        "attention_backend": os.environ.get("BENCH_DFLASH_ATTN", "auto"),
         "vocab_size": vocab,
         "hidden_size": 4096,
         "intermediate_size": 12288,

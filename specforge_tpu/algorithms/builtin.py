@@ -149,7 +149,10 @@ def _dflash_build_draft(config_dict, dtype=jnp.bfloat16, cls=None):
 
     config = DFlashConfig.from_dict(config_dict)
     model_cls = cls or DFlashDraftModel
-    return model_cls(config, dtype=dtype), config
+    # "auto" (pallas on TPU for long contexts) | "chunked" (XLA) |
+    # "pallas" (in-kernel-mask flash, ops/dflash_pallas.py)
+    backend = config_dict.get("attention_backend", "auto")
+    return model_cls(config, dtype=dtype, attention_backend=backend), config
 
 
 def _dflash_family_training_model(wrapper_cls):

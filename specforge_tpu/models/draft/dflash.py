@@ -128,10 +128,27 @@ class DFlashConfig(DraftModelConfig):
         )
 
 
+# context length at or above which the Pallas in-kernel-mask backend beats
+# the chunked XLA path (v5e, N=512 anchors: 0.86x at 2k, 2.0x at 4k, 2.9x at
+# 8k fwd+bwd — grid-step overhead dominates below, tile-skipping wins above)
+DFLASH_PALLAS_MIN_CTX = 4096
+
+
 class DFlashAttention(nn.Module):
     config: DFlashConfig
     layer_idx: int
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "auto"
+
+    def _resolve_backend(self, seq_len: int) -> str:
+        if self.attention_backend != "auto":
+            return self.attention_backend
+        if (
+            seq_len >= DFLASH_PALLAS_MIN_CTX
+            and jax.default_backend() == "tpu"
+        ):
+            return "pallas"
+        return "chunked"
 
     def setup(self):
         cfg = self.config
@@ -187,12 +204,24 @@ class DFlashAttention(nn.Module):
         # context keys rotate by their own positions (q unused)
         _, k_ctx = apply_rope(k_ctx, k_ctx, cos_c, sin_c)
 
-        attn = dflash_attention(
-            q, k_ctx, v_ctx, k_drf, v_drf,
-            anchor_positions, block_keep_mask,
-            cfg.block_size, chunk_blocks=chunk_blocks,
-            sliding_window=self.sliding_window,
-        )
+        attn = None
+        backend = self._resolve_backend(s)
+        if backend in ("pallas", "pallas_interpret"):
+            from specforge_tpu.ops.dflash_pallas import dflash_flash_attention
+
+            attn = dflash_flash_attention(
+                q, k_ctx, v_ctx, k_drf, v_drf,
+                anchor_positions, block_keep_mask, cfg.block_size,
+                sliding_window=self.sliding_window,
+                interpret=backend == "pallas_interpret",
+            )  # None when the shape doesn't tile
+        if attn is None:
+            attn = dflash_attention(
+                q, k_ctx, v_ctx, k_drf, v_drf,
+                anchor_positions, block_keep_mask,
+                cfg.block_size, chunk_blocks=chunk_blocks,
+                sliding_window=self.sliding_window,
+            )
         return self.o_proj(attn)
 
 
@@ -217,10 +246,12 @@ class DFlashDecoderLayer(nn.Module):
     config: DFlashConfig
     layer_idx: int
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "chunked"
 
     def setup(self):
         cfg = self.config
         self.self_attn = DFlashAttention(cfg, self.layer_idx, dtype=self.dtype,
+                                         attention_backend=self.attention_backend,
                                          name="self_attn")
         self.mlp = DFlashMLP(cfg, dtype=self.dtype, name="mlp")
         self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
@@ -250,11 +281,18 @@ class DFlashDraftModel(nn.Module):
     config: DFlashConfig
     dtype: Any = jnp.bfloat16
     attn_chunk_blocks: int = 8
+    # "auto" (pallas on TPU at ctx >= DFLASH_PALLAS_MIN_CTX, else chunked) |
+    # "chunked" (XLA, mask per anchor chunk) | "pallas" (in-kernel mask,
+    # ops/dflash_pallas.py) | "pallas_interpret" (tests on CPU)
+    attention_backend: str = "auto"
 
     def setup(self):
         cfg = self.config
         self.layers = [
-            DFlashDecoderLayer(cfg, i, dtype=self.dtype, name=f"layers_{i}")
+            DFlashDecoderLayer(
+                cfg, i, dtype=self.dtype, name=f"layers_{i}",
+                attention_backend=self.attention_backend,
+            )
             for i in range(cfg.num_hidden_layers)
         ]
         self.fc = nn.Dense(

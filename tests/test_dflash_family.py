@@ -87,6 +87,97 @@ def test_chunked_attention_matches_dense(sliding):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("sliding", [None, 5])
+def test_pallas_dflash_attention_matches_dense(sliding):
+    """Pallas in-kernel-mask DFlash attention (interpret mode) == dense
+    oracle: forward and gradients w.r.t. every tensor input."""
+    from specforge_tpu.ops.dflash_pallas import dflash_flash_attention
+
+    rng = np.random.default_rng(2)
+    b, h, kvh, d, n, bs = 2, 4, 2, 8, 4, 4
+    q_len = n * bs
+    s = 24
+    q = jnp.asarray(rng.normal(size=(b, h, q_len, d)).astype(np.float32))
+    k_ctx = jnp.asarray(rng.normal(size=(b, kvh, s, d)).astype(np.float32))
+    v_ctx = jnp.asarray(rng.normal(size=(b, kvh, s, d)).astype(np.float32))
+    k_drf = jnp.asarray(rng.normal(size=(b, kvh, q_len, d)).astype(np.float32))
+    v_drf = jnp.asarray(rng.normal(size=(b, kvh, q_len, d)).astype(np.float32))
+    anchors = jnp.asarray(
+        np.sort(rng.integers(1, s - 1, size=(b, n)), axis=1).astype(np.int32)
+    )
+    keep = np.ones((b, n), bool)
+    keep[1, 3] = False
+    keep = jnp.asarray(keep)
+
+    def run_pallas(q, kc, vc, kd, vd):
+        return dflash_flash_attention(
+            q, kc, vc, kd, vd, anchors, keep, bs,
+            sliding_window=sliding, tq=8, tk=8, interpret=True,
+        )
+
+    def run_oracle(q, kc, vc, kd, vd):
+        return dense_oracle_attention(q, kc, vc, kd, vd, anchors, keep, bs,
+                                      sliding)
+
+    out_p = run_pallas(q, k_ctx, v_ctx, k_drf, v_drf)
+    out_o = run_oracle(q, k_ctx, v_ctx, k_drf, v_drf)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_o),
+                               rtol=2e-5, atol=2e-6)
+
+    cotangent = jnp.asarray(
+        rng.normal(size=out_o.shape).astype(np.float32)
+    )
+
+    def loss(fn):
+        return lambda *args: jnp.sum(fn(*args) * cotangent)
+
+    grads_p = jax.grad(loss(run_pallas), argnums=(0, 1, 2, 3, 4))(
+        q, k_ctx, v_ctx, k_drf, v_drf
+    )
+    grads_o = jax.grad(loss(run_oracle), argnums=(0, 1, 2, 3, 4))(
+        q, k_ctx, v_ctx, k_drf, v_drf
+    )
+    for name, gp, go in zip("q kc vc kd vd".split(), grads_p, grads_o):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(go), rtol=3e-5, atol=3e-6,
+            err_msg=name,
+        )
+
+
+def test_pallas_backend_through_dflash_model():
+    """OnlineDFlashModel with attention_backend='pallas_interpret' == the
+    chunked XLA backend (loss + grads)."""
+    cfg = DFlashConfig.from_dict(BASE_CFG)
+    kwargs = dict(
+        mask_token_id=MASK_TOKEN, block_size=BS,
+        num_anchors=N_ANCHORS, objective_chunk_blocks=2,
+    )
+    model_x = OnlineDFlashModel(
+        draft_model=DFlashDraftModel(cfg, dtype=jnp.float32,
+                                     attn_chunk_blocks=2),
+        **kwargs,
+    )
+    model_p = OnlineDFlashModel(
+        draft_model=DFlashDraftModel(cfg, dtype=jnp.float32,
+                                     attn_chunk_blocks=2,
+                                     attention_backend="pallas_interpret"),
+        **kwargs,
+    )
+    _, variables, _, _, call_args = _build("dflash")
+
+    def run(model, params):
+        return model.apply({"params": params}, *call_args)[0]
+
+    lx, gx = jax.value_and_grad(lambda p: run(model_x, p))(
+        variables["params"]
+    )
+    lp, gp = jax.value_and_grad(lambda p: run(model_p, p))(
+        variables["params"]
+    )
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    _tree_allclose(gp, gx, rtol=5e-4, atol=1e-5)
+
+
 def test_gru_matches_torch():
     rng = np.random.default_rng(0)
     hidden_dim, in_dim, b, t = 8, 6, 3, 5
@@ -400,6 +491,49 @@ def test_fused_dspark_no_markov_no_target():
     lp, gp = jax.value_and_grad(lambda p: run(plain, p))(variables["params"])
     np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
     _tree_allclose(gf, gp, rtol=2e-4, atol=5e-6)
+
+
+def test_fsdp_sharding_parity_domino_fused():
+    """The fused custom-VJP objective (scan over anchor chunks + forward
+    residuals) under 8-device fsdp param sharding == single-device."""
+    from specforge_tpu.parallel.mesh import (
+        MeshConfig, build_mesh, shard_pytree_like_params,
+    )
+
+    extra = dict(projector_type="domino", emb_dim=16, gru_hidden_dim=16)
+
+    def build_state():
+        model, variables, tensors, frozen, _ = _build("domino", **extra)
+        strategy = DominoTrainStrategy(model)
+        tx = build_optimizer(OptimizerConfig(lr=1e-3), 20)
+        state = TrainState.create(variables["params"], {}, tx)
+        step_fn = make_train_step(strategy, tx, accum_steps=1, total_steps=20)
+        batch = {k: v[None] for k, v in tensors.items()
+                 if k != "target_last_hidden_states"}
+        return state, step_fn, batch, frozen
+
+    state1, step_fn, batch, frozen = build_state()
+    state1, metrics1 = step_fn(state1, batch, frozen)
+
+    mesh = build_mesh(MeshConfig(fsdp=8))
+    state8, step_fn8, _, _ = build_state()
+    with mesh:
+        state8 = state8.replace(
+            params=shard_pytree_like_params(state8.params, mesh)
+        )
+        state8, metrics8 = step_fn8(state8, batch, frozen)
+
+    np.testing.assert_allclose(
+        float(metrics1["train/loss"]), float(metrics8["train/loss"]),
+        rtol=1e-5,
+    )
+    k1 = np.asarray(
+        state1.params["draft_model"]["embed_proj_1"]["kernel"]
+    )
+    k8 = np.asarray(jax.device_get(
+        state8.params["draft_model"]["embed_proj_1"]["kernel"]
+    ))
+    np.testing.assert_allclose(k1, k8, rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("kind", ["dflash", "domino", "dspark"])
