@@ -115,10 +115,13 @@ def domino_step_flops(b, s, cfg, num_anchors, attn_chunk_blocks=8):
         if cfg.markov_head_type == "gated":
             train += mm(tq, h + r, r)
         elif cfg.markov_head_type == "rnn":
-            train += mm(tq, 3 * r + h, 3 * r)
+            # joint_proj consumes concat(state[r], prev_emb[r], hidden[h])
+            train += mm(tq, 2 * r + h, 3 * r)
+    if cfg.projector_type == "dspark":
         if cfg.enable_confidence_head:
             train += mm(tq, h, 1)
-        # teacher projection of aligned target hidden (stop-grad, fwd-only)
+        # teacher projection of aligned target hidden (stop-grad, fwd-only;
+        # the bench always feeds target_last_hidden_states for dspark)
         teacher = mm(tq, h, v)
     frozen = mm(tq, h, v)                               # base logits (lm_head)
     return 3.0 * train + 2.0 * frozen + teacher

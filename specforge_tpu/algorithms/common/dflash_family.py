@@ -34,9 +34,12 @@ from specforge_tpu.ops.fused_objective import (
     _DFlashOpts,
     _DominoOpts,
     _DSparkOpts,
+    compute_accept_len,
     dflash_objective_fused,
     domino_objective_fused,
+    dpace_weight,
     dspark_objective_fused,
+    masked_cross_entropy,
 )
 from specforge_tpu.ops.masks import sample_anchor_positions
 
@@ -48,29 +51,9 @@ _VALID_LOSS_TYPES = {
 }
 _DPACE_LOSS_TYPES = _VALID_LOSS_TYPES - {"dflash"}
 
-
-def masked_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Per-token -log p[target] in fp32 (no reduction).
-
-    lse - picked form: XLA fuses the fp32 convert into the vocab reductions,
-    so no fp32 [.., V] log-softmax array is ever materialized in HBM (the
-    593MB-per-chunk allocation the full-vocab objective otherwise pays)."""
-    logits32 = logits.astype(jnp.float32)
-    m = jnp.max(logits32, axis=-1)
-    lse = m + jnp.log(jnp.sum(jnp.exp(logits32 - m[..., None]), axis=-1))
-    picked = jnp.take_along_axis(logits32, targets[..., None], axis=-1)[..., 0]
-    return lse - picked
-
-
-def compute_accept_len(
-    pred_ids: jnp.ndarray, target_ids: jnp.ndarray, valid_mask: jnp.ndarray
-) -> jnp.ndarray:
-    """Per-block acceptance length [B, N] (reference compute_accept_len)."""
-    correct = (pred_ids == target_ids) | (~valid_mask)
-    accept_prefix = jnp.cumprod(correct.astype(jnp.int32), axis=2) * (
-        valid_mask.astype(jnp.int32)
-    )
-    return jnp.sum(accept_prefix, axis=2).astype(jnp.float32)
+# masked_cross_entropy / compute_accept_len / dpace_weight live in
+# ops/fused_objective.py — one source for the fused and checkpointed paths
+# (the fused=unfused parity tests depend on the math staying identical).
 
 
 class OnlineDFlashModel(nn.Module):
@@ -158,20 +141,9 @@ class OnlineDFlashModel(nn.Module):
         return target_ids, valid, safe
 
     def _dpace_weight(self, prob, binary_mask, binary_mask_b):
-        smooth = (1.0 - self.dpace_alpha) * prob + self.dpace_alpha
-        smooth = jnp.where(binary_mask_b, smooth, 1.0)
-        prefix = jnp.cumprod(smooth, axis=-1)
-        if self.loss_type == "dpace-cumulative-confidence-only":
-            return prefix
-        suffix = jnp.flip(
-            jnp.cumsum(jnp.flip(prefix * binary_mask, axis=-1), axis=-1),
-            axis=-1,
+        return dpace_weight(
+            prob, binary_mask, binary_mask_b, self.loss_type, self.dpace_alpha
         )
-        if self.loss_type == "dpace":
-            return suffix
-        if self.loss_type == "dpace-continuation-value-only":
-            return suffix / jnp.maximum(prefix, jnp.finfo(prefix.dtype).tiny)
-        raise ValueError(f"unknown D-PACE loss_type {self.loss_type!r}")
 
     def _objective_chunk_terms(self, lm_head_weight):
         def fn(hidden, target_ids, weight_mask):

@@ -53,7 +53,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-STAT = 128  # lanes for per-row statistics buffers
+# Lane width for the per-row (m, l, delta) statistics arrays. 8 (not 128):
+# Mosaic accepts a block lane dim below 128 when it equals the array's lane
+# dim, and Q here is num_anchors*block_size (8192 at the reference config) —
+# 8 lanes keeps the stat arrays/broadcasts 16x smaller than the TTT kernel's
+# 128-lane convention. Scratch accumulators stay at 128 lanes (VMEM-only).
+STAT = 8
+STAT_ACC = 128
 # DFlash attention is compute-light (the vocab path dominates the algorithm),
 # so grid-step overhead — not FLOPs — sets the kernel's cost: use large tiles
 # to keep the step count low. (1024, 512) overflows the 16MB VMEM budget in
@@ -336,8 +342,8 @@ def _fwd_pallas(q, k_ctx, v_ctx, kd, vd, anchor_q, keep_q, amax, amin,
             jax.ShapeDtypeStruct((bh, q_len, STAT), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tq, STAT), jnp.float32),
-            pltpu.VMEM((tq, STAT), jnp.float32),
+            pltpu.VMEM((tq, STAT_ACC), jnp.float32),
+            pltpu.VMEM((tq, STAT_ACC), jnp.float32),
             pltpu.VMEM((tq, d), jnp.float32),
         ],
         interpret=interpret,
@@ -491,6 +497,15 @@ def dflash_flash_attention(
 
     qf, kcf, vcf = flat(q), flat(k_ctx), flat(v_ctx)
     kdf, vdf = flat(k_drf), flat(v_drf)
+    # pad context K/V to a tk multiple with zeros: Pallas edge-tile padding is
+    # undefined bits, and masked p=0 times a NaN value is still NaN in the
+    # p@v / do@v^T matmuls. Zero keys/values are inert (cols >= s are masked
+    # by col < anchor), and jnp.pad's VJP slices the dk/dv tail off.
+    s_pad = -(-s // tk) * tk
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        kcf = jnp.pad(kcf, pad)
+        vcf = jnp.pad(vcf, pad)
 
     anchor_q = jnp.repeat(anchor_positions, block_size, axis=1)  # [B, Q]
     keep_q = jnp.repeat(

@@ -85,8 +85,9 @@ def _scan_chunks(chunk_fn, arrays, n_chunks: int):
 
 
 def _ce_stats(logits: jnp.ndarray, targets: jnp.ndarray):
-    """fp32 (nlq, softmax) matching ops.masks.masked_cross_entropy exactly:
-    nlq = lse - picked, with the max subtracted for stability."""
+    """fp32 (nlq, softmax): nlq = lse - picked, max-subtracted for
+    stability. The single source of the CE math — ``masked_cross_entropy``
+    (the unfused paths' per-token loss) is the nlq half of this."""
     l32 = logits.astype(jnp.float32)
     m = jnp.max(l32, axis=-1)
     lse = m + jnp.log(jnp.sum(jnp.exp(l32 - m[..., None]), axis=-1))
@@ -94,6 +95,29 @@ def _ce_stats(logits: jnp.ndarray, targets: jnp.ndarray):
     nlq = lse - picked
     softmax = jnp.exp(l32 - lse[..., None])
     return nlq, softmax
+
+
+def masked_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray):
+    """Per-token -log p[target] in fp32 (no reduction).
+
+    lse - picked form: XLA fuses the fp32 convert into the vocab reductions,
+    so no fp32 [.., V] log-softmax array is ever materialized in HBM (the
+    unused softmax output of ``_ce_stats`` is dead-code-eliminated)."""
+    nlq, _ = _ce_stats(logits, targets)
+    return nlq
+
+
+def compute_accept_len(
+    pred_ids: jnp.ndarray, target_ids: jnp.ndarray, valid_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-block acceptance length [B, N] (reference compute_accept_len):
+    length of the prefix of block positions whose prediction matches the
+    label, positions outside ``valid_mask`` passing for free."""
+    correct = (pred_ids == target_ids) | (~valid_mask)
+    accept_prefix = jnp.cumprod(correct.astype(jnp.int32), axis=2) * (
+        valid_mask.astype(jnp.int32)
+    )
+    return jnp.sum(accept_prefix, axis=2).astype(jnp.float32)
 
 
 def _grad_logits(softmax, targets, w_eff, out_dtype):
@@ -113,9 +137,10 @@ class _DFlashOpts(NamedTuple):
 
 # --- DFlash (single CE over the frozen head) --------------------------------
 
-def _dpace_weight(prob, binary_mask, binary_mask_b, loss_type, alpha):
-    """Mirror of OnlineDFlashModel._dpace_weight (all-forward, no stop_grad
-    needed: nothing here is differentiated)."""
+def dpace_weight(prob, binary_mask, binary_mask_b, loss_type, alpha):
+    """D-PACE per-token weights from clean-token probabilities. The single
+    source for both the fused path (all-forward) and the unfused path
+    (which wraps inputs/outputs in stop_gradient)."""
     smooth = (1.0 - alpha) * prob + alpha
     smooth = jnp.where(binary_mask_b, smooth, 1.0)
     prefix = jnp.cumprod(smooth, axis=-1)
@@ -161,7 +186,7 @@ def _dflash_fwd(hidden4d, target_ids, loss_weights, weight_mask, head_weight,
             loss_den = jnp.sum(lw)
         else:
             prob = jnp.exp(-nlq)
-            dpace_w = _dpace_weight(
+            dpace_w = dpace_weight(
                 prob, wm, wm > 0, opts.loss_type, opts.dpace_alpha
             )
             w_eff = wm * dpace_w
@@ -234,14 +259,6 @@ def domino_objective_fused(
     return out
 
 
-def _accept_len(pred_ids, target_ids, valid_mask):
-    correct = (pred_ids == target_ids) | (~valid_mask)
-    accept_prefix = jnp.cumprod(correct.astype(jnp.int32), axis=2) * (
-        valid_mask.astype(jnp.int32)
-    )
-    return jnp.sum(accept_prefix, axis=2).astype(jnp.float32)
-
-
 def _domino_fwd(hidden4d, corr_act, p1_kernel, target_ids, weight_mask,
                 eval_weight_mask, lambda_base, head_weight,
                 opts: _DominoOpts):
@@ -275,8 +292,8 @@ def _domino_fwd(hidden4d, corr_act, p1_kernel, target_ids, weight_mask,
         accuracy_den = jnp.sum(ewm)
 
         valid_mask = ewm > 0
-        accepted = _accept_len(predicted, tgt, valid_mask)
-        base_accepted = _accept_len(base_pred, tgt, valid_mask)
+        accepted = compute_accept_len(predicted, tgt, valid_mask)
+        base_accepted = compute_accept_len(base_pred, tgt, valid_mask)
         valid_blocks = jnp.any(valid_mask, axis=-1).astype(jnp.float32)
         accept_num = jnp.sum((accepted + 1.0) * valid_blocks)
         base_accept_num = jnp.sum((base_accepted + 1.0) * valid_blocks)

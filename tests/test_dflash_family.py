@@ -87,8 +87,11 @@ def test_chunked_attention_matches_dense(sliding):
                                rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("sliding", [None, 5])
-def test_pallas_dflash_attention_matches_dense(sliding):
+@pytest.mark.parametrize("sliding,s", [
+    (None, 24), (5, 24),
+    (None, 21),  # ctx not a tk multiple: exercises the zero-pad path
+])
+def test_pallas_dflash_attention_matches_dense(sliding, s):
     """Pallas in-kernel-mask DFlash attention (interpret mode) == dense
     oracle: forward and gradients w.r.t. every tensor input."""
     from specforge_tpu.ops.dflash_pallas import dflash_flash_attention
@@ -96,7 +99,6 @@ def test_pallas_dflash_attention_matches_dense(sliding):
     rng = np.random.default_rng(2)
     b, h, kvh, d, n, bs = 2, 4, 2, 8, 4, 4
     q_len = n * bs
-    s = 24
     q = jnp.asarray(rng.normal(size=(b, h, q_len, d)).astype(np.float32))
     k_ctx = jnp.asarray(rng.normal(size=(b, kvh, s, d)).astype(np.float32))
     v_ctx = jnp.asarray(rng.normal(size=(b, kvh, s, d)).astype(np.float32))
