@@ -303,7 +303,11 @@ def _peagle_build_draft(config_dict, dtype=jnp.bfloat16):
     from specforge_tpu.models.draft.peagle import PEagleConfig, PEagleDraftModel
 
     config = PEagleConfig.from_dict(config_dict)
-    return PEagleDraftModel(config, dtype=dtype), config
+    # "auto" (pallas COD kernel on TPU at T >= 2048) | "dense" | "pallas"
+    backend = config_dict.get("attention_backend", "auto")
+    return PEagleDraftModel(
+        config, dtype=dtype, attention_backend=backend
+    ), config
 
 
 def _peagle_build_training_model(draft, options):

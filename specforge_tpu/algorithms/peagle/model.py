@@ -212,8 +212,17 @@ class OnlinePEagleModel(nn.Module):
 
         allow = peagle_allow_mask(sample, doc_ids)[None]
         position_ids = orig_positions[None]
+        # COD property vectors let the Pallas backend compute the same mask
+        # in-kernel (anchor doc-id indirection pre-applied)
+        cod_props = (
+            sample.anchor_pos[None],
+            sample.depth[None],
+            jnp.take(doc_ids, sample.anchor_pos)[None],
+            sample.valid[None],
+        )
         h = self.draft_model.backbone(
-            inputs_embeds, sampled_hidden, allow, position_ids
+            inputs_embeds, sampled_hidden, allow, position_ids,
+            cod_props=cod_props,
         )
         logits = self.draft_model.compute_logits(h)
 

@@ -32,12 +32,23 @@ class PEagleConfig(Eagle3Config):
     norm_before_residual: bool = False
 
 
+# sampled length at or above which the Pallas COD flash kernel beats the
+# dense masked path (the dense path also stops fitting HBM around T~6k)
+PEAGLE_PALLAS_MIN_T = 2048
+
+
 class PEagleAttention(nn.Module):
-    """Attention with arbitrary input width and an explicit [T, T] allow-mask."""
+    """Attention with arbitrary input width and an explicit [T, T] allow-mask.
+
+    With ``cod_props`` (anchor/depth/anchor-doc/valid vectors) available, the
+    Pallas COD flash kernel (ops/peagle_pallas.py) computes the same mask
+    in-kernel — no [.., T, T] score/probability materialization."""
 
     config: PEagleConfig
     input_size: int
     dtype: Any = jnp.bfloat16
+    # "auto" | "dense" | "pallas" | "pallas_interpret" (tests on CPU)
+    attention_backend: str = "auto"
 
     def setup(self):
         cfg = self.config
@@ -51,7 +62,25 @@ class PEagleAttention(nn.Module):
         self.v_proj = dense(cfg.num_key_value_heads * d, "v_proj")
         self.o_proj = dense(cfg.hidden_size, "o_proj")
 
-    def __call__(self, x, allow_mask, cos, sin):
+    def _resolve_backend(self, t, cod_props):
+        if self.attention_backend != "auto":
+            if (
+                self.attention_backend in ("pallas", "pallas_interpret")
+                and cod_props is None
+            ):
+                raise ValueError(
+                    "pallas P-EAGLE attention requires cod_props"
+                )
+            return self.attention_backend
+        if (
+            cod_props is not None
+            and t >= PEAGLE_PALLAS_MIN_T
+            and jax.default_backend() == "tpu"
+        ):
+            return "pallas"
+        return "dense"
+
+    def __call__(self, x, allow_mask, cos, sin, cod_props=None):
         cfg = self.config
         b, t, _ = x.shape
         d = cfg.resolved_head_dim
@@ -61,6 +90,15 @@ class PEagleAttention(nn.Module):
         k = self.k_proj(x).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
         v = self.v_proj(x).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
         q, k = apply_rope(q, k, cos, sin)
+        backend = self._resolve_backend(t, cod_props)
+        if backend in ("pallas", "pallas_interpret"):
+            from specforge_tpu.ops.peagle_pallas import cod_flash_attention
+
+            out = cod_flash_attention(
+                q, k, v, *cod_props,
+                interpret=backend == "pallas_interpret",
+            )
+            return self.o_proj(out)
         qg = q.reshape(b, kvh, g, t, d)
         w = jnp.einsum(
             "bkgsd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
@@ -75,6 +113,7 @@ class PEagleAttention(nn.Module):
 class PEagleFirstLayer(nn.Module):
     config: PEagleConfig
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "auto"
 
     def setup(self):
         cfg = self.config
@@ -84,14 +123,14 @@ class PEagleFirstLayer(nn.Module):
                                    name="hidden_norm")
         self.self_attn = PEagleAttention(
             cfg, input_size=2 * cfg.hidden_size, dtype=self.dtype,
-            name="self_attn",
+            attention_backend=self.attention_backend, name="self_attn",
         )
         self.post_attention_layernorm = RMSNorm(
             cfg.hidden_size, cfg.rms_norm_eps, name="post_attention_layernorm"
         )
         self.mlp = Eagle3MLP(cfg, dtype=self.dtype, name="mlp")
 
-    def __call__(self, x2h, allow_mask, cos, sin):
+    def __call__(self, x2h, allow_mask, cos, sin, cod_props=None):
         mid = x2h.shape[-1] // 2
         embeds, hidden = x2h[..., :mid], x2h[..., mid:]
         residual = hidden
@@ -100,7 +139,7 @@ class PEagleFirstLayer(nn.Module):
         if self.config.norm_before_residual:
             residual = hidden
         x = jnp.concatenate([embeds, hidden], axis=-1)
-        x = self.self_attn(x, allow_mask, cos, sin)
+        x = self.self_attn(x, allow_mask, cos, sin, cod_props)
         hidden = residual + x
         residual = hidden
         hidden = self.post_attention_layernorm(hidden)
@@ -111,23 +150,25 @@ class PEagleFirstLayer(nn.Module):
 class PEagleStandardLayer(nn.Module):
     config: PEagleConfig
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "auto"
 
     def setup(self):
         cfg = self.config
         self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
                                        name="input_layernorm")
         self.self_attn = PEagleAttention(
-            cfg, input_size=cfg.hidden_size, dtype=self.dtype, name="self_attn"
+            cfg, input_size=cfg.hidden_size, dtype=self.dtype,
+            attention_backend=self.attention_backend, name="self_attn"
         )
         self.post_attention_layernorm = RMSNorm(
             cfg.hidden_size, cfg.rms_norm_eps, name="post_attention_layernorm"
         )
         self.mlp = Eagle3MLP(cfg, dtype=self.dtype, name="mlp")
 
-    def __call__(self, x, allow_mask, cos, sin):
+    def __call__(self, x, allow_mask, cos, sin, cod_props=None):
         residual = x
         x = self.input_layernorm(x)
-        x = self.self_attn(x, allow_mask, cos, sin)
+        x = self.self_attn(x, allow_mask, cos, sin, cod_props)
         x = residual + x
         residual = x
         x = self.post_attention_layernorm(x)
@@ -141,6 +182,7 @@ class PEagleDraftModel(nn.Module):
 
     config: PEagleConfig
     dtype: Any = jnp.bfloat16
+    attention_backend: str = "auto"
 
     def setup(self):
         cfg = self.config
@@ -157,10 +199,17 @@ class PEagleDraftModel(nn.Module):
             "mask_hidden", nn.initializers.normal(1.0), (1, 1, fc_in),
             jnp.float32,
         )
-        layers = [PEagleFirstLayer(cfg, dtype=self.dtype, name="layers_0")]
+        layers = [PEagleFirstLayer(
+            cfg, dtype=self.dtype, attention_backend=self.attention_backend,
+            name="layers_0",
+        )]
         for i in range(1, cfg.num_hidden_layers):
             layers.append(
-                PEagleStandardLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+                PEagleStandardLayer(
+                    cfg, dtype=self.dtype,
+                    attention_backend=self.attention_backend,
+                    name=f"layers_{i}",
+                )
             )
         self.layers = layers
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")
@@ -192,8 +241,11 @@ class PEagleDraftModel(nn.Module):
     def compute_logits(self, hidden):
         return self.lm_head(self.norm(hidden))
 
-    def backbone(self, input_embeds, hidden_states, allow_mask, position_ids):
-        """input_embeds/hidden_states: [B, T, h]; allow_mask [B, T, T]."""
+    def backbone(self, input_embeds, hidden_states, allow_mask, position_ids,
+                 cod_props=None):
+        """input_embeds/hidden_states: [B, T, h]; allow_mask [B, T, T];
+        cod_props: optional (anchor, depth, anchor_doc, valid) [B, T] vectors
+        enabling the Pallas in-kernel-mask backend."""
         x = jnp.concatenate(
             [input_embeds.astype(self.dtype), hidden_states.astype(self.dtype)],
             axis=-1,
@@ -204,5 +256,5 @@ class PEagleDraftModel(nn.Module):
         )
         h = x
         for layer in self.layers:
-            h = layer(h, allow_mask, cos, sin)
+            h = layer(h, allow_mask, cos, sin, cod_props)
         return h

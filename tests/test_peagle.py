@@ -164,3 +164,110 @@ def test_peagle_forward_and_training():
     # embeddings must train for P-EAGLE
     e1 = np.asarray(state.params["draft_model"]["embed_tokens"]["embedding"])
     assert not np.allclose(e0, e1)
+
+
+def test_cod_flash_attention_matches_dense():
+    """Pallas COD flash kernel (interpret) == dense masked attention on valid
+    rows: forward and q/k/v gradients (loss reads valid rows only, mirroring
+    the model's loss masking)."""
+    from specforge_tpu.ops.peagle_pallas import (
+        cod_allow_dense,
+        cod_flash_attention,
+    )
+    from specforge_tpu.ops.attention import NEG_INF
+
+    rng = np.random.default_rng(3)
+    b, h, kvh, d, t = 1, 4, 2, 8, 40
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, kvh, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, kvh, t, d)).astype(np.float32))
+    # synthetic COD props: depth-0 trunk of 24 tokens over 2 docs + rollouts
+    anchor = np.concatenate([np.arange(24), rng.integers(1, 23, size=16)])
+    depth = np.concatenate([np.zeros(24, int), rng.integers(1, 3, size=16)])
+    doc_of_pos = np.asarray([0] * 14 + [1] * 8 + [-1] * 2)
+    doc = doc_of_pos[np.minimum(anchor, 23)]
+    valid = np.ones(t, bool)
+    valid[-3:] = False
+    props = [jnp.asarray(x)[None] for x in
+             (anchor.astype(np.int32), depth.astype(np.int32),
+              doc.astype(np.int32), valid)]
+
+    allow = cod_allow_dense(
+        props[0][0], props[1][0], props[2][0],
+        props[3][0].astype(jnp.int32),
+    )
+    valid_rows = jnp.asarray(valid & (np.asarray(allow).any(axis=1)))
+
+    def dense_ref(q, k, v):
+        g = h // kvh
+        qg = q.reshape(b, kvh, g, t, d)
+        kx = jnp.repeat(k, 1, axis=1)
+        w = jnp.einsum("bkgsd,bktd->bkgst", qg, k,
+                       preferred_element_type=jnp.float32) / (d ** 0.5)
+        w = jnp.where(allow[None, None, None], w, NEG_INF)
+        p = jax.nn.softmax(w, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bkgst,bktd->bkgsd", p, v)
+        out = out.reshape(b, h, t, d).transpose(0, 2, 1, 3).reshape(
+            b, t, h * d
+        )
+        return out * valid_rows[None, :, None].astype(out.dtype)
+
+    def pallas_fn(q, k, v):
+        out = cod_flash_attention(q, k, v, *props, tq=8, tk=8,
+                                  interpret=True)
+        return out * valid_rows[None, :, None].astype(out.dtype)
+
+    out_p = pallas_fn(q, k, v)
+    out_d = dense_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-6)
+
+    cot = jnp.asarray(rng.normal(size=out_d.shape).astype(np.float32))
+    gp = jax.grad(lambda *a: jnp.sum(pallas_fn(*a) * cot), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    gd = jax.grad(lambda *a: jnp.sum(dense_ref(*a) * cot), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    for name, a, b_ in zip("qkv", gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-5,
+                                   atol=3e-6, err_msg=name)
+
+
+def test_pallas_backend_through_peagle_model():
+    """OnlinePEagleModel with attention_backend='pallas_interpret' == dense:
+    loss, metrics, and parameter gradients."""
+    model_d, variables, tensors = _build()
+    draft_p = PEagleDraftModel(CFG, dtype=jnp.float32,
+                               attention_backend="pallas_interpret")
+    model_p = OnlinePEagleModel(
+        draft_model=draft_p, mask_token_id=MASK_TOKEN, num_depths=3,
+        down_sample_ratio=0.7,
+    )
+
+    def run(model, params):
+        loss, metrics = model.apply(
+            {"params": params, "buffers": variables["buffers"]},
+            tensors["input_ids"], tensors["attention_mask"],
+            tensors["target"], tensors["loss_mask"],
+            tensors["hidden_state"], jax.random.PRNGKey(2),
+        )
+        return loss, metrics
+
+    (ld, md), gd = jax.value_and_grad(
+        lambda p: run(model_d, p), has_aux=True
+    )(variables["params"])
+    (lp, mp), gp = jax.value_and_grad(
+        lambda p: run(model_p, p), has_aux=True
+    )(variables["params"])
+    np.testing.assert_allclose(float(lp), float(ld), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(mp["full_acc_total"]), float(md["full_acc_total"]), rtol=1e-6
+    )
+    flat_d = {jax.tree_util.keystr(kk): vv for kk, vv in
+              jax.tree_util.tree_leaves_with_path(gd)}
+    for kk, vv in jax.tree_util.tree_leaves_with_path(gp):
+        np.testing.assert_allclose(
+            np.asarray(vv), np.asarray(flat_d[jax.tree_util.keystr(kk)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(kk),
+        )
