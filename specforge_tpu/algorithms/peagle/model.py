@@ -129,26 +129,19 @@ def generate_cod_sample_indices(
 
 
 def peagle_allow_mask(sample: CODSample, doc_ids: jnp.ndarray) -> jnp.ndarray:
-    """[T, T] COD attention predicate (reference peagle_mask_mod)."""
-    q_anchor = sample.anchor_pos[:, None]
-    kv_anchor = sample.anchor_pos[None, :]
-    q_depth = sample.depth[:, None]
-    kv_depth = sample.depth[None, :]
-    q_doc = jnp.take(doc_ids, sample.anchor_pos)[:, None]
-    kv_doc = jnp.take(doc_ids, sample.anchor_pos)[None, :]
+    """[T, T] COD attention predicate (reference peagle_mask_mod).
 
-    same_document = q_doc == kv_doc
-    not_padding = q_doc != -1
-    same_rollout = q_anchor == kv_anchor
-    kv_depth0 = kv_depth == 0
-    in_depth_order = q_depth >= kv_depth
-    anchor_causal = q_anchor >= kv_anchor
-    allow = (
-        not_padding
-        & same_document
-        & ((kv_depth0 & anchor_causal) | (same_rollout & in_depth_order))
+    Delegates to :func:`specforge_tpu.ops.peagle_pallas.cod_allow_dense` —
+    the single XLA-side source of the predicate the Pallas kernel mirrors
+    in-kernel (a drift between the two would silently skip real tiles)."""
+    from specforge_tpu.ops.peagle_pallas import cod_allow_dense
+
+    return cod_allow_dense(
+        sample.anchor_pos,
+        sample.depth,
+        jnp.take(doc_ids, sample.anchor_pos),
+        sample.valid.astype(jnp.int32),
     )
-    return allow & sample.valid[:, None] & sample.valid[None, :]
 
 
 class OnlinePEagleModel(nn.Module):

@@ -97,6 +97,7 @@ class PEagleAttention(nn.Module):
             out = cod_flash_attention(
                 q, k, v, *cod_props,
                 interpret=backend == "pallas_interpret",
+                allow_mask=allow_mask,
             )
             return self.o_proj(out)
         qg = q.reshape(b, kvh, g, t, d)

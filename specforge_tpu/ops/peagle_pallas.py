@@ -383,16 +383,22 @@ def cod_flash_attention(
     tq: int = DEF_TQ,
     tk: int = DEF_TK,
     interpret: bool = False,
+    allow_mask: jnp.ndarray = None,  # optional precomputed [B, T, T] bool
 ) -> jnp.ndarray:
     """P-EAGLE COD flash attention → [B, T, H*D].
 
     T is zero-padded to a tile multiple internally (padding slots carry
-    valid=0 and are fully masked); fully-masked rows return 0."""
+    valid=0 and are fully masked); fully-masked rows return 0. Pass the
+    model's precomputed ``allow_mask`` to derive the tile-skip table from
+    it instead of rebuilding the predicate."""
     b, h, t, d = q.shape
     kvh = k.shape[1]
     g = h // kvh
-    tq = min(tq, max(t, 8))
-    tk = min(tk, max(t, 8))
+    # clamp tiles to T, rounded up to a sublane multiple of 8 (Mosaic
+    # alignment; t_pad pads the data to match)
+    rup8 = lambda x: -(-x // 8) * 8
+    tq = rup8(min(tq, max(t, 8)))
+    tk = rup8(min(tk, max(t, 8)))
     lcm = tq * tk // math.gcd(tq, tk)
     t_pad = -(-t // lcm) * lcm
 
@@ -419,27 +425,38 @@ def cod_flash_attention(
         prop(valid, 0),
     )
 
-    # tile-skip table (tiny: [B, NQ, NK]); the transient [T, T] bool mask
-    # used to derive it is a few MB at bs-1 shapes and is consumed by a
-    # reduction — nothing O(T^2) survives into the attention itself
-    def one_any(ap, dp, dc, vl):
-        allow = cod_allow_dense(ap, dp, dc, vl)
-        nq, nk = t_pad // tq, t_pad // tk
-        return jnp.any(
-            allow.reshape(nq, tq, nk, tk), axis=(1, 3)
+    # tile-skip table (tiny: [B, NQ, NK]). Preferred source: the [T, T]
+    # allow mask the model already built once for all layers (so the O(T^2)
+    # predicate build is not repeated per layer even without CSE); fallback
+    # rebuilds it from the prop vectors. Padding rows/cols are all-False.
+    nq_t, nk_t = t_pad // tq, t_pad // tk
+    if allow_mask is not None:
+        allow_p = allow_mask
+        if t_pad != t:
+            allow_p = jnp.pad(
+                allow_mask, ((0, 0), (0, t_pad - t), (0, t_pad - t))
+            )
+        tile_any = jnp.any(
+            allow_p.reshape(b, nq_t, tq, nk_t, tk), axis=(2, 4)
         ).astype(jnp.int32)
+    else:
+        def one_any(ap, dp, dc, vl):
+            allow = cod_allow_dense(ap, dp, dc, vl)
+            return jnp.any(
+                allow.reshape(nq_t, tq, nk_t, tk), axis=(1, 3)
+            ).astype(jnp.int32)
 
-    pa = anchor_pos.astype(jnp.int32)
-    pd = depth.astype(jnp.int32)
-    pc = doc.astype(jnp.int32)
-    pv = valid.astype(jnp.int32)
-    if t_pad != t:
-        pad1 = ((0, 0), (0, t_pad - t))
-        pa = jnp.pad(pa, pad1)
-        pd = jnp.pad(pd, pad1)
-        pc = jnp.pad(pc, pad1, constant_values=-1)
-        pv = jnp.pad(pv, pad1)
-    tile_any = jax.vmap(one_any)(pa, pd, pc, pv)  # [B, NQ, NK]
+        pa = anchor_pos.astype(jnp.int32)
+        pd = depth.astype(jnp.int32)
+        pc = doc.astype(jnp.int32)
+        pv = valid.astype(jnp.int32)
+        if t_pad != t:
+            pad1 = ((0, 0), (0, t_pad - t))
+            pa = jnp.pad(pa, pad1)
+            pd = jnp.pad(pd, pad1)
+            pc = jnp.pad(pc, pad1, constant_values=-1)
+            pv = jnp.pad(pv, pad1)
+        tile_any = jax.vmap(one_any)(pa, pd, pc, pv)  # [B, NQ, NK]
     tile_any = jnp.repeat(tile_any, h, axis=0)
 
     out = _cod_flash_flat(qf, kf, vf, props, tile_any, tq, tk, interpret)

@@ -201,7 +201,6 @@ def test_cod_flash_attention_matches_dense():
     def dense_ref(q, k, v):
         g = h // kvh
         qg = q.reshape(b, kvh, g, t, d)
-        kx = jnp.repeat(k, 1, axis=1)
         w = jnp.einsum("bkgsd,bktd->bkgst", qg, k,
                        preferred_element_type=jnp.float32) / (d ** 0.5)
         w = jnp.where(allow[None, None, None], w, NEG_INF)
