@@ -136,7 +136,11 @@ def bench_domino(batch, seq, steps, algo="domino"):
     from specforge_tpu.training.train_step import TrainState, make_train_step
 
     num_anchors = int(os.environ.get("BENCH_ANCHORS", "256"))
-    obj_chunk = int(os.environ.get("BENCH_OBJ_CHUNK", "16"))  # swept: 48.2% MFU vs 45.9% (8) / 43.5% (32)
+    # swept on v5e with the fused objective + factored moments:
+    # 64 → 63.4% MFU, 32 → 62.6%, 16 → 57.2%; 128+ OOMs 15.75G HBM.
+    # obj_chunk=64 only fits because the factored optimizer frees the
+    # Adam state (bf16-moment Adam OOMs by 246M at 64).
+    obj_chunk = int(os.environ.get("BENCH_OBJ_CHUNK", "64"))
     moments_dtype = os.environ.get("BENCH_MOMENTS_DTYPE", "bfloat16")
     vocab = int(os.environ.get("BENCH_TARGET_VOCAB", "151936"))
     # the reference anchor config: configs/qwen3-8b-domino.json
@@ -198,11 +202,20 @@ def bench_domino(batch, seq, steps, algo="domino"):
     rng = jax.random.PRNGKey(0)
     print("initializing domino params...", file=sys.stderr)
     variables = providers.init_variables(model, cfg, options, rng, seq)
-    # 1.07B-param draft + fp32 Adam state exceeds one v5e chip's 15.75G HBM
-    # (multi-chip runs shard it over fsdp) — bf16 moments fit the single-chip
-    # anchor measurement
+    # 1.07B-param draft + fp32 Adam state exceeds one v5e chip's 15.75G HBM.
+    # The reference fits by CPU-offloading the Adam masters
+    # (specforge/optimizer.py:12); the single-chip TPU answer is factored
+    # second moments (~0 state), which also frees HBM for the faster
+    # obj_chunk=64 objective. Multi-chip runs shard full Adam over fsdp.
+    factored = os.environ.get("BENCH_FACTORED_MOMENTS", "1") == "1"
     tx = build_optimizer(
-        OptimizerConfig(lr=1e-4, moments_dtype=moments_dtype), 1000
+        OptimizerConfig(
+            lr=1e-4,
+            moments_dtype=moments_dtype,
+            factored_second_moments=factored,
+            adam_b1=0.0 if factored else 0.9,
+        ),
+        1000,
     )
     state = TrainState.create(variables["params"], variables.get("buffers", {}), tx)
     variables = None
@@ -308,6 +321,10 @@ def bench_peagle(seq, steps):
 
     vocab = int(os.environ.get("BENCH_TARGET_VOCAB", "151936"))
     moments_dtype = os.environ.get("BENCH_MOMENTS_DTYPE", "bfloat16")
+    # P-EAGLE trains its 152k-vocab embedding: dense Adam state alone is
+    # ~12 GB fp32 — past one v5e chip's 15.75 GB. Factored second moments
+    # + no first moment (adam_b1=0) make the single-chip config feasible.
+    factored = os.environ.get("BENCH_FACTORED_MOMENTS", "1") == "1"
     num_depths, dsr, dsr_min = 8, 0.7, 0.2
     draft_config = {
         "architectures": ["PEagleDraftModel"],
@@ -337,7 +354,13 @@ def bench_peagle(seq, steps):
     print("initializing peagle params...", file=sys.stderr)
     variables = providers.init_variables(model, cfg, options, rng, seq)
     tx = build_optimizer(
-        OptimizerConfig(lr=1e-4, moments_dtype=moments_dtype), 1000
+        OptimizerConfig(
+            lr=1e-4,
+            moments_dtype=moments_dtype,
+            factored_second_moments=factored,
+            adam_b1=0.0 if factored else 0.9,
+        ),
+        1000,
     )
     state = TrainState.create(variables["params"], variables.get("buffers", {}), tx)
     variables = None

@@ -412,6 +412,10 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         max_grad_norm=t.max_grad_norm,
         warmup_ratio=t.warmup_ratio,
         lr_scheduler=t.lr_scheduler,
+        adam_b1=t.adam_b1,
+        adam_b2=t.adam_b2,
+        moments_dtype=t.moments_dtype,
+        factored_second_moments=t.factored_second_moments,
     )
     from specforge_tpu.training.model_loading import (
         draft_config_fingerprint,

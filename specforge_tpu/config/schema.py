@@ -175,6 +175,15 @@ class TrainingConfig(StrictModel):
     lr_scheduler: Literal["cosine", "constant"] = "cosine"
     warmup_ratio: float = Field(default=0.015, ge=0.0, le=1.0)
     max_grad_norm: float = Field(default=0.5, gt=0.0)
+    adam_b1: float = Field(default=0.9, ge=0.0, lt=1.0)
+    adam_b2: float = Field(default=0.999, ge=0.0, lt=1.0)
+    #: dtype of the Adam moments; "bfloat16" halves optimizer-state HBM.
+    moments_dtype: Literal["float32", "bfloat16"] = "float32"
+    #: Adafactor-style rank-1 second moments for large matrices (O(r+c)
+    #: state instead of O(r*c)); with adam_b1=0 the first moment is dropped
+    #: too — lets a 152k-vocab P-EAGLE draft (trainable embeddings) fit a
+    #: single chip's HBM.
+    factored_second_moments: bool = False
     seed: int = 42
 
     # --- TPU mesh topology ---
