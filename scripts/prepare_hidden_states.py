@@ -45,6 +45,16 @@ def main():
         help="shard target params over all local chips (fsdp mesh) — "
              "captures targets larger than one chip's HBM",
     )
+    parser.add_argument(
+        "--moe-impl", choices=("dense", "gathered", "ep"),
+        help="MoE path for MoE targets; 'ep' keeps expert tables sharded "
+             "over the mesh (requires --shard-over-devices)",
+    )
+    parser.add_argument(
+        "--moe-capacity-factor", type=float,
+        help="EP per-shard row budget as a multiple of rows/ep "
+             "(default: full capacity, never drops)",
+    )
     args = parser.parse_args()
 
     from transformers import AutoTokenizer
@@ -110,6 +120,8 @@ def main():
         ),
         target_config=target_config,
         mesh=mesh,
+        moe_impl=args.moe_impl,
+        moe_capacity_factor=args.moe_capacity_factor,
     )
     written = runner.run(
         [{"input_ids": s.input_ids, "loss_mask": s.loss_mask} for s in samples]

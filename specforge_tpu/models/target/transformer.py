@@ -160,14 +160,18 @@ def _act(name: str):
     ]
 
 
-def _moe_route(params, cfg, prefix, y):
+def _moe_route_w(router_weight, cfg, y):
     """softmax router → (top_w [.., k] fp32, top_i [.., k] int32)."""
-    router = y @ params[f"{prefix}.mlp.gate.weight"].T
+    router = y @ router_weight.T
     probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     if cfg.norm_topk_prob:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     return top_w, top_i
+
+
+def _moe_route(params, cfg, prefix, y):
+    return _moe_route_w(params[f"{prefix}.mlp.gate.weight"], cfg, y)
 
 
 def _moe_mlp_dense(params: Dict[str, jnp.ndarray], cfg: "TargetConfig",
@@ -248,6 +252,158 @@ def _moe_mlp_gathered(params: Dict[str, jnp.ndarray], cfg: "TargetConfig",
     return out.reshape(b, s, h).astype(y.dtype)
 
 
+def stack_moe_expert_params(params, cfg, mesh=None, ep_axis: str = "fsdp"):
+    """Replace per-expert weight leaves with one stacked rhs-layout tensor
+    per projection — ``{prefix}.mlp.experts.{gate,up,down}_stacked`` with
+    shapes ``[E, in, out]`` — sharded over ``ep_axis`` on the expert dim
+    when a mesh is given. Required by the EP MoE path (``_moe_mlp_ep``).
+
+    Stacking transiently materializes one full ``[E, in, out]`` tensor per
+    projection per layer before the expert-dim device_put; for targets whose
+    expert tables exceed host+device transient memory, pre-stack offline.
+    """
+    out = dict(params)
+    ns = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if cfg.num_experts % mesh.shape[ep_axis] != 0:
+            raise ValueError(
+                f"num_experts={cfg.num_experts} not divisible by "
+                f"{ep_axis}={mesh.shape[ep_axis]}"
+            )
+        ns = NamedSharding(mesh, PartitionSpec(ep_axis))
+    for i in range(cfg.num_hidden_layers):
+        if not cfg.is_moe_layer(i):
+            continue
+        prefix = f"model.layers.{i}"
+        for name in ("gate", "up", "down"):
+            ws = [
+                out.pop(f"{prefix}.mlp.experts.{j}.{name}_proj.weight")
+                for j in range(cfg.num_experts)
+            ]
+            stacked = jnp.stack([w.T for w in ws])  # [E, in, out]
+            if ns is not None:
+                stacked = jax.device_put(stacked, ns)
+            out[f"{prefix}.mlp.experts.{name}_stacked"] = stacked
+    return out
+
+
+def _moe_mlp_ep(
+    params: Dict[str, jnp.ndarray],
+    cfg: "TargetConfig",
+    prefix: str,
+    y: jnp.ndarray,
+    mesh,
+    ep_axis: str = "fsdp",
+    capacity_factor: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expert-parallel MoE: expert-stacked weights stay sharded over
+    ``ep_axis`` (no all-gather of expert tables); every shard computes the
+    contributions of its local experts and the outputs ``psum`` over ICI.
+    The TPU-native answer to the reference's capture-server EP knobs
+    (ref specforge/config/schema.py:863-876 sglang_ep_size).
+
+    Exactness: assignments are sorted by expert id, so a shard's rows form
+    one contiguous range of the sorted order; the shard processes a static
+    window of ``capacity`` rows around that range, with zero-weight dummy
+    experts absorbing the out-of-range rows (their contribution is exactly
+    0 and is produced by the owning shard instead). ``capacity_factor=None``
+    uses capacity = all rows — never drops, memory-scaled EP.
+    A float capacity_factor bounds per-shard work at
+    ``ceil(cf·rows/ep)`` for FLOP-scaled EP; rows past capacity are NOT
+    computed and are counted in the returned ``overflow`` scalar — callers
+    must check it (the capture runner aborts on overflow > 0).
+
+    Returns ``(out [B,S,H], overflow int32 scalar)``.
+    """
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    ep = mesh.shape[ep_axis]
+    b, s, h = y.shape
+    t = b * s
+    m = t * k
+    e_local = e // ep
+    if capacity_factor is None:
+        cap = m
+    else:
+        cap = max(1, min(m, int(np.ceil(capacity_factor * m / ep))))
+
+    gate_w = params[f"{prefix}.mlp.experts.gate_stacked"]
+    up_w = params[f"{prefix}.mlp.experts.up_stacked"]
+    down_w = params[f"{prefix}.mlp.experts.down_stacked"]
+    router_w = params[f"{prefix}.mlp.gate.weight"]
+    act = _act(cfg.hidden_act)
+
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(yv, rw, gw, uw, dw):
+        x = yv.reshape(t, h)
+        # routing is replicated work (tiny): identical on every shard, so
+        # the sorted order below is globally agreed without communication
+        top_w, top_i = _moe_route_w(rw, cfg, x)
+        flat_expert = top_i.reshape(m)
+        flat_weight = top_w.reshape(m)
+        order = jnp.argsort(flat_expert)  # stable: ties keep token order
+        token_of = order // k
+        xs = jnp.take(x, token_of, axis=0)            # [m, h] sorted inputs
+        w_sorted = jnp.take(flat_weight, order)
+        group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+        p = jax.lax.axis_index(ep_axis)
+        lo = p * e_local
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes)]
+        )
+        start = starts[lo]
+        local_rows = starts[lo + e_local] - start
+        start_cl = jnp.clip(start, 0, m - cap)
+        window = jax.lax.dynamic_slice(xs, (start_cl, 0), (cap, h))
+        w_window = jax.lax.dynamic_slice(w_sorted, (start_cl,), (cap,))
+        tok_window = jax.lax.dynamic_slice(token_of, (start_cl,), (cap,))
+
+        # group sizes inside the window: [rows-before-local, clipped local
+        # groups..., rows-after-local]; the before/after rows hit the
+        # zero dummy experts and contribute exactly 0
+        pre = start - start_cl
+        gs_local = jax.lax.dynamic_slice(group_sizes, (lo,), (e_local,))
+        avail = jnp.maximum(cap - pre, 0)
+        cum = jnp.cumsum(gs_local)
+        cum_cl = jnp.minimum(cum, avail)
+        gs_cl = cum_cl - jnp.concatenate(
+            [jnp.zeros((1,), cum_cl.dtype), cum_cl[:-1]]
+        )
+        used = cum_cl[-1]
+        post = cap - pre - used
+        overflow = local_rows - used
+
+        def pad_rhs(w):
+            z = jnp.zeros((1,) + w.shape[1:], w.dtype)
+            return jnp.concatenate([z, w, z])
+
+        gsz = jnp.concatenate(
+            [pre[None], gs_cl, post[None]]
+        ).astype(jnp.int32)
+        g_ = jax.lax.ragged_dot(window, pad_rhs(gw), gsz)
+        u_ = jax.lax.ragged_dot(window, pad_rhs(uw), gsz)
+        d_ = jax.lax.ragged_dot(
+            (act(g_) * u_).astype(window.dtype), pad_rhs(dw), gsz
+        )
+        weighted = d_ * w_window[:, None].astype(d_.dtype)
+        out = jnp.zeros((t, h), d_.dtype).at[tok_window].add(weighted)
+        out = jax.lax.psum(out, ep_axis)
+        overflow = jax.lax.psum(overflow, ep_axis)
+        return out.reshape(b, s, h).astype(yv.dtype), overflow
+
+    out, overflow = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(ep_axis), P(ep_axis), P(ep_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(y, router_w, gate_w, up_w, down_w)
+    return out, overflow
+
+
 def _moe_mlp(params, cfg, prefix, y, impl: Optional[str] = None):
     impl = impl or os.environ.get("SPECFORGE_MOE_IMPL", "gathered")
     if impl == "dense":
@@ -261,8 +417,16 @@ def target_capture_forward(
     input_ids: jnp.ndarray,        # [B, S]
     attention_mask: Optional[jnp.ndarray],  # [B, S]
     capture_layers: Sequence[int],
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Prefill forward → (aux concat [B, S, L*H], post-norm last hidden [B, S, H])."""
+    moe_impl: Optional[str] = None,
+    moe_mesh=None,
+    moe_capacity_factor: Optional[float] = None,
+) -> Tuple[jnp.ndarray, ...]:
+    """Prefill forward → (aux concat [B, S, L*H], post-norm last hidden [B, S, H]).
+
+    ``moe_impl="ep"`` (requires ``moe_mesh`` + ``stack_moe_expert_params``-
+    prepared params) runs MoE layers expert-parallel and appends a third
+    output: the summed int32 capacity-overflow counter, which MUST be 0 for
+    the capture to be exact (see ``_moe_mlp_ep``)."""
     cfg = config
     b, s = input_ids.shape
     d = cfg.resolved_head_dim
@@ -281,6 +445,7 @@ def target_capture_forward(
     captured: Dict[int, jnp.ndarray] = {}
     if -1 in capture_set:  # embedding output, offset convention: id -1 → h[0]
         captured[-1] = x
+    moe_overflow = jnp.zeros((), jnp.int32)
 
     for i in range(cfg.num_hidden_layers):
         prefix = f"model.layers.{i}"
@@ -326,7 +491,14 @@ def target_capture_forward(
         y = _rms(x, params[f"{prefix}.post_attention_layernorm.weight"],
                  cfg.rms_norm_eps)
         if cfg.is_moe_layer(i):
-            y = _moe_mlp(params, cfg, prefix, y)
+            if moe_impl == "ep":
+                y, overflow = _moe_mlp_ep(
+                    params, cfg, prefix, y, moe_mesh,
+                    capacity_factor=moe_capacity_factor,
+                )
+                moe_overflow = moe_overflow + overflow
+            else:
+                y = _moe_mlp(params, cfg, prefix, y, impl=moe_impl)
         else:
             gate = y @ params[f"{prefix}.mlp.gate_proj.weight"].T
             up = y @ params[f"{prefix}.mlp.up_proj.weight"].T
@@ -348,4 +520,6 @@ def target_capture_forward(
     aux = jnp.concatenate(
         [captured[i] for i in capture_layers], axis=-1
     )
+    if moe_impl == "ep":
+        return aux, last_hidden, moe_overflow
     return aux, last_hidden

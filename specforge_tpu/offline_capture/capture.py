@@ -27,6 +27,7 @@ import numpy as np
 from specforge_tpu.models.target.transformer import (
     TargetConfig,
     load_target_params,
+    stack_moe_expert_params,
     target_capture_forward,
 )
 from specforge_tpu.runtime.data_plane.feature_file import save_feature_file
@@ -61,13 +62,22 @@ class OfflineCaptureRunner:
         target_config: Optional[TargetConfig] = None,
         target_params=None,
         mesh=None,
+        moe_impl: Optional[str] = None,
+        moe_capacity_factor: Optional[float] = None,
     ) -> None:
         """``mesh``: optional device mesh for multi-chip capture — target
         params shard over the ``fsdp`` axis (largest divisible dim; XLA
         inserts the all-gathers) so targets larger than one chip's HBM
         capture on a slice. The TPU-native answer to the reference keeping
         TP layers for its offline capture backend (SURVEY §2.8 row TP;
-        sglang tp_size per capture server)."""
+        sglang tp_size per capture server).
+
+        ``moe_impl="ep"`` (requires ``mesh``): expert tables are stacked and
+        kept sharded over the fsdp axis — no per-layer expert all-gather —
+        and MoE outputs psum over ICI (reference EP knob: sglang_ep_size,
+        ref schema.py:863-876). ``moe_capacity_factor`` bounds per-shard
+        grouped-matmul rows; the runner aborts if any assignment overflows
+        capacity (capture must be exact), so raise it on abort."""
         self.config = config
         if config.layout not in _LAYOUTS:
             raise ValueError(f"unknown layout {config.layout!r}")
@@ -80,22 +90,45 @@ class OfflineCaptureRunner:
             else load_target_params(config.target_model_path, self.target_config)
         )
         self.mesh = mesh
+        self.moe_impl = moe_impl
+        if moe_impl == "ep":
+            if mesh is None:
+                raise ValueError("moe_impl='ep' requires a device mesh")
+            if self.target_config.num_experts <= 0:
+                raise ValueError("moe_impl='ep' needs an MoE target")
         if mesh is not None:
             from specforge_tpu.parallel.mesh import shard_pytree_like_params
 
             self.params = shard_pytree_like_params(self.params, mesh)
+        if moe_impl == "ep":
+            self.params = stack_moe_expert_params(
+                self.params, self.target_config, mesh
+            )
         target_config = self.target_config
         layers = tuple(config.capture_layers)
         self._forward = jax.jit(
             lambda params, input_ids, attention_mask: target_capture_forward(
-                params, target_config, input_ids, attention_mask, layers
+                params, target_config, input_ids, attention_mask, layers,
+                moe_impl=moe_impl, moe_mesh=mesh,
+                moe_capacity_factor=moe_capacity_factor,
             )
         )
 
     def _run_batch(self, input_ids: np.ndarray, attention_mask: np.ndarray):
-        aux, last = self._forward(
+        out = self._forward(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
         )
+        if self.moe_impl == "ep":
+            aux, last, overflow = out
+            dropped = int(overflow)
+            if dropped:
+                raise RuntimeError(
+                    f"EP MoE capacity overflow: {dropped} expert assignments "
+                    f"were not computed — capture would be inexact. Raise "
+                    f"moe_capacity_factor (or use the default full capacity)."
+                )
+        else:
+            aux, last = out
         return np.asarray(aux), np.asarray(last)
 
     def run(
