@@ -174,6 +174,36 @@ def _moe_route(params, cfg, prefix, y):
     return _moe_route_w(params[f"{prefix}.mlp.gate.weight"], cfg, y)
 
 
+def _moe_assignments(router_weight, cfg, x, token_valid=None):
+    """Route ``x [t, h]`` and sort the ``t*k`` (token, expert) assignments by
+    expert id (stable: ties keep token order) — the shared preamble of the
+    gathered and EP paths, so their ordering can never diverge.
+
+    ``token_valid [t]`` (optional bool): invalid (padding) tokens get the
+    out-of-range expert id ``E`` so they sort last and join no group — they
+    consume no group capacity and contribute nothing.
+
+    Returns ``(order [m], token_of [m], flat_weight [m], group_sizes [E])``.
+    """
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    t = x.shape[0]
+    m = t * k
+    top_w, top_i = _moe_route_w(router_weight, cfg, x)
+    flat_expert = top_i.reshape(m)
+    flat_weight = top_w.reshape(m)
+    if token_valid is not None:
+        valid = jnp.repeat(token_valid.reshape(t), k)
+        flat_expert = jnp.where(valid, flat_expert, e)
+    order = jnp.argsort(flat_expert)
+    token_of = order // k
+    # explicit drop-mode scatter: sentinel ids (== E) must not be counted
+    group_sizes = (
+        jnp.zeros((e,), jnp.int32).at[flat_expert]
+        .add(1, mode="drop")
+    )
+    return order, token_of, flat_weight, group_sizes
+
+
 def _moe_mlp_dense(params: Dict[str, jnp.ndarray], cfg: "TargetConfig",
                    prefix: str, y: jnp.ndarray) -> jnp.ndarray:
     """Reference path: ``lax.scan`` over ALL experts with per-token routing
@@ -217,18 +247,13 @@ def _moe_mlp_gathered(params: Dict[str, jnp.ndarray], cfg: "TargetConfig",
     knobs, ref schema.py:863-876). Static shapes throughout: [T·k] sorted
     assignments, group sizes by bincount."""
     e = cfg.num_experts
-    k = cfg.num_experts_per_tok
     b, s, h = y.shape
     t = b * s
     x = y.reshape(t, h)
-    top_w, top_i = _moe_route(params, cfg, prefix, x)
-
-    flat_expert = top_i.reshape(t * k)
-    flat_weight = top_w.reshape(t * k)
-    order = jnp.argsort(flat_expert)          # stable: ties keep token order
-    token_of = order // k                      # source token per assignment
+    order, token_of, flat_weight, group_sizes = _moe_assignments(
+        params[f"{prefix}.mlp.gate.weight"], cfg, x
+    )
     xs = jnp.take(x, token_of, axis=0)         # [t*k, h] gathered inputs
-    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
 
     # rhs layouts for ragged_dot: [E, in, out]
     gate_w = jnp.stack(
@@ -278,6 +303,9 @@ def stack_moe_expert_params(params, cfg, mesh=None, ep_axis: str = "fsdp"):
             continue
         prefix = f"model.layers.{i}"
         for name in ("gate", "up", "down"):
+            key = f"{prefix}.mlp.experts.{name}_stacked"
+            if key in out:
+                continue  # already stacked (idempotent / pre-stacked params)
             ws = [
                 out.pop(f"{prefix}.mlp.experts.{j}.{name}_proj.weight")
                 for j in range(cfg.num_experts)
@@ -285,7 +313,7 @@ def stack_moe_expert_params(params, cfg, mesh=None, ep_axis: str = "fsdp"):
             stacked = jnp.stack([w.T for w in ws])  # [E, in, out]
             if ns is not None:
                 stacked = jax.device_put(stacked, ns)
-            out[f"{prefix}.mlp.experts.{name}_stacked"] = stacked
+            out[key] = stacked
     return out
 
 
@@ -297,6 +325,7 @@ def _moe_mlp_ep(
     mesh,
     ep_axis: str = "fsdp",
     capacity_factor: Optional[float] = None,
+    token_valid: Optional[jnp.ndarray] = None,  # [B, S] bool/int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expert-parallel MoE: expert-stacked weights stay sharded over
     ``ep_axis`` (no all-gather of expert tables); every shard computes the
@@ -336,18 +365,14 @@ def _moe_mlp_ep(
 
     from jax.sharding import PartitionSpec as P
 
-    def shard_fn(yv, rw, gw, uw, dw):
+    def shard_fn(yv, valid, rw, gw, uw, dw):
         x = yv.reshape(t, h)
         # routing is replicated work (tiny): identical on every shard, so
-        # the sorted order below is globally agreed without communication
-        top_w, top_i = _moe_route_w(rw, cfg, x)
-        flat_expert = top_i.reshape(m)
-        flat_weight = top_w.reshape(m)
-        order = jnp.argsort(flat_expert)  # stable: ties keep token order
-        token_of = order // k
-        xs = jnp.take(x, token_of, axis=0)            # [m, h] sorted inputs
-        w_sorted = jnp.take(flat_weight, order)
-        group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+        # the sorted order below is globally agreed without communication;
+        # padding tokens (valid == 0) join no group and consume no capacity
+        order, token_of, flat_weight, group_sizes = _moe_assignments(
+            rw, cfg, x, token_valid=valid
+        )
 
         p = jax.lax.axis_index(ep_axis)
         lo = p * e_local
@@ -357,9 +382,12 @@ def _moe_mlp_ep(
         start = starts[lo]
         local_rows = starts[lo + e_local] - start
         start_cl = jnp.clip(start, 0, m - cap)
-        window = jax.lax.dynamic_slice(xs, (start_cl, 0), (cap, h))
-        w_window = jax.lax.dynamic_slice(w_sorted, (start_cl,), (cap,))
+        # slice the assignment window FIRST, then gather its cap inputs —
+        # gathering all m rows per shard would defeat FLOP-scaled EP
+        ord_window = jax.lax.dynamic_slice(order, (start_cl,), (cap,))
         tok_window = jax.lax.dynamic_slice(token_of, (start_cl,), (cap,))
+        window = jnp.take(x, tok_window, axis=0)       # [cap, h]
+        w_window = jnp.take(flat_weight, ord_window)
 
         # group sizes inside the window: [rows-before-local, clipped local
         # groups..., rows-after-local]; the before/after rows hit the
@@ -394,13 +422,17 @@ def _moe_mlp_ep(
         overflow = jax.lax.psum(overflow, ep_axis)
         return out.reshape(b, s, h).astype(yv.dtype), overflow
 
+    valid = (
+        jnp.ones((t,), jnp.bool_) if token_valid is None
+        else token_valid.reshape(t).astype(jnp.bool_)
+    )
     out, overflow = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(ep_axis), P(ep_axis), P(ep_axis)),
+        in_specs=(P(), P(), P(), P(ep_axis), P(ep_axis), P(ep_axis)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(y, router_w, gate_w, up_w, down_w)
+    )(y, valid, router_w, gate_w, up_w, down_w)
     return out, overflow
 
 
@@ -420,13 +452,15 @@ def target_capture_forward(
     moe_impl: Optional[str] = None,
     moe_mesh=None,
     moe_capacity_factor: Optional[float] = None,
-) -> Tuple[jnp.ndarray, ...]:
-    """Prefill forward → (aux concat [B, S, L*H], post-norm last hidden [B, S, H]).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Prefill forward → (aux concat [B, S, L*H], post-norm last hidden
+    [B, S, H], moe_overflow int32 scalar).
 
-    ``moe_impl="ep"`` (requires ``moe_mesh`` + ``stack_moe_expert_params``-
-    prepared params) runs MoE layers expert-parallel and appends a third
-    output: the summed int32 capacity-overflow counter, which MUST be 0 for
-    the capture to be exact (see ``_moe_mlp_ep``)."""
+    ``moe_overflow`` is structurally 0 except under ``moe_impl="ep"`` with a
+    bounded ``moe_capacity_factor``, where it counts expert assignments NOT
+    computed — it MUST be 0 for the capture to be exact (see
+    ``_moe_mlp_ep``; EP requires ``moe_mesh`` +
+    ``stack_moe_expert_params``-prepared params)."""
     cfg = config
     b, s = input_ids.shape
     d = cfg.resolved_head_dim
@@ -495,6 +529,7 @@ def target_capture_forward(
                 y, overflow = _moe_mlp_ep(
                     params, cfg, prefix, y, moe_mesh,
                     capacity_factor=moe_capacity_factor,
+                    token_valid=attention_mask,
                 )
                 moe_overflow = moe_overflow + overflow
             else:
@@ -520,6 +555,4 @@ def target_capture_forward(
     aux = jnp.concatenate(
         [captured[i] for i in capture_layers], axis=-1
     )
-    if moe_impl == "ep":
-        return aux, last_hidden, moe_overflow
-    return aux, last_hidden
+    return aux, last_hidden, moe_overflow

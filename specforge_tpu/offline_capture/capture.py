@@ -99,11 +99,24 @@ class OfflineCaptureRunner:
         if mesh is not None:
             from specforge_tpu.parallel.mesh import shard_pytree_like_params
 
-            self.params = shard_pytree_like_params(self.params, mesh)
-        if moe_impl == "ep":
-            self.params = stack_moe_expert_params(
-                self.params, self.target_config, mesh
-            )
+            if moe_impl == "ep":
+                # place the expert tables ONCE (expert-dim sharded stacks);
+                # only the non-expert remainder goes through the generic
+                # fsdp sharding rule
+                expert = {
+                    k: v for k, v in self.params.items()
+                    if ".mlp.experts." in k
+                }
+                rest = {
+                    k: v for k, v in self.params.items() if k not in expert
+                }
+                rest = shard_pytree_like_params(rest, mesh)
+                expert = stack_moe_expert_params(
+                    expert, self.target_config, mesh
+                )
+                self.params = {**rest, **expert}
+            else:
+                self.params = shard_pytree_like_params(self.params, mesh)
         target_config = self.target_config
         layers = tuple(config.capture_layers)
         self._forward = jax.jit(
@@ -115,11 +128,10 @@ class OfflineCaptureRunner:
         )
 
     def _run_batch(self, input_ids: np.ndarray, attention_mask: np.ndarray):
-        out = self._forward(
+        aux, last, overflow = self._forward(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
         )
         if self.moe_impl == "ep":
-            aux, last, overflow = out
             dropped = int(overflow)
             if dropped:
                 raise RuntimeError(
@@ -127,8 +139,6 @@ class OfflineCaptureRunner:
                     f"were not computed — capture would be inexact. Raise "
                     f"moe_capacity_factor (or use the default full capacity)."
                 )
-        else:
-            aux, last = out
         return np.asarray(aux), np.asarray(last)
 
     def run(

@@ -139,7 +139,7 @@ def test_ep_capture_forward_matches_default(tmp_path):
     params = load_target_params(str(tmp_path), tc, dtype=jnp.float32)
     ids = np.random.default_rng(0).integers(0, 96, size=(2, 10))
 
-    ref_aux, ref_last = target_capture_forward(
+    ref_aux, ref_last, _ = target_capture_forward(
         params, tc, jnp.asarray(ids), None, (0,)
     )
     mesh = build_mesh(MeshConfig(fsdp=8), devices=jax.devices()[:8])
@@ -156,6 +156,37 @@ def test_ep_capture_forward_matches_default(tmp_path):
     np.testing.assert_allclose(
         np.asarray(last), np.asarray(ref_last), rtol=5e-4, atol=5e-4
     )
+
+
+def test_ep_padding_consumes_no_capacity():
+    """A mostly-padded batch must not overflow a bounded capacity: padding
+    tokens (token_valid=0) join no expert group. Valid-position outputs
+    still match the gathered reference."""
+    cfg = _moe_cfg(e=8)
+    rng = np.random.default_rng(3)
+    params = _moe_params(cfg, rng)
+    b, s = 4, 32
+    y = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)).astype(np.float32))
+    valid = np.zeros((b, s), np.int32)
+    valid[0, :8] = 1  # one real sample, 3 fully-padded rows
+    ref = _moe_mlp_gathered(params, cfg, "model.layers.0", y)
+    mesh = build_mesh(MeshConfig(fsdp=8), devices=jax.devices()[:8])
+    stacked = stack_moe_expert_params(params, cfg, mesh)
+    out, overflow = jax.jit(
+        lambda p, yv, v: _moe_mlp_ep(
+            p, cfg, "model.layers.0", yv, mesh, capacity_factor=2.0,
+            token_valid=v,
+        )
+    )(stacked, y, jnp.asarray(valid))
+    # bounded capacity is sized for 8 real tokens x k=2 over 8 shards; if
+    # padding consumed capacity (120 pad tokens all routing identically)
+    # this would overflow
+    assert int(overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :8], np.asarray(ref)[0, :8], rtol=2e-4, atol=2e-4
+    )
+    # padded positions produce exactly zero (no group membership)
+    assert np.all(np.asarray(out)[1:] == 0.0)
 
 
 def test_ep_runner_rejects_bad_config(tmp_path):

@@ -63,7 +63,7 @@ def test_cached_target_matches_uncached(target):
     params, config = target
     rng = np.random.default_rng(0)
     ids = rng.integers(0, V, size=(1, 20))
-    aux_full, _last = target_capture_forward(
+    aux_full, _last, _ = target_capture_forward(
         params, config, jnp.asarray(ids), None, (1, 3)
     )
     # same sequence through the cache in two blocks

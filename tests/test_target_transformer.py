@@ -66,7 +66,7 @@ def test_capture_matches_transformers(tmp_path, family):
     attention_mask[1, 9:] = 0
 
     capture_layers = [1, config.num_hidden_layers - 2]
-    aux, last = target_capture_forward(
+    aux, last, _ = target_capture_forward(
         params, config, jnp.asarray(input_ids), jnp.asarray(attention_mask),
         capture_layers,
     )
@@ -177,7 +177,7 @@ def test_qwen3_moe_capture_matches_transformers(tmp_path, monkeypatch,
     # capture non-final layers: HF's hidden_states[-1] is post-final-norm in
     # current transformers, and real capture layers never include the last
     # layer (reference: [1, n//2-1, n-4])
-    aux, last = target_capture_forward(
+    aux, last, _ = target_capture_forward(
         params, tc, jnp.asarray(ids), None, (0, 1),
     )
     with torch.no_grad():
