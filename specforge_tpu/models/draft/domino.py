@@ -50,8 +50,7 @@ class GRU(nn.Module):
         w_hh_t = w_hh.astype(self.dtype).T
         hd = self.hidden_dim
 
-        def step(h, x):
-            gi = x @ w_ih_t
+        def step(h, gi):
             gh = h @ w_hh_t
             i_r, i_z, i_n = gi[..., :hd], gi[..., hd:2 * hd], gi[..., 2 * hd:]
             h_r, h_z, h_n = gh[..., :hd], gh[..., hd:2 * hd], gh[..., 2 * hd:]
@@ -63,7 +62,11 @@ class GRU(nn.Module):
 
         h0 = jnp.zeros((xs.shape[0], hd), self.dtype)
         xs_t = jnp.moveaxis(xs.astype(self.dtype), 1, 0)
-        _, outs = jax.lax.scan(step, h0, xs_t)
+        # the input projection carries the GRU's FLOPs (input_dim >> hd):
+        # hoist it out of the recurrence as ONE [time*batch, input] MXU
+        # matmul; only the hd x 3hd recurrent matmul stays sequential
+        gi_all = xs_t @ w_ih_t  # [time, batch, 3*hd]
+        _, outs = jax.lax.scan(step, h0, gi_all)
         return jnp.moveaxis(outs, 0, 1)
 
 
