@@ -19,14 +19,25 @@ import numpy as np
 
 def _timeit(fn, *args, iters=10):
     import jax
+    import jax.numpy as jnp
 
-    jitted = jax.jit(fn)
+    # reduce to a scalar ON DEVICE: fetching a full output tensor would be
+    # D2H-dominated (the axon debug tunnel moves ~tens of MB/s, so a 64MB
+    # attention output inflates a 10ms op to 100+ms apparent time)
+    def reduced(*a):
+        out = fn(*a)
+        return jax.tree_util.tree_reduce(
+            lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
+            out, jnp.float32(0.0),
+        )
+
+    jitted = jax.jit(reduced)
     out = jitted(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    _ = float(out)
     t0 = time.monotonic()
     for _ in range(iters):
         out = jitted(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    _ = float(out)
     return (time.monotonic() - t0) / iters
 
 
