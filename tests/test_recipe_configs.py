@@ -75,3 +75,24 @@ def test_eagle3_recipe_init_smoke(path):
         jnp.asarray(rng.normal(size=(b, s, cfg.vocab_size)), jnp.float32),
     )
     assert "params" in variables
+
+
+EXAMPLE_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob(os.path.join(EXAMPLE_DIR, "*.json"))),
+    ids=lambda p: os.path.basename(p),
+)
+def test_example_run_config_validates(path):
+    """Every example run config under examples/ passes the strict schema
+    and points its draft_config_path at an existing recipe config."""
+    from specforge_tpu.config.schema import Config
+
+    raw = json.load(open(path))
+    cfg = Config.model_validate(raw)
+    dcp = cfg.model.draft_config_path
+    if dcp:
+        repo_root = os.path.join(os.path.dirname(__file__), "..")
+        assert os.path.exists(os.path.join(repo_root, dcp)), dcp
