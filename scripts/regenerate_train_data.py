@@ -164,13 +164,19 @@ def regenerate_row(
             row["error"] = str(exc)
             return row
         text = choice.get("content")
-        if args.reasoning == "disable" and (
+        # content checks are gated on max_tokens is None: the 1-token
+        # server probe legitimately returns near-empty content
+        if max_tokens is None and (
             not isinstance(text, str) or not text.strip()
-            or has_think_marker(text)
         ):
+            row["status"] = "error"
+            row["error"] = "assistant response content is empty"
+            return row
+        if args.reasoning == "disable" and max_tokens is None and \
+                has_think_marker(text):
             row["status"] = "skipped"
             row["error"] = (
-                "non-reasoning response is empty or carries a think marker"
+                "non-reasoning response carries a think marker"
             )
             return row
         out_msg: Dict[str, Any] = {"role": "assistant", "content": text}
@@ -240,14 +246,19 @@ def main() -> None:
         )
         print(f"resume: skipping first {skip_rows} input rows")
 
+    # skip by non-blank ROW ordinal, not raw line index: each output line
+    # corresponds to one non-blank input row, so resume math stays exact
+    # even when the input contains blank lines
     rows: List[Tuple[int, Dict[str, Any]]] = []
+    ordinal = 0
     with open(args.input_file_path, encoding="utf-8") as f:
-        for i, line in enumerate(f):
+        for line in f:
             if not line.strip():
                 continue
-            if i < skip_rows:
+            ordinal += 1
+            if ordinal <= skip_rows:
                 continue
-            rows.append((i, json.loads(line)))
+            rows.append((ordinal - 1, json.loads(line)))
             if args.num_samples and len(rows) >= args.num_samples:
                 break
     if not rows:

@@ -21,23 +21,26 @@ def _timeit(fn, *args, iters=10):
     import jax
     import jax.numpy as jnp
 
-    # reduce to a scalar ON DEVICE: fetching a full output tensor would be
-    # D2H-dominated (the axon debug tunnel moves ~tens of MB/s, so a 64MB
-    # attention output inflates a 10ms op to 100+ms apparent time)
-    def reduced(*a):
-        out = fn(*a)
-        return jax.tree_util.tree_reduce(
+    # Two SEPARATE jits: the measured op keeps its own jit boundary (its
+    # outputs are materialized to HBM, same as in a real step — fusing a
+    # reduction INTO the measured program would let XLA elide the output
+    # write for XLA ops but not for opaque Pallas calls, biasing
+    # kernel-vs-XLA comparisons), and a second jit reduces to a scalar so
+    # only the scalar crosses the axon tunnel (fetching a 64MB tensor
+    # would swamp a 10ms op).
+    jitted = jax.jit(fn)
+    scalarize = jax.jit(
+        lambda out: jax.tree_util.tree_reduce(
             lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
             out, jnp.float32(0.0),
         )
-
-    jitted = jax.jit(reduced)
+    )
     out = jitted(*args)
-    _ = float(out)
+    _ = float(scalarize(out))
     t0 = time.monotonic()
     for _ in range(iters):
         out = jitted(*args)
-    _ = float(out)
+    _ = float(scalarize(out))
     return (time.monotonic() - t0) / iters
 
 

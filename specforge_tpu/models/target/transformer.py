@@ -335,10 +335,11 @@ def _moe_mlp_ep(
 
     Exactness: assignments are sorted by expert id, so a shard's rows form
     one contiguous range of the sorted order; the shard processes a static
-    window of ``capacity`` rows around that range, with zero-weight dummy
-    experts absorbing the out-of-range rows (their contribution is exactly
-    0 and is produced by the owning shard instead). ``capacity_factor=None``
-    uses capacity = all rows — never drops, memory-scaled EP.
+    window of ``capacity`` rows around that range. Out-of-range rows inside
+    the window are absorbed into the edge groups and their scatter weights
+    masked to zero, so their contribution is exactly 0 (the owning shard
+    produces it instead). ``capacity_factor=None`` uses capacity = all
+    rows — never drops, memory-scaled EP.
     A float capacity_factor bounds per-shard work at
     ``ceil(cf·rows/ep)`` for FLOP-scaled EP; rows past capacity are NOT
     computed and are counted in the returned ``overflow`` scalar — callers
@@ -389,9 +390,13 @@ def _moe_mlp_ep(
         window = jnp.take(x, tok_window, axis=0)       # [cap, h]
         w_window = jnp.take(flat_weight, ord_window)
 
-        # group sizes inside the window: [rows-before-local, clipped local
-        # groups..., rows-after-local]; the before/after rows hit the
-        # zero dummy experts and contribute exactly 0
+        # group sizes inside the window: clip the local groups to the rows
+        # that fit after the pre-slack, absorb the out-of-range rows
+        # (before/after the local range) into the FIRST/LAST local group —
+        # they get computed against a real expert, but their scatter
+        # weights are masked to zero below, so their contribution is
+        # exactly 0 without materializing zero dummy experts (which would
+        # copy the full local expert stacks every forward)
         pre = start - start_cl
         gs_local = jax.lax.dynamic_slice(group_sizes, (lo,), (e_local,))
         avail = jnp.maximum(cap - pre, 0)
@@ -404,19 +409,17 @@ def _moe_mlp_ep(
         post = cap - pre - used
         overflow = local_rows - used
 
-        def pad_rhs(w):
-            z = jnp.zeros((1,) + w.shape[1:], w.dtype)
-            return jnp.concatenate([z, w, z])
-
-        gsz = jnp.concatenate(
-            [pre[None], gs_cl, post[None]]
-        ).astype(jnp.int32)
-        g_ = jax.lax.ragged_dot(window, pad_rhs(gw), gsz)
-        u_ = jax.lax.ragged_dot(window, pad_rhs(uw), gsz)
+        gsz = gs_cl.at[0].add(pre).at[e_local - 1].add(post).astype(jnp.int32)
+        g_ = jax.lax.ragged_dot(window, gw, gsz)
+        u_ = jax.lax.ragged_dot(window, uw, gsz)
         d_ = jax.lax.ragged_dot(
-            (act(g_) * u_).astype(window.dtype), pad_rhs(dw), gsz
+            (act(g_) * u_).astype(window.dtype), dw, gsz
         )
-        weighted = d_ * w_window[:, None].astype(d_.dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        in_local = (row >= pre) & (row < pre + used)
+        weighted = d_ * jnp.where(
+            in_local, w_window, 0.0
+        )[:, None].astype(d_.dtype)
         out = jnp.zeros((t, h), d_.dtype).at[tok_window].add(weighted)
         out = jax.lax.psum(out, ep_axis)
         overflow = jax.lax.psum(overflow, ep_axis)
@@ -440,6 +443,14 @@ def _moe_mlp(params, cfg, prefix, y, impl: Optional[str] = None):
     impl = impl or os.environ.get("SPECFORGE_MOE_IMPL", "gathered")
     if impl == "dense":
         return _moe_mlp_dense(params, cfg, prefix, y)
+    if impl != "gathered":
+        # loud failure instead of a silent gathered fallback: "ep" in
+        # particular needs a mesh + stacked params and is requested through
+        # the capture runner / target_capture_forward(moe_impl="ep")
+        raise ValueError(
+            f"unknown MoE impl {impl!r}: use 'dense', 'gathered', or "
+            f"request 'ep' via the capture runner (it needs a device mesh)"
+        )
     return _moe_mlp_gathered(params, cfg, prefix, y)
 
 

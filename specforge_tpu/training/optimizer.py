@@ -139,8 +139,16 @@ def _scale_by_factored_adam(
 
     Unlike ``optax.adafactor`` this keeps Adam's update semantics —
     bias-corrected moments, absolute LR, ``sqrt(nu_hat) + eps`` — so it is
-    a drop-in for the reference AdamW numerics with O(r+c) state."""
+    a drop-in for the reference AdamW numerics with O(r+c) state.
+
+    The factored row/col vectors always live in fp32 regardless of
+    ``dtype``: they are O(r+c) (KBs even at vocab scale) so low precision
+    saves nothing, and bf16 would freeze the EMA once ``(1-b2)``-sized
+    increments fall under the bf16 ulp. ``dtype`` still applies to ``mu``
+    and to the dense ``nu`` of non-factored leaves, where it buys real HBM.
+    """
     placeholder = lambda: jnp.zeros((1,), dtype)  # noqa: E731
+    f32 = jnp.float32
 
     def is_factored(p) -> bool:
         return p.ndim >= 2 and min(p.shape[-2:]) >= min_dim
@@ -158,12 +166,12 @@ def _scale_by_factored_adam(
             params,
         )
         nu_row = tmap(
-            lambda p: jnp.zeros(p.shape[:-1], dtype) if is_factored(p)
+            lambda p: jnp.zeros(p.shape[:-1], f32) if is_factored(p)
             else placeholder(),
             params,
         )
         nu_col = tmap(
-            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], dtype)
+            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], f32)
             if is_factored(p) else placeholder(),
             params,
         )
@@ -200,17 +208,13 @@ def _scale_by_factored_adam(
             if not is_factored(g):
                 return r
             gg = (g * g).astype(f32)
-            return (
-                b2 * r.astype(f32) + (1 - b2) * gg.sum(axis=-1)
-            ).astype(dtype)
+            return b2 * r + (1 - b2) * gg.sum(axis=-1)  # fp32 state
 
         def new_col(cv, g):
             if not is_factored(g):
                 return cv
             gg = (g * g).astype(f32)
-            return (
-                b2 * cv.astype(f32) + (1 - b2) * gg.sum(axis=-2)
-            ).astype(dtype)
+            return b2 * cv + (1 - b2) * gg.sum(axis=-2)  # fp32 state
 
         nu = tmap(new_nu, state.nu, grads)
         nu_row = tmap(new_row, state.nu_row, grads)
