@@ -267,7 +267,9 @@ def test_large_object_roundtrip_bounded_memory(server):
                 break
             except OSError:
                 time.sleep(0.05)
-        store = NetworkFeatureStore(f"127.0.0.1:{port}")
+        # generous socket timeout: a 512MB roundtrip under xdist CPU
+        # oversubscription can exceed the 30s default on a loaded runner
+        store = NetworkFeatureStore(f"127.0.0.1:{port}", timeout=300.0)
         ref = store.put_sample("big", {"x": src})
         dst = np.empty_like(src)
         store.fetch_feature_into(ref.features["x"], dst)
