@@ -101,7 +101,8 @@ def _build_tiny_stack(workdir: str):
 
 
 def run_gate(target_dir: str, export_dir: str, prompts, *,
-             num_draft_tokens: int = 3, max_new_tokens: int = 16):
+             num_draft_tokens: int = 3, max_new_tokens: int = 16,
+             topk: int = 1):
     from specforge_tpu.benchmarks.accept_length import load_exported_draft
     from specforge_tpu.inference.spec_decode import (
         Eagle3SpecDecoder,
@@ -139,7 +140,9 @@ def run_gate(target_dir: str, export_dir: str, prompts, *,
     # chat smoke + exact greedy-equivalence per prompt
     accept = []
     for prompt in prompts:
-        result = decoder.generate(list(prompt), max_new_tokens=max_new_tokens)
+        result = decoder.generate(
+            list(prompt), max_new_tokens=max_new_tokens, topk=topk
+        )
         oracle = greedy_target_decode(
             target_params, target_config, list(prompt),
             max_new_tokens=max_new_tokens, max_len=256,
@@ -159,6 +162,7 @@ def run_gate(target_dir: str, export_dir: str, prompts, *,
         "prompts": len(prompts),
         "greedy_equivalent": True,
         "mean_accept_length": round(float(np.mean(accept)), 3),
+        "topk": topk,
     }
     print(json.dumps(summary))
     return summary
@@ -171,6 +175,8 @@ def main():
     parser.add_argument("--export", help="exported sglang-layout draft dir")
     parser.add_argument("--prompts", help="jsonl with {'input_ids': [...]}")
     parser.add_argument("--num-draft-tokens", type=int, default=3)
+    parser.add_argument("--topk", type=int, default=1,
+                        help="tree width (>1 = tree speculation)")
     args = parser.parse_args()
 
     if args.target and args.export:
@@ -194,7 +200,7 @@ def main():
             for _ in range(2)
         ]
     run_gate(target_dir, export_dir, prompts,
-             num_draft_tokens=args.num_draft_tokens)
+             num_draft_tokens=args.num_draft_tokens, topk=args.topk)
 
 
 if __name__ == "__main__":

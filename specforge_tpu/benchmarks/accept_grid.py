@@ -26,7 +26,7 @@ from typing import Dict, List
 
 def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              draft_tokens: List[int], max_new_tokens: int,
-             max_prompts: int) -> Dict:
+             max_prompts: int, topks: List[int] = (1,)) -> Dict:
     from specforge_tpu.benchmarks.accept_length import measure_accept_length
 
     cells = []
@@ -42,21 +42,26 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
             print(f"dataset {name}: no prompts, skipping", file=sys.stderr)
             continue
         for k in draft_tokens:
-            report = measure_accept_length(
-                target_model_path=target,
-                draft_export_dir=export_dir,
-                prompts=prompts,
-                num_draft_tokens=k,
-                max_new_tokens=max_new_tokens,
-            )
-            cell = {
-                "dataset": name,
-                "num_draft_tokens": k,
-                "prompts": len(prompts),
-                "mean_accept_length": round(report.mean_accept_length, 4),
-            }
-            print(json.dumps(cell), file=sys.stderr)
-            cells.append(cell)
+            for topk in topks:
+                report = measure_accept_length(
+                    target_model_path=target,
+                    draft_export_dir=export_dir,
+                    prompts=prompts,
+                    num_draft_tokens=k,
+                    topk=topk,
+                    max_new_tokens=max_new_tokens,
+                )
+                cell = {
+                    "dataset": name,
+                    "num_draft_tokens": k,
+                    "topk": topk,
+                    "prompts": len(prompts),
+                    "mean_accept_length": round(
+                        report.mean_accept_length, 4
+                    ),
+                }
+                print(json.dumps(cell), file=sys.stderr)
+                cells.append(cell)
     return {"grid": cells, "target": target, "export": export_dir}
 
 
@@ -69,6 +74,8 @@ def main():
         metavar="NAME=PROMPTS_JSONL",
     )
     parser.add_argument("--draft-tokens", default="2,4,8")
+    parser.add_argument("--topk", default="1",
+                        help="comma list of tree widths (1 = chain)")
     parser.add_argument("--max-new-tokens", type=int, default=64)
     parser.add_argument("--max-prompts", type=int, default=32)
     parser.add_argument("--out", default="accept_grid.json")
@@ -79,6 +86,7 @@ def main():
     report = run_grid(
         args.target, args.export, datasets, draft_tokens,
         args.max_new_tokens, args.max_prompts,
+        topks=[int(x) for x in args.topk.split(",")],
     )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -23,6 +23,7 @@ class AcceptLengthReport:
     per_prompt: List[float]
     accept_lengths: List[int]
     num_draft_tokens: int
+    topk: int = 1
 
     @property
     def mean_accept_length(self) -> float:
@@ -38,6 +39,7 @@ class AcceptLengthReport:
             "per_prompt_mean": [round(x, 4) for x in self.per_prompt],
             "accept_length_histogram": hist.tolist(),
             "num_draft_tokens": self.num_draft_tokens,
+            "topk": self.topk,
             "rounds": len(self.accept_lengths),
         }
 
@@ -49,6 +51,7 @@ def measure_accept_length(
     prompts: Sequence[Sequence[int]],
     capture_layers: Optional[Sequence[int]] = None,
     num_draft_tokens: int = 4,
+    topk: int = 1,
     max_new_tokens: int = 128,
     max_len: int = 2048,
 ) -> AcceptLengthReport:
@@ -88,7 +91,9 @@ def measure_accept_length(
     per_prompt: List[float] = []
     all_lengths: List[int] = []
     for i, prompt in enumerate(prompts):
-        result = decoder.generate(list(prompt), max_new_tokens=max_new_tokens)
+        result = decoder.generate(
+            list(prompt), max_new_tokens=max_new_tokens, topk=topk
+        )
         per_prompt.append(result.mean_accept_length)
         all_lengths.extend(result.accept_lengths)
         logger.info(
@@ -97,7 +102,7 @@ def measure_accept_length(
         )
     return AcceptLengthReport(
         per_prompt=per_prompt, accept_lengths=all_lengths,
-        num_draft_tokens=num_draft_tokens,
+        num_draft_tokens=num_draft_tokens, topk=topk,
     )
 
 

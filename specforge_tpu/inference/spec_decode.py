@@ -68,8 +68,16 @@ def target_cached_forward(
     cache_v: jnp.ndarray,
     cache_len: jnp.ndarray,     # scalar int32
     capture_layers: Tuple[int, ...],
+    block_allow: Optional[jnp.ndarray] = None,   # [T, T] bool tree mask
+    block_positions: Optional[jnp.ndarray] = None,  # [T] logical depths
 ):
     """Decode/prefill one block against the cache.
+
+    ``block_allow``/``block_positions`` enable TREE verification: the block
+    holds tree nodes in slot order; node i attends the full prefix plus the
+    block slots ``block_allow[i]`` (its ancestors), and its RoPE position is
+    ``cache_len + block_positions[i]`` (its depth) rather than its slot
+    index. Default (None) is plain causal decode.
 
     Returns (logits [B, T, V], aux [B, T, L*H], new_cache_k, new_cache_v).
     """
@@ -82,15 +90,27 @@ def target_cached_forward(
     rope_spec = RopeSpec.from_config(cfg)
     capture_set = set(int(c) for c in capture_layers)
 
-    positions = cache_len + jnp.arange(t, dtype=jnp.int32)[None]
+    depths = (
+        jnp.arange(t, dtype=jnp.int32) if block_positions is None
+        else block_positions.astype(jnp.int32)
+    )
+    positions = cache_len + depths[None]
     positions = jnp.broadcast_to(positions, (b, t))
     cos, sin = rope_cos_sin(rope_spec, positions, m, dtype=jnp.bfloat16)
 
     x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
-    # attention mask over the M cache slots: col < cache_len + row + 1
     col = jnp.arange(m, dtype=jnp.int32)[None, :]
-    row_pos = (cache_len + jnp.arange(t, dtype=jnp.int32))[:, None]
-    allow = col <= row_pos  # [T, M]
+    if block_allow is None:
+        # causal: col slot < cache_len + row + 1
+        row_pos = (cache_len + jnp.arange(t, dtype=jnp.int32))[:, None]
+        allow = col <= row_pos  # [T, M]
+    else:
+        # tree: full prefix + ancestor slots within the block
+        prefix_vis = col < cache_len                      # [1, M]
+        in_block = (col >= cache_len) & (col < cache_len + t)
+        bidx = jnp.clip(col[0] - cache_len, 0, t - 1)     # [M]
+        blk_vis = jnp.take(block_allow, bidx, axis=1)     # [T, M]
+        allow = prefix_vis | (in_block & blk_vis)
 
     captured = {}
     for i in range(cfg.num_hidden_layers):
@@ -320,12 +340,55 @@ class Eagle3SpecDecoder:
         )
         return np.asarray(logits), aux, new_state
 
+    def _tree_layout(self, topk: int):
+        """Static tree-block layout for top-k parallel chains: slot 0 is the
+        committed token, chain c occupies slots 1+c*k .. 1+(c+1)*k-1; each
+        node attends slot 0 plus its own chain prefix (incl. itself).
+        Returns (block_allow [T,T] bool, block_positions [T] int32)."""
+        k = self.k
+        t = 1 + topk * k
+        allow = np.zeros((t, t), bool)
+        allow[:, 0] = True
+        pos = np.zeros((t,), np.int32)
+        for c in range(topk):
+            for j in range(k):
+                s = 1 + c * k + j
+                allow[s, 1 + c * k: s + 1] = True
+                pos[s] = j + 1
+        return jnp.asarray(allow), jnp.asarray(pos)
+
+    def _chain_from(self, first_draft_idx: int, hidden, ck, cv, clen: int):
+        """Greedy draft chain of length self.k from a given draft-vocab
+        token, on top of the (immutable) pre-round caches."""
+        proposals = [first_draft_idx + int(self._d2t[first_draft_idx])]
+        for _ in range(self.k - 1):
+            hidden, dlogits, ck, cv = self._draft_step(
+                self.draft_variables,
+                jnp.asarray([[proposals[-1]]], jnp.int32), hidden,
+                ck, cv, jnp.asarray(clen, jnp.int32),
+            )
+            clen += 1
+            dt = int(np.asarray(dlogits[0, -1]).argmax())
+            proposals.append(dt + int(self._d2t[dt]))
+        return proposals
+
     def generate(
         self,
         prompt_ids: Sequence[int],
         max_new_tokens: int,
         stop_token_ids: Optional[Sequence[int]] = None,
+        topk: int = 1,
     ) -> SpecDecodeResult:
+        """``topk > 1``: tree speculation — the draft proposes ``topk``
+        greedy chains branching at the round's first token (the top-k of
+        the draft distribution), the target verifies ALL of them in ONE
+        forward with a tree attention mask, and the longest-matching chain
+        wins. Output is greedy-equivalent for any topk; chain 0 is the
+        topk=1 proposal, so acceptance per round can only improve."""
+        if topk > 1:
+            return self._generate_tree(
+                prompt_ids, max_new_tokens, stop_token_ids, topk
+            )
         stop = set(stop_token_ids or ())
         prompt = np.asarray(prompt_ids, np.int64)[None]  # [1, P]
         p_len = prompt.shape[1]
@@ -421,6 +484,141 @@ class Eagle3SpecDecoder:
             accept_lengths=accept_lengths,
             steps=steps,
         )
+
+    def _generate_tree(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]],
+        topk: int,
+    ) -> SpecDecodeResult:
+        stop = set(stop_token_ids or ())
+        k = self.k
+        block_allow, block_pos = self._tree_layout(topk)
+        block_t = 1 + topk * k
+        prompt = np.asarray(prompt_ids, np.int64)[None]
+        p_len = prompt.shape[1]
+        budget = self.max_len
+
+        t_state = init_target_state(self.target_config, 1, budget)
+        d_state = init_draft_state(self.draft.config, 1, budget)
+
+        # --- prefill (identical to the chain path) ---
+        logits, aux, t_state = self._target_forward(prompt, t_state)
+        cur_token = int(logits[0, -1].argmax())
+        output = list(prompt_ids) + [cur_token]
+        draft_hidden = self._project(self.draft_variables, aux)
+        shifted_ids = np.concatenate([prompt[0, 1:], [cur_token]])[None]
+        next_hidden, dlogits, ck, cv = self._draft_step(
+            self.draft_variables, jnp.asarray(shifted_ids, jnp.int32),
+            draft_hidden, d_state.cache_k, d_state.cache_v,
+            jnp.asarray(0, jnp.int32),
+        )
+        d_state = DraftState(cache_k=ck, cache_v=cv, length=p_len)
+        last_hidden = next_hidden[:, -1:]
+        last_dlogits = np.asarray(dlogits[:, -1])
+
+        accept_lengths: List[int] = []
+        steps = 0
+        while (
+            len(output) - p_len < max_new_tokens
+            and t_state.length + block_t < budget
+        ):
+            steps += 1
+            # --- topk chains branching at the first proposal; the caches
+            # are immutable jnp arrays, so every chain starts from the
+            # same pre-round draft state for free ---
+            # stable descending sort: ties resolve to the lowest index so
+            # chain 0 is exactly the chain-mode (argmax) proposal
+            first = np.argsort(-last_dlogits[0], kind="stable")[:topk]
+            chains = [
+                self._chain_from(
+                    int(c0), last_hidden, d_state.cache_k, d_state.cache_v,
+                    d_state.length,
+                )
+                for c0 in first
+            ]
+
+            # --- ONE target forward verifies the whole tree ---
+            block = np.asarray(
+                [[cur_token, *[t for c in chains for t in c]]], np.int64
+            )
+            base_len = t_state.length
+            logits, aux, ck_t, cv_t = target_cached_forward(
+                self.target_params, self.target_config,
+                jnp.asarray(block, jnp.int32),
+                t_state.cache_k, t_state.cache_v,
+                jnp.asarray(base_len, jnp.int32),
+                self.capture_layers,
+                block_allow=block_allow, block_positions=block_pos,
+            )
+            post = np.asarray(logits[0]).argmax(axis=-1)  # [block_t]
+
+            best_c, best_acc = 0, -1
+            for c, chain in enumerate(chains):
+                acc = 0
+                pred = int(post[0])  # slot 0 predicts every chain's token 0
+                for j in range(k):
+                    if chain[j] != pred:
+                        break
+                    acc += 1
+                    pred = int(post[1 + c * k + j])
+                if acc > best_acc:
+                    best_c, best_acc = c, acc
+            chain = chains[best_c]
+            acc = best_acc
+            bonus = int(post[0]) if acc == 0 else int(post[1 + best_c * k + acc - 1])
+            emitted = [*chain[:acc], bonus]
+            output.extend(emitted)
+            accept_lengths.append(acc + 1)
+
+            # --- compact the target cache: keep slot 0 (cur) and the
+            # winner's accepted slots, moved to the canonical positions ---
+            cache_k, cache_v = ck_t, cv_t
+            if acc > 0 and best_c > 0:
+                src = base_len + 1 + best_c * k
+                dst = base_len + 1
+                cache_k = _move_cache_rows(cache_k, src, dst, acc)
+                cache_v = _move_cache_rows(cache_v, src, dst, acc)
+            t_state = TargetState(
+                cache_k=cache_k, cache_v=cache_v,
+                length=base_len + acc + 1,
+            )
+
+            # --- draft re-extension over the accepted path ---
+            slots = [0] + [1 + best_c * k + j for j in range(acc)]
+            accepted_aux = np.asarray(aux)[:, slots]
+            draft_hidden = self._project(
+                self.draft_variables, jnp.asarray(accepted_aux)
+            )
+            next_hidden, dlogits, ck, cv = self._draft_step(
+                self.draft_variables,
+                jnp.asarray([emitted], jnp.int32), draft_hidden,
+                d_state.cache_k, d_state.cache_v,
+                jnp.asarray(d_state.length, jnp.int32),
+            )
+            d_state = DraftState(
+                cache_k=ck, cache_v=cv, length=d_state.length + acc + 1,
+            )
+            last_hidden = next_hidden[:, -1:]
+            last_dlogits = np.asarray(dlogits[:, -1])
+            cur_token = bonus
+
+            if stop & set(emitted):
+                break
+        return SpecDecodeResult(
+            output_ids=np.asarray(output),
+            accept_lengths=accept_lengths,
+            steps=steps,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _move_cache_rows(cache, src, dst, n: int):
+    """Move ``n`` cache rows (axis 3 = slots of [L, B, KVH, M, D]) from
+    ``src`` to ``dst`` — tree-cache compaction onto the accepted path."""
+    seg = jax.lax.dynamic_slice_in_dim(cache, src, n, axis=3)
+    return jax.lax.dynamic_update_slice_in_dim(cache, seg, dst, axis=3)
 
 
 def greedy_target_decode(

@@ -290,3 +290,111 @@ def test_dflash_spec_decode_matches_greedy(target):
     n = min(len(oracle), len(result.output_ids))
     np.testing.assert_array_equal(result.output_ids[:n], oracle[:n])
     assert all(1 <= a <= cfg.block_size for a in result.accept_lengths)
+
+
+@pytest.mark.parametrize("topk", [2, 3])
+def test_tree_spec_decode_matches_greedy(target, draft, topk):
+    """Tree speculation (topk parallel chains, one tree-masked verify
+    forward) must stay greedy-equivalent for any topk."""
+    params, config = target
+    module, variables = draft
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, V, size=10).tolist()
+
+    oracle = greedy_target_decode(
+        params, config, prompt, max_new_tokens=20,
+        capture_layers=(1, 2, 3), max_len=256,
+    )
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    result = decoder.generate(prompt, max_new_tokens=20, topk=topk)
+    n = min(len(oracle), len(result.output_ids))
+    np.testing.assert_array_equal(result.output_ids[:n], oracle[:n])
+    assert all(1 <= a <= 4 for a in result.accept_lengths)
+
+
+def test_tree_accept_length_at_least_chain(target, draft):
+    """Chain 0 of the tree IS the chain-mode proposal, so the tree's mean
+    accept length can never be worse on the same prompt."""
+    params, config = target
+    module, variables = draft
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, V, size=10).tolist()
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    chain = decoder.generate(prompt, max_new_tokens=20)
+    tree = decoder.generate(prompt, max_new_tokens=20, topk=3)
+    # identical outputs (both greedy-equivalent) …
+    n = min(len(chain.output_ids), len(tree.output_ids))
+    np.testing.assert_array_equal(
+        chain.output_ids[:n], tree.output_ids[:n]
+    )
+    # … and per-round acceptance dominates round by round until divergence
+    for a_tree, a_chain in zip(tree.accept_lengths, chain.accept_lengths):
+        assert a_tree >= a_chain
+        if a_tree > a_chain:
+            break
+
+
+def test_tree_verify_mask_matches_sequential(target):
+    """One tree-masked forward over two chains must reproduce the logits of
+    verifying each chain separately (same cache prefix)."""
+    from specforge_tpu.inference.spec_decode import (
+        init_target_state,
+        target_cached_forward,
+    )
+
+    params, config = target
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(0, V, size=(1, 9))
+    state = init_target_state(config, 1, 64, dtype=jnp.float32)
+    _l, _a, ck0, cv0 = target_cached_forward(
+        params, config, jnp.asarray(prefix, jnp.int32),
+        state.cache_k, state.cache_v, jnp.asarray(0, jnp.int32), (1,),
+    )
+
+    cur = int(rng.integers(0, V))
+    chain_a = rng.integers(0, V, size=2).tolist()
+    chain_b = rng.integers(0, V, size=2).tolist()
+
+    # sequential: each chain verified causally on its own cache copy
+    seq_logits = []
+    for chain in (chain_a, chain_b):
+        lg, _, _, _ = target_cached_forward(
+            params, config,
+            jnp.asarray([[cur, *chain]], jnp.int32),
+            ck0, cv0, jnp.asarray(9, jnp.int32), (1,),
+        )
+        seq_logits.append(np.asarray(lg[0]))
+
+    # tree: both chains in one forward
+    k = 2
+    t = 1 + 2 * k
+    allow = np.zeros((t, t), bool)
+    allow[:, 0] = True
+    pos = np.zeros((t,), np.int32)
+    for c in range(2):
+        for j in range(k):
+            s = 1 + c * k + j
+            allow[s, 1 + c * k: s + 1] = True
+            pos[s] = j + 1
+    tree_logits, _, _, _ = target_cached_forward(
+        params, config,
+        jnp.asarray([[cur, *chain_a, *chain_b]], jnp.int32),
+        ck0, cv0, jnp.asarray(9, jnp.int32), (1,),
+        block_allow=jnp.asarray(allow), block_positions=jnp.asarray(pos),
+    )
+    tree_logits = np.asarray(tree_logits[0])
+    np.testing.assert_allclose(
+        tree_logits[0], seq_logits[0][0], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        tree_logits[1:3], seq_logits[0][1:], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        tree_logits[3:5], seq_logits[1][1:], rtol=2e-4, atol=2e-4
+    )
