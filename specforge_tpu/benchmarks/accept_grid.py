@@ -27,7 +27,17 @@ from typing import Dict, List
 def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              draft_tokens: List[int], max_new_tokens: int,
              max_prompts: int, topks: List[int] = (1,)) -> Dict:
-    from specforge_tpu.benchmarks.accept_length import measure_accept_length
+    from specforge_tpu.benchmarks.accept_length import (
+        build_decoder,
+        load_spec_models,
+        measure_with_decoder,
+    )
+
+    # load the checkpoints ONCE; one decoder per draft-token budget; every
+    # (dataset, topk) cell reuses them (topk is a generate-time argument)
+    models = load_spec_models(target, export_dir)
+    decoders = {k: build_decoder(models, num_draft_tokens=k)
+                for k in draft_tokens}
 
     cells = []
     for name, path in datasets.items():
@@ -43,12 +53,8 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
             continue
         for k in draft_tokens:
             for topk in topks:
-                report = measure_accept_length(
-                    target_model_path=target,
-                    draft_export_dir=export_dir,
-                    prompts=prompts,
-                    num_draft_tokens=k,
-                    topk=topk,
+                report = measure_with_decoder(
+                    decoders[k], prompts, topk=topk,
                     max_new_tokens=max_new_tokens,
                 )
                 cell = {

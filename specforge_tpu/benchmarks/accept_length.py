@@ -44,25 +44,10 @@ class AcceptLengthReport:
         }
 
 
-def measure_accept_length(
-    *,
-    target_model_path: str,
-    draft_export_dir: str,
-    prompts: Sequence[Sequence[int]],
-    capture_layers: Optional[Sequence[int]] = None,
-    num_draft_tokens: int = 4,
-    topk: int = 1,
-    max_new_tokens: int = 128,
-    max_len: int = 2048,
-) -> AcceptLengthReport:
-    """Load the target + an exported draft and measure accept lengths."""
-    import jax.numpy as jnp
-
-    from specforge_tpu.inference.spec_decode import Eagle3SpecDecoder
-    from specforge_tpu.models.draft.llama_eagle3 import (
-        Eagle3Config,
-        LlamaEagle3Draft,
-    )
+def load_spec_models(target_model_path: str, draft_export_dir: str):
+    """Load the target + an exported draft ONCE — grid sweeps reuse the
+    result across (draft_tokens, topk) cells instead of re-reading
+    multi-GB checkpoints per cell."""
     from specforge_tpu.models.target.transformer import (
         TargetConfig,
         load_target_params,
@@ -70,7 +55,6 @@ def measure_accept_length(
 
     target_config = TargetConfig.from_file(target_model_path)
     target_params = load_target_params(target_model_path, target_config)
-
     # SGLang-layout exports drop the frozen target-copied embedding; restore
     # it from the target (the export contract's embedding_source rule).
     module, variables = load_exported_draft(
@@ -79,15 +63,31 @@ def measure_accept_length(
             target_params["model.embed_tokens.weight"], np.float32
         ),
     )
+    return target_params, target_config, module, variables
+
+
+def build_decoder(models, capture_layers=None, num_draft_tokens: int = 4,
+                  max_len: int = 2048):
+    from specforge_tpu.inference.spec_decode import Eagle3SpecDecoder
+
+    target_params, target_config, module, variables = models
     if capture_layers is None:
         n = target_config.num_hidden_layers
         capture_layers = (1, n // 2 - 1, n - 4)
-
-    decoder = Eagle3SpecDecoder(
+    return Eagle3SpecDecoder(
         target_params, target_config, module, variables,
         capture_layers=tuple(capture_layers),
         num_draft_tokens=num_draft_tokens, max_len=max_len,
     )
+
+
+def measure_with_decoder(
+    decoder,
+    prompts: Sequence[Sequence[int]],
+    *,
+    topk: int = 1,
+    max_new_tokens: int = 128,
+) -> AcceptLengthReport:
     per_prompt: List[float] = []
     all_lengths: List[int] = []
     for i, prompt in enumerate(prompts):
@@ -102,7 +102,28 @@ def measure_accept_length(
         )
     return AcceptLengthReport(
         per_prompt=per_prompt, accept_lengths=all_lengths,
-        num_draft_tokens=num_draft_tokens, topk=topk,
+        num_draft_tokens=decoder.k, topk=topk,
+    )
+
+
+def measure_accept_length(
+    *,
+    target_model_path: str,
+    draft_export_dir: str,
+    prompts: Sequence[Sequence[int]],
+    capture_layers: Optional[Sequence[int]] = None,
+    num_draft_tokens: int = 4,
+    topk: int = 1,
+    max_new_tokens: int = 128,
+    max_len: int = 2048,
+) -> AcceptLengthReport:
+    """One-shot convenience: load models, build the decoder, measure."""
+    models = load_spec_models(target_model_path, draft_export_dir)
+    decoder = build_decoder(
+        models, capture_layers, num_draft_tokens, max_len
+    )
+    return measure_with_decoder(
+        decoder, prompts, topk=topk, max_new_tokens=max_new_tokens
     )
 
 

@@ -359,7 +359,9 @@ class Eagle3SpecDecoder:
 
     def _chain_from(self, first_draft_idx: int, hidden, ck, cv, clen: int):
         """Greedy draft chain of length self.k from a given draft-vocab
-        token, on top of the (immutable) pre-round caches."""
+        token, on top of the (immutable) pre-round caches. Chain steps pair
+        (previous proposal, draft's own hidden) — the same pairing as later
+        TTT steps in training."""
         proposals = [first_draft_idx + int(self._d2t[first_draft_idx])]
         for _ in range(self.k - 1):
             hidden, dlogits, ck, cv = self._draft_step(
@@ -371,6 +373,57 @@ class Eagle3SpecDecoder:
             dt = int(np.asarray(dlogits[0, -1]).argmax())
             proposals.append(dt + int(self._d2t[dt]))
         return proposals
+
+    def _chains_batched(self, first_draft_idxs, hidden, ck, cv, clen: int):
+        """``topk`` greedy chains drafted TOGETHER on the batch axis: one
+        ``_draft_step`` per depth (not per chain) — the pre-round caches are
+        tiled so every chain extends the same prefix independently."""
+        topk = len(first_draft_idxs)
+        chains = [
+            [int(i) + int(self._d2t[int(i)])] for i in first_draft_idxs
+        ]
+        hidden_b = jnp.broadcast_to(
+            hidden, (topk,) + hidden.shape[1:]
+        )
+        ck_b = jnp.broadcast_to(ck, (topk,) + ck.shape[1:])
+        cv_b = jnp.broadcast_to(cv, (topk,) + cv.shape[1:])
+        for _ in range(self.k - 1):
+            ids = jnp.asarray(
+                [[c[-1]] for c in chains], jnp.int32
+            )  # [topk, 1]
+            hidden_b, dlogits, ck_b, cv_b = self._draft_step(
+                self.draft_variables, ids, hidden_b, ck_b, cv_b,
+                jnp.asarray(clen, jnp.int32),
+            )
+            clen += 1
+            dts = np.asarray(dlogits[:, -1]).argmax(axis=-1)  # [topk]
+            for c, dt in zip(chains, dts):
+                c.append(int(dt) + int(self._d2t[int(dt)]))
+        return chains
+
+    def _prefill(self, prompt_ids, prompt, budget: int):
+        """Target prefill + the EAGLE draft bootstrap shared by the chain
+        and tree paths: the draft consumes teacher-shifted pairs
+        (token_{i+1}, feature_i) over the prompt; its final logits already
+        predict the first proposal of the next round."""
+        p_len = prompt.shape[1]
+        t_state = init_target_state(self.target_config, 1, budget)
+        d_state = init_draft_state(self.draft.config, 1, budget)
+        logits, aux, t_state = self._target_forward(prompt, t_state)
+        cur_token = int(logits[0, -1].argmax())
+        output = list(prompt_ids) + [cur_token]
+        draft_hidden = self._project(self.draft_variables, aux)
+        shifted_ids = np.concatenate([prompt[0, 1:], [cur_token]])[None]
+        next_hidden, dlogits, ck, cv = self._draft_step(
+            self.draft_variables, jnp.asarray(shifted_ids, jnp.int32),
+            draft_hidden, d_state.cache_k, d_state.cache_v,
+            jnp.asarray(0, jnp.int32),
+        )
+        d_state = DraftState(cache_k=ck, cache_v=cv, length=p_len)
+        return (
+            output, cur_token, t_state, d_state,
+            next_hidden[:, -1:], np.asarray(dlogits[:, -1]),
+        )
 
     def generate(
         self,
@@ -394,26 +447,8 @@ class Eagle3SpecDecoder:
         p_len = prompt.shape[1]
         budget = self.max_len
 
-        t_state = init_target_state(self.target_config, 1, budget)
-        d_state = init_draft_state(self.draft.config, 1, budget)
-
-        # --- prefill ---
-        logits, aux, t_state = self._target_forward(prompt, t_state)
-        cur_token = int(logits[0, -1].argmax())
-        output = list(prompt_ids) + [cur_token]
-        # Draft consumes teacher-shifted pairs (token_{i+1}, feature_i): extend
-        # it over the prompt; its final logits already predict the first
-        # proposal of the next round (the EAGLE chain bootstrap).
-        draft_hidden = self._project(self.draft_variables, aux)
-        shifted_ids = np.concatenate([prompt[0, 1:], [cur_token]])[None]
-        next_hidden, dlogits, ck, cv = self._draft_step(
-            self.draft_variables, jnp.asarray(shifted_ids, jnp.int32),
-            draft_hidden, d_state.cache_k, d_state.cache_v,
-            jnp.asarray(0, jnp.int32),
-        )
-        d_state = DraftState(cache_k=ck, cache_v=cv, length=p_len)
-        last_hidden = next_hidden[:, -1:]
-        last_dlogits = np.asarray(dlogits[:, -1])
+        (output, cur_token, t_state, d_state, last_hidden,
+         last_dlogits) = self._prefill(prompt_ids, prompt, budget)
 
         accept_lengths: List[int] = []
         steps = 0
@@ -423,21 +458,10 @@ class Eagle3SpecDecoder:
         ):
             steps += 1
             # --- draft chain proposal ---
-            d1 = int(last_dlogits[0].argmax())
-            proposals = [d1 + int(self._d2t[d1])]
-            hidden = last_hidden
-            ck, cv, clen = d_state.cache_k, d_state.cache_v, d_state.length
-            for _ in range(self.k - 1):
-                # chain step: (previous proposal, draft's own hidden) — the
-                # same pairing as later TTT steps in training
-                hidden, dlogits, ck, cv = self._draft_step(
-                    self.draft_variables,
-                    jnp.asarray([[proposals[-1]]], jnp.int32), hidden,
-                    ck, cv, jnp.asarray(clen, jnp.int32),
-                )
-                clen += 1
-                dt = int(np.asarray(dlogits[0, -1]).argmax())
-                proposals.append(dt + int(self._d2t[dt]))
+            proposals = self._chain_from(
+                int(last_dlogits[0].argmax()), last_hidden,
+                d_state.cache_k, d_state.cache_v, d_state.length,
+            )
 
             # --- target verification over [cur, d1..dk] ---
             block = np.asarray([[cur_token, *proposals]], np.int64)
@@ -494,29 +518,19 @@ class Eagle3SpecDecoder:
     ) -> SpecDecodeResult:
         stop = set(stop_token_ids or ())
         k = self.k
+        draft_vocab = int(self._d2t.shape[0])
+        if topk > draft_vocab:
+            raise ValueError(
+                f"topk={topk} exceeds the draft vocab size {draft_vocab}"
+            )
         block_allow, block_pos = self._tree_layout(topk)
         block_t = 1 + topk * k
         prompt = np.asarray(prompt_ids, np.int64)[None]
         p_len = prompt.shape[1]
         budget = self.max_len
 
-        t_state = init_target_state(self.target_config, 1, budget)
-        d_state = init_draft_state(self.draft.config, 1, budget)
-
-        # --- prefill (identical to the chain path) ---
-        logits, aux, t_state = self._target_forward(prompt, t_state)
-        cur_token = int(logits[0, -1].argmax())
-        output = list(prompt_ids) + [cur_token]
-        draft_hidden = self._project(self.draft_variables, aux)
-        shifted_ids = np.concatenate([prompt[0, 1:], [cur_token]])[None]
-        next_hidden, dlogits, ck, cv = self._draft_step(
-            self.draft_variables, jnp.asarray(shifted_ids, jnp.int32),
-            draft_hidden, d_state.cache_k, d_state.cache_v,
-            jnp.asarray(0, jnp.int32),
-        )
-        d_state = DraftState(cache_k=ck, cache_v=cv, length=p_len)
-        last_hidden = next_hidden[:, -1:]
-        last_dlogits = np.asarray(dlogits[:, -1])
+        (output, cur_token, t_state, d_state, last_hidden,
+         last_dlogits) = self._prefill(prompt_ids, prompt, budget)
 
         accept_lengths: List[int] = []
         steps = 0
@@ -525,19 +539,15 @@ class Eagle3SpecDecoder:
             and t_state.length + block_t < budget
         ):
             steps += 1
-            # --- topk chains branching at the first proposal; the caches
-            # are immutable jnp arrays, so every chain starts from the
-            # same pre-round draft state for free ---
-            # stable descending sort: ties resolve to the lowest index so
-            # chain 0 is exactly the chain-mode (argmax) proposal
+            # --- topk chains branching at the first proposal, drafted
+            # together on the batch axis (one step per depth); stable
+            # descending sort: ties resolve to the lowest index so chain 0
+            # is exactly the chain-mode (argmax) proposal ---
             first = np.argsort(-last_dlogits[0], kind="stable")[:topk]
-            chains = [
-                self._chain_from(
-                    int(c0), last_hidden, d_state.cache_k, d_state.cache_v,
-                    d_state.length,
-                )
-                for c0 in first
-            ]
+            chains = self._chains_batched(
+                first, last_hidden, d_state.cache_k, d_state.cache_v,
+                d_state.length,
+            )
 
             # --- ONE target forward verifies the whole tree ---
             block = np.asarray(
