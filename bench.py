@@ -367,6 +367,7 @@ def bench_peagle(seq, steps):
     step_fn = make_train_step(
         strategy, tx, accum_steps=1, total_steps=1000,
         metadata={"target_repr": "hidden_state"},
+        grads_dtype=os.environ.get("BENCH_GRADS_DTYPE", "float32"),
     )
     np_rng = np.random.default_rng(0)
     batch_tensors = {

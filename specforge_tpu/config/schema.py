@@ -179,6 +179,10 @@ class TrainingConfig(StrictModel):
     adam_b2: float = Field(default=0.999, ge=0.0, lt=1.0)
     #: dtype of the Adam moments; "bfloat16" halves optimizer-state HBM.
     moments_dtype: Literal["float32", "bfloat16"] = "float32"
+    #: gradient storage/accumulation dtype; "bfloat16" halves gradient HBM
+    #: (the reference's FSDP bf16 mixed precision produces bf16 grads and
+    #: the BF16Optimizer copies them into fp32 masters).
+    grads_dtype: Literal["float32", "bfloat16"] = "float32"
     #: Adafactor-style rank-1 second moments for large matrices (O(r+c)
     #: state instead of O(r*c)); with adam_b1=0 the first moment is dropped
     #: too — lets a 152k-vocab P-EAGLE draft (trainable embeddings) fit a

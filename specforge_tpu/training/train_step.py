@@ -84,6 +84,7 @@ def make_train_step(
     metadata: Optional[Dict[str, Any]] = None,
     lr_schedule: Optional[Callable] = None,
     trainable_mask: Optional[Any] = None,
+    grads_dtype: Any = jnp.float32,
     jit: bool = True,
 ) -> Callable:
     """Build ``train_step(state, batch, frozen) -> (state, metrics)``.
@@ -91,8 +92,17 @@ def make_train_step(
     ``frozen``: dict of non-trainable device arrays (e.g. the target lm_head
     weight) passed as explicit arguments so they are never baked into the
     compiled program as constants.
+
+    ``grads_dtype``: storage dtype of the gradients between the backward
+    pass and the optimizer (accumulation across micro-steps happens in this
+    dtype too). ``bfloat16`` halves gradient HBM — the reference's FSDP
+    bf16 mixed precision produces/accumulates bf16 grads and the
+    BF16Optimizer copies them into fp32 masters
+    (specforge/training/backend.py bf16 param mp + optimizer.py:12); the
+    clip/Adam math here always runs fp32 at the boundary either way.
     """
     metadata = dict(metadata or {})
+    grads_dtype = jnp.dtype(grads_dtype)
 
     def micro(trainable, frozen_params, buffers, tensors, frozen, ctx):
         def loss_fn(tp):
@@ -127,7 +137,7 @@ def make_train_step(
             return grad_target, stats
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
-        grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        grads = jax.tree_util.tree_map(lambda g: g.astype(grads_dtype), grads)
         return grads, stats
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], frozen):
@@ -164,7 +174,10 @@ def make_train_step(
         else:
             norm = jnp.asarray(float(accum_steps), jnp.float32)
             loss_out = stats["loss"] / norm
-        grads = jax.tree_util.tree_map(lambda g: g / norm, grads)
+        # optimizer math is fp32 regardless of the grad storage dtype
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32) / norm, grads
+        )
 
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)

@@ -42,6 +42,9 @@ logger = logging.getLogger("specforge_tpu.trainer")
 class TrainerConfig:
     num_epochs: int = 1
     accum_steps: int = 1
+    #: gradient storage dtype between bwd and the optimizer ("bfloat16"
+    #: halves grad HBM — the reference's bf16 mixed-precision grads)
+    grads_dtype: str = "float32"
     log_interval: int = 10
     eval_interval: int = 0          # optimizer steps; 0 = end of epoch only
     checkpoint_interval: int = 0    # optimizer steps; 0 = end of epoch only
@@ -138,6 +141,7 @@ class Trainer:
             metadata=self.metadata,
             lr_schedule=self.lr_schedule,
             trainable_mask=trainable_mask,
+            grads_dtype=config.grads_dtype,
         )
         from specforge_tpu.parallel.multihost import barrier as mh_barrier
 
