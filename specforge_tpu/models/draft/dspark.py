@@ -95,31 +95,33 @@ class RNNMarkovHead(VanillaMarkovHead):
             name="joint_proj",
         )
 
-    def _rnn_step(self, state, prev_emb, hidden):
-        z = jnp.concatenate([state, prev_emb, hidden.astype(prev_emb.dtype)],
-                            axis=-1)
-        raw = self.joint_proj(z)
-        r = self.markov_rank
-        gate = jax.nn.sigmoid(raw[..., :r])
-        candidate = jnp.tanh(raw[..., r:2 * r])
-        output = jnp.tanh(raw[..., 2 * r:])
-        new_state = gate * state + (1.0 - gate) * candidate
-        return new_state, output
-
     def block_latents(self, token_ids, hidden_states):
         if hidden_states is None:
             raise ValueError("rnn Markov head requires hidden_states")
+        r = self.markov_rank
         block = token_ids.shape[-1]
-        state = jnp.zeros(
-            (*token_ids.shape[:-1], self.markov_rank), self.dtype
+
+        # joint_proj is linear over concat(state, prev_emb, hidden): the
+        # prev_emb/hidden (+bias) part is recurrence-independent, so it runs
+        # as ONE batched Dense call over all block steps (zero state slot);
+        # only the tiny state @ K[:r] matmul stays inside the unrolled loop
+        prev_all = self.get_prev_embeddings(token_ids)   # [.., block, r]
+        hid = hidden_states.astype(prev_all.dtype)
+        static = self.joint_proj(jnp.concatenate(
+            [jnp.zeros_like(prev_all), prev_all, hid], axis=-1
+        ))                                               # [.., block, 3r]
+        k_state = self.joint_proj.variables["params"]["kernel"][:r].astype(
+            self.dtype
         )
+
+        state = jnp.zeros((*token_ids.shape[:-1], r), self.dtype)
         outs = []
         for step in range(block):
-            prev_emb = self.get_prev_embeddings(token_ids[..., step])
-            state, out = self._rnn_step(
-                state, prev_emb, hidden_states[..., step, :]
-            )
-            outs.append(out)
+            raw = static[..., step, :] + state @ k_state
+            gate = jax.nn.sigmoid(raw[..., :r])
+            candidate = jnp.tanh(raw[..., r:2 * r])
+            outs.append(jnp.tanh(raw[..., 2 * r:]))
+            state = gate * state + (1.0 - gate) * candidate
         # single [.., block, rank] @ [rank, V] matmul instead of per-step
         # projections (the recurrence itself stays sequential)
         return jnp.stack(outs, axis=-2)
