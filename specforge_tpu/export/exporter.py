@@ -114,12 +114,22 @@ def _resolve_state_dir(checkpoint: str) -> str:
 
 def load_training_state(checkpoint: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """(raw orbax state dict, contract payload)."""
+    import jax
     import orbax.checkpoint as ocp
 
     step_dir = _resolve_state_dir(checkpoint)
-    state = ocp.StandardCheckpointer().restore(
-        os.path.join(step_dir, "state")
+    # Restore to host numpy regardless of the topology the checkpoint was
+    # saved under: exporting a pod-trained checkpoint from a single host is
+    # the normal workflow (reference export/to_sglang.py loads state dicts on
+    # CPU), and a sharding-faithful restore would demand the original device
+    # set.
+    ckptr = ocp.PyTreeCheckpointer()
+    state_path = os.path.join(step_dir, "state")
+    metadata = ckptr.metadata(state_path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), metadata
     )
+    state = ckptr.restore(state_path, restore_args=restore_args)
     with open(os.path.join(step_dir, "contract.json")) as f:
         payload = json.load(f)
     return state, payload

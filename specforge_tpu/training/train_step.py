@@ -143,27 +143,30 @@ def make_train_step(
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], frozen):
         ctx = StepContext(global_step=state.step, total_steps=total_steps)
         trainable, frozen_params = partition_params(state.params, trainable_mask)
+        # First micro-step hoisted out of the scan (the _scan_chunks pattern,
+        # ops/fused_objective.py:63): at accum_steps=1 the model then runs
+        # with no while loop around it at all — XLA schedules/overlaps the
+        # whole step freely — and at accum_steps>1 it saves the zeros-init +
+        # tree-add pass over a full gradient pytree.
         micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
-        shapes = jax.eval_shape(
-            lambda tp, fp, b, t, f: micro(tp, fp, b, t, f, ctx),
-            trainable, frozen_params, state.buffers, micro0, frozen,
+        grads, stats = micro(
+            trainable, frozen_params, state.buffers, micro0, frozen, ctx
         )
-        zeros = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes
-        )
+        if accum_steps > 1:
 
-        def scan_body(carry, micro_batch):
-            grads_acc, stats_acc = carry
-            grads, stats = micro(
-                trainable, frozen_params, state.buffers, micro_batch, frozen,
-                ctx,
-            )
-            carry = jax.tree_util.tree_map(
-                jnp.add, (grads_acc, stats_acc), (grads, stats)
-            )
-            return carry, None
+            def scan_body(carry, micro_batch):
+                grads_acc, stats_acc = carry
+                g, s = micro(
+                    trainable, frozen_params, state.buffers, micro_batch,
+                    frozen, ctx,
+                )
+                carry = jax.tree_util.tree_map(
+                    jnp.add, (grads_acc, stats_acc), (g, s)
+                )
+                return carry, None
 
-        (grads, stats), _ = jax.lax.scan(scan_body, zeros, batch)
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            (grads, stats), _ = jax.lax.scan(scan_body, (grads, stats), rest)
 
         # Static decision: strategies declare the loss_terms contract.
         uses_loss_terms = getattr(strategy, "uses_loss_terms", False)

@@ -152,6 +152,15 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert os.path.exists(os.path.join(runs_mh, "mh0.metrics.jsonl"))
     assert os.path.exists(os.path.join(runs_mh, "mh0.latest"))
 
+    # export from a DIFFERENT topology than the save (2 procs x 4 devices
+    # saved; this process has 8 devices): must restore to host numpy, not
+    # demand the original device set (train-on-pod / export-on-one-host)
+    from specforge_tpu.export.exporter import export_to_sglang
+
+    out_dir = os.path.join(workdir, "export_sglang")
+    export_to_sglang(runs_mh, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
+
 
 @pytest.mark.slow
 def test_two_process_checkpoint_resume(tmp_path):
