@@ -35,6 +35,11 @@ def main():
                                  "dspark"])
     parser.add_argument("--chat-template", default="qwen")
     parser.add_argument("--max-length", type=int, default=2048)
+    parser.add_argument(
+        "--train-only-last-turn", action="store_true",
+        help="supervise only the final assistant turn "
+             "(reference data.train_only_last_turn, schema.py:143)",
+    )
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--draft-config", help="draft config JSON (for "
                         "capture layers + draft vocab size)")
@@ -97,7 +102,8 @@ def main():
             if args.limit and len(records) >= args.limit:
                 break
     samples = build_dataset(
-        records, tokenizer, args.chat_template, args.max_length
+        records, tokenizer, args.chat_template, args.max_length,
+        train_only_last_turn=args.train_only_last_turn,
     )
     print(f"tokenized {len(samples)} supervised conversations")
 

@@ -152,7 +152,13 @@ def _dflash_build_draft(config_dict, dtype=jnp.bfloat16, cls=None):
     # "auto" (pallas on TPU for long contexts) | "chunked" (XLA) |
     # "pallas" (in-kernel-mask flash, ops/dflash_pallas.py)
     backend = config_dict.get("attention_backend", "auto")
-    return model_cls(config, dtype=dtype, attention_backend=backend), config
+    kwargs = {}
+    if "attn_chunk_blocks" in config_dict:
+        kwargs["attn_chunk_blocks"] = int(config_dict["attn_chunk_blocks"])
+    return (
+        model_cls(config, dtype=dtype, attention_backend=backend, **kwargs),
+        config,
+    )
 
 
 def _dflash_family_training_model(wrapper_cls):

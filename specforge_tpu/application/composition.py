@@ -399,6 +399,7 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         output_dir=config.output_dir,
         run_id=config.run_id,
         resume=t.resume,
+        resume_from=t.resume_from,
         total_steps=t.total_steps,
         profiling=ProfilingConfig(
             enabled=config.profiling.enabled,

@@ -78,6 +78,29 @@ def run_producer(config: Config, *, poll_interval: float = 0.2) -> int:
     if not config.data.prompt_path:
         raise ValueError("online producer requires data.prompt_path")
     records = load_prompt_records(config.data.prompt_path)
+    if any("input_ids" not in r for r in records):
+        # raw conversations: tokenize at the producer with the configured
+        # chat template (the reference producer's prepare_prompts path)
+        from transformers import AutoTokenizer
+
+        from specforge_tpu.data.prompt_builder import tokenize_prompt_records
+
+        if not config.model.target_model_path:
+            raise ValueError(
+                "raw (untokenized) prompt records require "
+                "model.target_model_path for the tokenizer"
+            )
+        if not config.data.chat_template:
+            raise ValueError(
+                "raw (untokenized) prompt records require data.chat_template"
+            )
+        records = tokenize_prompt_records(
+            records,
+            AutoTokenizer.from_pretrained(config.model.target_model_path),
+            config.data.chat_template,
+            config.data.max_length,
+            train_only_last_turn=config.data.train_only_last_turn,
+        )
     tasks = prepare_prompt_tasks(
         records, epoch=0, prompt_seed=config.training.seed
     )

@@ -65,6 +65,9 @@ class DataConfig(StrictModel):
     prompt_path: Optional[str] = None
     max_length: int = Field(default=2048, gt=0)
     chat_template: Optional[str] = None
+    #: supervise only the final assistant turn when tokenizing raw
+    #: conversations (reference schema.py:143).
+    train_only_last_turn: bool = False
     num_workers: int = Field(default=2, ge=0)
     prefetch_batches: int = Field(default=2, gt=0)
 
@@ -237,6 +240,12 @@ class TrainingConfig(StrictModel):
     log_interval: int = Field(default=50, gt=0)
     max_checkpoints: int = Field(default=5, ge=0)
     resume: bool = False
+    #: full resume from an EXPLICIT checkpoint (a step dir or a run root
+    #: with a .latest marker) — possibly another run's output. Restores
+    #: optimizer/progress under the resume contract, unlike
+    #: model.draft_checkpoint_path which warm-starts weights only
+    #: (reference schema.py:568-569, :43).
+    resume_from: Optional[str] = None
     role: Literal["auto", "all", "producer", "consumer"] = "all"
 
     @model_validator(mode="after")
@@ -264,6 +273,10 @@ class TrainingConfig(StrictModel):
             )
         if self.strategy == "peagle" and self.batch_size != 1:
             raise ValueError("peagle requires training.batch_size=1")
+        if self.resume_from is not None and self.role == "producer":
+            raise ValueError(
+                "training.resume_from is valid only for a trainer role"
+            )
         return self
 
 
@@ -301,6 +314,14 @@ class Config(StrictModel):
         ):
             raise ValueError(
                 "runtime.store_backend=network requires runtime.store_endpoint"
+            )
+        if (
+            self.training.resume_from is not None
+            and self.model.draft_checkpoint_path is not None
+        ):
+            raise ValueError(
+                "model.draft_checkpoint_path (weights-only warm start) and "
+                "training.resume_from (full resume) are mutually exclusive"
             )
         return self
 

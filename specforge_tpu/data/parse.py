@@ -27,9 +27,42 @@ class ParsedSample:
 
 
 class GeneralParser:
-    def __init__(self, tokenizer, template: ChatTemplate):
+    def __init__(self, tokenizer, template: ChatTemplate, *,
+                 train_only_last_turn: bool = False):
         self.tokenizer = tokenizer
         self.template = template
+        #: supervise only the final assistant turn (reference
+        #: data/parse.py:283 + schema.py:143 train_only_last_turn)
+        self.train_only_last_turn = train_only_last_turn
+
+    def _assemble(self, pieces, max_length: int) -> ParsedSample:
+        """(ids, supervised[, assistant_turn_idx]) pieces → ParsedSample.
+
+        With ``train_only_last_turn``, supervision is kept only for pieces
+        tagged with the LAST assistant turn's index."""
+        if self.train_only_last_turn:
+            last = max(
+                (p[2] for p in pieces if len(p) > 2 and p[2] is not None),
+                default=None,
+            )
+            pieces = [
+                (
+                    p[0],
+                    p[1]
+                    if len(p) > 2 and p[2] is not None and p[2] == last
+                    else 0,
+                )
+                for p in pieces
+            ]
+        ids: List[int] = []
+        mask: List[int] = []
+        for piece in pieces:
+            ids.extend(piece[0])
+            mask.extend([piece[1]] * len(piece[0]))
+        return ParsedSample(
+            input_ids=np.asarray(ids[:max_length], np.int64),
+            loss_mask=np.asarray(mask[:max_length], np.int64),
+        )
 
     def _encode(self, text: str) -> List[int]:
         if not text:
@@ -109,6 +142,7 @@ class GeneralParser:
                 ),
                 0,
             ))
+        a_idx = -1
         for turn in conversation:
             role = turn.get("role")
             content = str(turn.get("content", ""))
@@ -121,25 +155,21 @@ class GeneralParser:
                     self._encode(self.template.render_user(content)), 0
                 ))
             elif role in ("assistant", "gpt"):
+                a_idx += 1
                 pieces.append((
                     self._encode(self.template.render_assistant_header()), 0
                 ))
                 next_role = self._next_role(conversation, turn)
-                pieces.extend(self._assistant_body_pieces(content, next_role))
+                pieces.extend(
+                    (ids_, sup, a_idx)
+                    for ids_, sup in self._assistant_body_pieces(
+                        content, next_role
+                    )
+                )
             else:
                 raise ValueError(f"unknown conversation role {role!r}")
 
-        ids: List[int] = []
-        mask: List[int] = []
-        for piece_ids, supervised in pieces:
-            ids.extend(piece_ids)
-            mask.extend([supervised] * len(piece_ids))
-        ids = ids[:max_length]
-        mask = mask[:max_length]
-        return ParsedSample(
-            input_ids=np.asarray(ids, np.int64),
-            loss_mask=np.asarray(mask, np.int64),
-        )
+        return self._assemble(pieces, max_length)
 
 
 def normalize_conversation(record: Dict[str, Any]) -> List[Dict[str, str]]:
@@ -177,10 +207,14 @@ def build_dataset(
     tokenizer,
     template_name: str,
     max_length: int,
+    *,
+    train_only_last_turn: bool = False,
 ) -> List[ParsedSample]:
     """Tokenize a list of conversation records (reference
     ``build_eagle3_dataset``, data/preprocessing.py:109-394)."""
-    parser = build_parser_for_template(tokenizer, template_name)
+    parser = build_parser_for_template(
+        tokenizer, template_name, train_only_last_turn=train_only_last_turn
+    )
     out: List[ParsedSample] = []
     for record in records:
         conversation = normalize_conversation(record)
@@ -197,8 +231,11 @@ class ThinkingParser(GeneralParser):
     reference ThinkingParser behavior (data/parse.py Thinking variant)."""
 
     def __init__(self, tokenizer, template, *, supervise_thinking=False,
-                 think_open="<think>", think_close="</think>"):
-        super().__init__(tokenizer, template)
+                 think_open="<think>", think_close="</think>",
+                 train_only_last_turn=False):
+        super().__init__(
+            tokenizer, template, train_only_last_turn=train_only_last_turn
+        )
         self.supervise_thinking = supervise_thinking
         self.think_open = think_open
         self.think_close = think_close
@@ -219,6 +256,7 @@ class ThinkingParser(GeneralParser):
                     self.template.default_system_prompt
                 )), 0,
             ))
+        a_idx = -1
         for turn in conversation:
             role = turn.get("role")
             content = str(turn.get("content", ""))
@@ -231,6 +269,7 @@ class ThinkingParser(GeneralParser):
                     self._encode(self.template.render_user(content)), 0
                 ))
             elif role in ("assistant", "gpt"):
+                a_idx += 1
                 pieces.append((
                     self._encode(self.template.render_assistant_header()), 0
                 ))
@@ -238,7 +277,7 @@ class ThinkingParser(GeneralParser):
                 while self.think_open in remaining:
                     before, rest = remaining.split(self.think_open, 1)
                     if before:
-                        pieces.append((self._encode(before), 1))
+                        pieces.append((self._encode(before), 1, a_idx))
                     if self.think_close in rest:
                         think, remaining = rest.split(self.think_close, 1)
                     else:
@@ -249,22 +288,18 @@ class ThinkingParser(GeneralParser):
                     pieces.append((
                         self._encode(think_text),
                         1 if self.supervise_thinking else 0,
+                        a_idx,
                     ))
                 next_role = self._next_role(conversation, turn)
                 pieces.extend(
-                    self._assistant_body_pieces(remaining, next_role)
+                    (ids_, sup, a_idx)
+                    for ids_, sup in self._assistant_body_pieces(
+                        remaining, next_role
+                    )
                 )
             else:
                 raise ValueError(f"unknown conversation role {role!r}")
-        ids: List[int] = []
-        mask: List[int] = []
-        for piece_ids, supervised in pieces:
-            ids.extend(piece_ids)
-            mask.extend([supervised] * len(piece_ids))
-        return ParsedSample(
-            input_ids=np.asarray(ids[:max_length], np.int64),
-            loss_mask=np.asarray(mask[:max_length], np.int64),
-        )
+        return self._assemble(pieces, max_length)
 
 
 class GLMParser(ThinkingParser):
@@ -324,11 +359,13 @@ class HarmonyParser(GeneralParser):
         pieces: List[Tuple[List[int], int]] = []
         if add_bos and self.tokenizer.bos_token_id is not None:
             pieces.append(([self.tokenizer.bos_token_id], 0))
+        a_idx = -1
         for turn in conversation:
             role = turn.get("role")
             content = str(turn.get("content", ""))
             analysis = turn.get("analysis")
             if role == "assistant":
+                a_idx += 1
                 if analysis:
                     pieces.append((self._encode(
                         f"<|start|>assistant<|channel|>analysis"
@@ -337,20 +374,14 @@ class HarmonyParser(GeneralParser):
                 pieces.append((self._encode(
                     "<|start|>assistant<|channel|>final<|message|>"
                 ), 0))
-                pieces.append((self._encode(f"{content}<|return|>"), 1))
+                pieces.append(
+                    (self._encode(f"{content}<|return|>"), 1, a_idx)
+                )
             else:
                 pieces.append((self._encode(
                     f"<|start|>{role}<|message|>{content}<|end|>"
                 ), 0))
-        ids: List[int] = []
-        mask: List[int] = []
-        for piece_ids, supervised in pieces:
-            ids.extend(piece_ids)
-            mask.extend([supervised] * len(piece_ids))
-        return ParsedSample(
-            input_ids=np.asarray(ids[:max_length], np.int64),
-            loss_mask=np.asarray(mask[:max_length], np.int64),
-        )
+        return self._assemble(pieces, max_length)
 
 
 PARSERS = {

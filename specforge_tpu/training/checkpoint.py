@@ -57,9 +57,13 @@ class ResumeContract:
         return cls(**{f.name: obj[f.name] for f in dataclasses.fields(cls)
                       if f.name in obj})
 
-    def validate_against(self, saved: "ResumeContract") -> None:
+    def validate_against(
+        self, saved: "ResumeContract", *, ignore: Tuple[str, ...] = ()
+    ) -> None:
         mismatches: List[str] = []
         for f in dataclasses.fields(self):
+            if f.name in ignore:
+                continue
             mine, theirs = getattr(self, f.name), getattr(saved, f.name)
             if mine != theirs:
                 mismatches.append(f"{f.name}: saved={theirs!r} current={mine!r}")
@@ -231,6 +235,52 @@ class CheckpointManager:
             Progress.from_json(payload["progress"]),
             payload.get("metrics", {}),
         )
+
+    @staticmethod
+    def resolve_step_dir(checkpoint: str) -> str:
+        """An explicit resume target → its step dir: accepts a step dir
+        (contains ``state/``) or a run root (newest ``*.latest`` marker) —
+        the reference's resume_from path forms (schema.py:568)."""
+        if os.path.isdir(os.path.join(checkpoint, "state")):
+            return checkpoint
+        markers = [
+            name
+            for name in os.listdir(checkpoint)
+            if name.endswith(".latest")
+        ]
+        for marker in markers:
+            run_id = marker[: -len(".latest")]
+            with open(os.path.join(checkpoint, marker)) as f:
+                step = int(f.read().strip())
+            step_dir = os.path.join(checkpoint, f"{run_id}-step{step}")
+            if os.path.isdir(step_dir):
+                return step_dir
+        raise FileNotFoundError(
+            f"no checkpoint under {checkpoint} (expected a step dir with "
+            "state/ or a run root with a .latest marker)"
+        )
+
+    def restore_path(
+        self,
+        step_dir: str,
+        state_template,
+        contract: Optional[ResumeContract] = None,
+    ):
+        """Restore from an explicit step dir (training.resume_from); same
+        contract validation as :meth:`restore`."""
+        with open(os.path.join(step_dir, "contract.json")) as f:
+            payload = json.load(f)
+        saved_contract = ResumeContract.from_json(payload["contract"])
+        progress = Progress.from_json(payload["progress"])
+        if contract is not None:
+            # cross-run resume: the run identity may legitimately differ,
+            # everything else (strategy/topology/schedule/provenance) must
+            # still match
+            contract.validate_against(saved_contract, ignore=("run_id",))
+        state = self._ckptr.restore(
+            os.path.join(step_dir, "state"), state_template
+        )
+        return state, progress, payload.get("metrics", {})
 
     def restore(
         self,

@@ -52,6 +52,9 @@ class TrainerConfig:
     output_dir: str = "runs"
     run_id: str = "run"
     resume: bool = False
+    #: explicit resume target (step dir or run root) — full restore under
+    #: the resume contract (reference trainer.py:104,281).
+    resume_from: Optional[str] = None
     total_steps: Optional[int] = None  # resolved from data when None
     profiling: ProfilingConfig = field(default_factory=ProfilingConfig)
 
@@ -278,7 +281,11 @@ class Trainer:
         cfg = self.config
         batch_size_hint = 0
         start_epoch = 0
-        if cfg.resume:
+        if cfg.resume_from:
+            step_dir = self.checkpoints.resolve_step_dir(cfg.resume_from)
+            self._restore(step_dir=step_dir)
+            start_epoch = self.progress.epoch
+        elif cfg.resume:
             latest = self.checkpoints.latest_step()
             if latest is not None:
                 self._restore(latest)
@@ -388,7 +395,9 @@ class Trainer:
         )
         self.checkpoints.maybe_update_best(step, metrics)
 
-    def _restore(self, step: int) -> None:
+    def _restore(
+        self, step: Optional[int] = None, *, step_dir: Optional[str] = None
+    ) -> None:
         # abstract template: orbax restores straight into each leaf's live
         # sharding (multi-host: each host reads only its shards)
         template = jax.tree_util.tree_map(
@@ -397,12 +406,19 @@ class Trainer:
             else np.asarray(x),
             self.state,
         )
-        state, progress, _metrics = self.checkpoints.restore(
-            step, template, contract=self.resume_contract()
-        )
+        if step_dir is not None:
+            state, progress, _metrics = self.checkpoints.restore_path(
+                step_dir, template, contract=self.resume_contract()
+            )
+        else:
+            state, progress, _metrics = self.checkpoints.restore(
+                step, template, contract=self.resume_contract()
+            )
         self.state = state
         self.progress = progress
         logger.info(
-            "resumed %s at step %d (epoch %d, samples %d)",
-            self.config.run_id, step, progress.epoch, progress.samples_consumed,
+            "resumed %s at step %s (epoch %d, samples %d)",
+            self.config.run_id,
+            step if step_dir is None else step_dir,
+            progress.epoch, progress.samples_consumed,
         )

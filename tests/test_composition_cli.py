@@ -64,6 +64,16 @@ def test_config_topology_validation():
         Config.model_validate(
             {"training": {"strategy": "peagle", "batch_size": 2}}
         )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        Config.model_validate({
+            "model": {"draft_checkpoint_path": "/warm"},
+            "training": {"resume_from": "/ckpt"},
+        })
+    with pytest.raises(Exception, match="trainer role"):
+        Config.model_validate({
+            "deployment": {"mode": "disaggregated"},
+            "training": {"resume_from": "/ckpt", "role": "producer"},
+        })
 
 
 def _run_config(tmp_path, **training_overrides):

@@ -143,6 +143,53 @@ def test_inkling_delimiter_terminator():
     assert "<|message_user|>" not in sup
 
 
+def test_train_only_last_turn_supervises_final_assistant_only():
+    """data.train_only_last_turn: only the LAST assistant turn carries loss
+    (reference data/parse.py:283, schema.py:143) — across parser families."""
+    for name in ("llama3", "qwen", "qwen3-thinking", "glm-5.2", "gpt-oss"):
+        tmpl = get_template(name)
+        parser = build_parser_for_template(
+            TOK, name, train_only_last_turn=True
+        )
+        conv = CONV
+        if name == "gpt-oss":
+            conv = [
+                {"role": "user", "content": "Q1"},
+                {"role": "assistant", "content": "A1"},
+                {"role": "user", "content": "Q2"},
+                {"role": "assistant", "content": "A2"},
+            ]
+        sample = parser.parse(conv, max_length=4096)
+        sup = _supervised_text(sample)
+        assert "A1" not in sup, name
+        assert "A2" in sup, name
+        # the default parser supervises both turns on the same input
+        both = build_parser_for_template(TOK, name).parse(conv, 4096)
+        assert "A1" in _supervised_text(both), name
+
+
+def test_tokenize_prompt_records_raw_and_pretokenized():
+    """Raw conversations tokenize at the producer; pre-tokenized records
+    pass through; unsupervised records drop (reference prepare_prompts,
+    data/prompt_builder.py:20-336)."""
+    from specforge_tpu.data.prompt_builder import tokenize_prompt_records
+
+    pre = {"input_ids": [1, 2, 3], "loss_mask": [0, 1, 1]}
+    raw = {"messages": CONV}
+    empty = {"messages": [{"role": "user", "content": "Q"}]}
+    out = tokenize_prompt_records(
+        [pre, raw, empty], TOK, "llama3", max_length=4096
+    )
+    assert out[0] == pre
+    assert len(out) == 2  # the all-user record dropped
+    ids = np.asarray(out[1]["input_ids"])
+    mask = np.asarray(out[1]["loss_mask"])
+    tmpl = get_template("llama3")
+    assert TOK.decode(ids[mask.astype(bool)]) == (
+        f"A1{tmpl.end_token}A2{tmpl.end_token}"
+    )
+
+
 def test_mask_monotone_properties():
     for name in sorted(REFERENCE_FAMILIES - {"gpt-oss"}):
         parser = build_parser_for_template(TOK, name)

@@ -18,7 +18,7 @@ from tests._fixtures import (
 
 
 def make_trainer(tmp_path, run_id="t0", num_epochs=2, resume=False,
-                 accum_steps=1, eval_too=True):
+                 accum_steps=1, eval_too=True, resume_from=None):
     data_dir = str(tmp_path / "data")
     if not os.path.exists(data_dir):
         write_offline_dataset(data_dir, n=8)
@@ -33,6 +33,7 @@ def make_trainer(tmp_path, run_id="t0", num_epochs=2, resume=False,
         output_dir=str(tmp_path / "runs"),
         run_id=run_id,
         resume=resume,
+        resume_from=resume_from,
         max_checkpoints=3,
     )
     tracker = JsonlTracker(str(tmp_path / "runs" / f"{run_id}.metrics.jsonl"))
@@ -103,6 +104,32 @@ def test_resume_mid_run_reaches_same_weights(tmp_path):
     pf = np.asarray(t_full.state.params["draft_model"]["lm_head"]["kernel"])
     pb = np.asarray(t_b.state.params["draft_model"]["lm_head"]["kernel"])
     np.testing.assert_allclose(pf, pb, rtol=1e-5, atol=1e-7)
+
+
+def test_resume_from_explicit_checkpoint(tmp_path):
+    """training.resume_from: full restore from ANOTHER run's checkpoint —
+    a step dir or a run root (reference trainer.py:104,281)."""
+    t1 = make_trainer(tmp_path, run_id="src", num_epochs=2, eval_too=False)
+    t1.config.checkpoint_interval = 2
+    t1.fit()
+    step_dir = str(tmp_path / "runs" / "src-step4")
+    assert os.path.isdir(step_dir)
+
+    # resume from the explicit mid-run step dir under a NEW run id
+    t2 = make_trainer(
+        tmp_path, run_id="dst", num_epochs=2, eval_too=False,
+        resume_from=step_dir,
+    )
+    t2.fit()
+    assert int(t2.state.step) == 8
+
+    # run-root form resolves via the .latest marker
+    t3 = make_trainer(
+        tmp_path, run_id="dst2", num_epochs=2, eval_too=False,
+        resume_from=str(tmp_path / "runs"),
+    )
+    t3.fit()
+    assert int(t3.state.step) == 8
 
 
 def test_resume_contract_mismatch_refuses(tmp_path):
