@@ -75,6 +75,12 @@ def _build_store(config: Config):
 
 def run_producer(config: Config, *, poll_interval: float = 0.2) -> int:
     """Drive capture until the prompt plan drains; returns samples produced."""
+    if config.training.resume_from is not None:
+        # schema rejects role="producer"; a role="auto" process resolving to
+        # producer must not silently ignore the setting either
+        raise ValueError(
+            "training.resume_from is valid only for a trainer role"
+        )
     if not config.data.prompt_path:
         raise ValueError("online producer requires data.prompt_path")
     records = load_prompt_records(config.data.prompt_path)

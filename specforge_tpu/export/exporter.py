@@ -92,24 +92,11 @@ def flax_to_serving_state(
 
 
 def _resolve_state_dir(checkpoint: str) -> str:
-    """checkpoint = step dir | run root (→ latest via *.latest marker)."""
-    if os.path.isdir(os.path.join(checkpoint, "state")):
-        return checkpoint
-    # run root: find the newest "<run>-stepN" via the latest markers
-    candidates = [
-        name for name in os.listdir(checkpoint) if name.endswith(".latest")
-    ]
-    for marker in candidates:
-        run_id = marker[: -len(".latest")]
-        with open(os.path.join(checkpoint, marker)) as f:
-            step = int(f.read().strip())
-        step_dir = os.path.join(checkpoint, f"{run_id}-step{step}")
-        if os.path.isdir(step_dir):
-            return step_dir
-    raise FileNotFoundError(
-        f"no checkpoint state under {checkpoint} (expected a step dir with "
-        "state/ or a run root with a .latest marker)"
-    )
+    """checkpoint = step dir | single-run root (→ latest via its marker);
+    one resolver shared with training.resume_from."""
+    from specforge_tpu.training.checkpoint import CheckpointManager
+
+    return CheckpointManager.resolve_step_dir(checkpoint)
 
 
 def load_training_state(checkpoint: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:

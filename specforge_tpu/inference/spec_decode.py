@@ -528,6 +528,14 @@ class Eagle3SpecDecoder:
         prompt = np.asarray(prompt_ids, np.int64)[None]
         p_len = prompt.shape[1]
         budget = self.max_len
+        if p_len + block_t >= budget:
+            # a silent zero-round generate would report accept_length 0.0
+            # in the benchmark grid — refuse loudly instead
+            raise ValueError(
+                f"tree block (1 + topk*k = {block_t}) does not fit "
+                f"max_len={budget} after a {p_len}-token prompt; lower "
+                "topk/draft_tokens or raise max_len"
+            )
 
         (output, cur_token, t_state, d_state, last_hidden,
          last_dlogits) = self._prefill(prompt_ids, prompt, budget)
@@ -597,10 +605,11 @@ class Eagle3SpecDecoder:
 
             # --- draft re-extension over the accepted path ---
             slots = [0] + [1 + best_c * k + j for j in range(acc)]
-            accepted_aux = np.asarray(aux)[:, slots]
-            draft_hidden = self._project(
-                self.draft_variables, jnp.asarray(accepted_aux)
-            )
+            # gather stays on device (the chain path slices aux on device
+            # too); a numpy round-trip here would D2H the full tree block's
+            # aux every round
+            accepted_aux = jnp.take(aux, jnp.asarray(slots), axis=1)
+            draft_hidden = self._project(self.draft_variables, accepted_aux)
             next_hidden, dlogits, ck, cv = self._draft_step(
                 self.draft_variables,
                 jnp.asarray([emitted], jnp.int32), draft_hidden,

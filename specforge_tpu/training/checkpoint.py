@@ -238,23 +238,32 @@ class CheckpointManager:
 
     @staticmethod
     def resolve_step_dir(checkpoint: str) -> str:
-        """An explicit resume target → its step dir: accepts a step dir
-        (contains ``state/``) or a run root (newest ``*.latest`` marker) —
-        the reference's resume_from path forms (schema.py:568)."""
+        """An explicit checkpoint target → its step dir: accepts a step dir
+        (contains ``state/``) or a run root with exactly ONE run's
+        ``*.latest`` marker — the reference's resume_from path forms
+        (schema.py:568). A root holding several runs is ambiguous and
+        refused (point at the step dir instead): picking one by directory
+        order would silently restore a different run per filesystem."""
         if os.path.isdir(os.path.join(checkpoint, "state")):
             return checkpoint
-        markers = [
-            name
-            for name in os.listdir(checkpoint)
-            if name.endswith(".latest")
-        ]
-        for marker in markers:
+        resolved = []
+        for marker in sorted(os.listdir(checkpoint)):
+            if not marker.endswith(".latest"):
+                continue
             run_id = marker[: -len(".latest")]
             with open(os.path.join(checkpoint, marker)) as f:
                 step = int(f.read().strip())
             step_dir = os.path.join(checkpoint, f"{run_id}-step{step}")
             if os.path.isdir(step_dir):
-                return step_dir
+                resolved.append(step_dir)
+        if len(resolved) > 1:
+            raise ValueError(
+                f"{checkpoint} holds {len(resolved)} runs "
+                f"({', '.join(os.path.basename(d) for d in resolved)}); "
+                "point at one step dir explicitly"
+            )
+        if resolved:
+            return resolved[0]
         raise FileNotFoundError(
             f"no checkpoint under {checkpoint} (expected a step dir with "
             "state/ or a run root with a .latest marker)"

@@ -281,15 +281,18 @@ class Trainer:
         cfg = self.config
         batch_size_hint = 0
         start_epoch = 0
-        if cfg.resume_from:
+        # this run's OWN latest checkpoint (when resume is on) wins over
+        # resume_from: on a crash-relaunch of a resume_from config the run
+        # must continue from its own progress, not rewind to the original
+        # explicit checkpoint and overwrite completed work
+        own_latest = self.checkpoints.latest_step() if cfg.resume else None
+        if own_latest is not None:
+            self._restore(own_latest)
+            start_epoch = self.progress.epoch
+        elif cfg.resume_from:
             step_dir = self.checkpoints.resolve_step_dir(cfg.resume_from)
             self._restore(step_dir=step_dir)
             start_epoch = self.progress.epoch
-        elif cfg.resume:
-            latest = self.checkpoints.latest_step()
-            if latest is not None:
-                self._restore(latest)
-                start_epoch = self.progress.epoch
 
         perf = PerfCounters()
         last_metrics: Dict[str, float] = {}

@@ -123,13 +123,32 @@ def test_resume_from_explicit_checkpoint(tmp_path):
     t2.fit()
     assert int(t2.state.step) == 8
 
-    # run-root form resolves via the .latest marker
+    # run-root form resolves via the .latest marker — but a root holding
+    # multiple runs is ambiguous and must refuse (src + dst both live here)
     t3 = make_trainer(
         tmp_path, run_id="dst2", num_epochs=2, eval_too=False,
         resume_from=str(tmp_path / "runs"),
     )
-    t3.fit()
-    assert int(t3.state.step) == 8
+    with pytest.raises(ValueError, match="holds 2 runs"):
+        t3.fit()
+
+    # single-run root resolves fine
+    os.remove(str(tmp_path / "runs" / "dst.latest"))
+    t4 = make_trainer(
+        tmp_path, run_id="dst3", num_epochs=2, eval_too=False,
+        resume_from=str(tmp_path / "runs"),
+    )
+    t4.fit()
+    assert int(t4.state.step) == 8
+
+    # crash-relaunch of a resume_from config: the run's OWN newer
+    # checkpoint (resume=True) wins over the explicit source
+    t5 = make_trainer(
+        tmp_path, run_id="dst", num_epochs=2, eval_too=False, resume=True,
+        resume_from=step_dir,
+    )
+    t5.fit()
+    assert int(t5.state.step) == 8  # restored dst's own step-8, no rewind
 
 
 def test_resume_contract_mismatch_refuses(tmp_path):
