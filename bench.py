@@ -222,6 +222,7 @@ def bench_domino(batch, seq, steps, algo="domino"):
     step_fn = make_train_step(
         strategy, tx, accum_steps=1, total_steps=1000,
         metadata={"target_repr": "hidden_state"},
+        grads_dtype=os.environ.get("BENCH_GRADS_DTYPE", "float32"),
     )
 
     np_rng = np.random.default_rng(0)

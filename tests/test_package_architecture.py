@@ -51,7 +51,12 @@ LAYER_RULES = {
     "algorithms/": (
         "algorithms.", "models.", "ops.", "utils", "training.strategies",
     ),
-    "export/": ("export.", "models.", "training.vocab_mapping"),
+    # export reads training artifacts: the vocab-mapping cache and the
+    # checkpoint-dir resolver (one resolver shared with training.resume_from)
+    "export/": (
+        "export.", "models.", "training.vocab_mapping",
+        "training.checkpoint",
+    ),
     "training/": (
         "training.", "ops.", "models.", "parallel.", "eval.",
         "runtime.", "export.", "utils",
