@@ -223,6 +223,8 @@ def bench_domino(batch, seq, steps, algo="domino"):
         strategy, tx, accum_steps=1, total_steps=1000,
         metadata={"target_repr": "hidden_state"},
         grads_dtype=os.environ.get("BENCH_GRADS_DTYPE", "float32"),
+        compute_params_dtype=os.environ.get("BENCH_COMPUTE_PARAMS_DTYPE")
+        or None,
     )
 
     np_rng = np.random.default_rng(0)

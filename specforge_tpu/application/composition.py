@@ -392,6 +392,7 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         num_epochs=t.num_epochs,
         accum_steps=t.accumulation_steps,
         grads_dtype=t.grads_dtype,
+        compute_params_dtype=t.compute_params_dtype,
         log_interval=t.log_interval,
         eval_interval=t.eval_interval,
         checkpoint_interval=t.save_interval,

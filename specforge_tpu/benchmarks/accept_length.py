@@ -155,47 +155,29 @@ def load_exported_draft(export_dir: str, fallback_embedding=None):
                   jnp.float32),
     )
 
+    # one torch→flax mapper for the whole framework (handles kernel
+    # transposes, layers.N naming, and folding split q/k/v (gate/up) back
+    # into the merged qkv_proj/gate_up_proj kernels)
+    from specforge_tpu.training.model_loading import _load_from_safetensors
+
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
-
-    def set_path(tree, path, value):
-        node = tree
-        for key in path[:-1]:
-            node = node[key]
-        expected = node[path[-1]]
-        value = np.asarray(value, np.float32)
-        if value.shape != expected.shape:
-            raise ValueError(
-                f"shape mismatch loading {'.'.join(path)}: export "
-                f"{value.shape} vs model {expected.shape}"
-            )
-        node[path[-1]] = value.astype(expected.dtype)
-
-    _LINEAR = (
-        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
-        "down_proj", "fc", "lm_head",
+    params, _ = _load_from_safetensors(
+        os.path.join(export_dir, "model.safetensors"), params, {}
     )
-    for name, value in tensors.items():
-        if name in ("t2d", "d2t"):
-            continue
-        parts = name.split(".")
-        if parts[-1] == "weight":
-            parent = parts[:-1]
-            if parent[-1] in _LINEAR:
-                # torch convention is [out, in]; flax kernels are [in, out] —
-                # transpose unconditionally (a square-shape heuristic would
-                # silently load square matrices sideways)
-                set_path(params, parent + ["kernel"], np.asarray(value).T)
-            elif parent[-1] == "embed_tokens":
-                set_path(params, parent + ["embedding"], value)
-            else:  # norms
-                set_path(params, parent + ["weight"], value)
 
     if "embed_tokens.weight" not in tensors:
         if fallback_embedding is None:
             raise ValueError(
                 "export has no embedding and no fallback_embedding was given"
             )
-        set_path(params, ["embed_tokens", "embedding"], fallback_embedding)
+        expected = params["embed_tokens"]["embedding"]
+        fallback = np.asarray(fallback_embedding, np.float32)
+        if fallback.shape != expected.shape:
+            raise ValueError(
+                f"fallback embedding shape {fallback.shape} vs model "
+                f"{expected.shape}"
+            )
+        params["embed_tokens"]["embedding"] = fallback.astype(expected.dtype)
 
     buffers = dict(variables.get("buffers", {}))
     if "t2d" in tensors:

@@ -186,6 +186,13 @@ class TrainingConfig(StrictModel):
     #: (the reference's FSDP bf16 mixed precision produces bf16 grads and
     #: the BF16Optimizer copies them into fp32 masters).
     grads_dtype: Literal["float32", "bfloat16"] = "float32"
+    #: when set, fp32 master params are cast to this dtype once per
+    #: micro-step (behind an optimization barrier) instead of per use site,
+    #: so matmuls read materialized low-precision weights rather than
+    #: stalling the MXU on fused fp32 converts; costs params-sized live
+    #: memory in this dtype. Forward numerics unchanged; wgrad precision
+    #: becomes the grads_dtype=bfloat16 class.
+    compute_params_dtype: Optional[Literal["bfloat16"]] = None
     #: Adafactor-style rank-1 second moments for large matrices (O(r+c)
     #: state instead of O(r*c)); with adam_b1=0 the first moment is dropped
     #: too — lets a 152k-vocab P-EAGLE draft (trainable embeddings) fit a

@@ -54,12 +54,62 @@ def flax_to_serving_state(
     buffers: Optional[Mapping[str, Any]] = None,
     dtype: str = "bfloat16",
 ) -> Dict[str, np.ndarray]:
-    """Flatten a flax draft-param subtree into torch-convention tensors."""
+    """Flatten a flax draft-param subtree into torch-convention tensors.
+
+    Column-merged projections (DFlash's ``qkv_proj``/``gate_up_proj``,
+    models/draft/dflash.py) split back to the separate torch-convention
+    tensors serving loaders expect: ``gate_up_proj`` splits in equal halves;
+    ``qkv_proj`` derives the q-column count from the sibling ``o_proj``
+    kernel's input dim (= heads*head_dim) and splits the k/v remainder in
+    half."""
     out: Dict[str, np.ndarray] = {}
+
+    def cast(arr):
+        if np.issubdtype(arr.dtype, np.floating):
+            return arr.astype(
+                ml_dtypes.bfloat16 if dtype == "bfloat16" else dtype
+            )
+        return arr
+
+    def emit_split(sub, path, names, sizes):
+        segs = [_fix_segment(s) for s in path]
+        bounds = np.cumsum(sizes)[:-1]
+        for leaf, value in sub.items():
+            arr = _to_numpy(value)
+            axis = 1 if leaf == "kernel" else 0
+            pieces = np.split(arr, bounds, axis=axis)
+            for name, piece in zip(names, pieces):
+                if leaf == "kernel":
+                    piece = piece.T
+                    tleaf = "weight"
+                else:
+                    tleaf = leaf
+                out[".".join(segs + [name, tleaf])] = np.ascontiguousarray(
+                    cast(piece)
+                )
 
     def walk(node, path):
         if isinstance(node, Mapping):
             for key, value in node.items():
+                if key == "gate_up_proj":
+                    half = _to_numpy(value["kernel"]).shape[1] // 2
+                    emit_split(value, path, ("gate_proj", "up_proj"),
+                               (half, half))
+                    continue
+                if key == "qkv_proj":
+                    o_kernel = node.get("o_proj", {}).get("kernel")
+                    if o_kernel is None:
+                        raise ValueError(
+                            "qkv_proj export requires a sibling o_proj to "
+                            "derive the q/kv split at "
+                            + ".".join(path + [key])
+                        )
+                    qd = _to_numpy(o_kernel).shape[0]
+                    total = _to_numpy(value["kernel"]).shape[1]
+                    kvd = (total - qd) // 2
+                    emit_split(value, path, ("q_proj", "k_proj", "v_proj"),
+                               (qd, kvd, kvd))
+                    continue
                 walk(value, path + [key])
             return
         arr = _to_numpy(node)

@@ -228,9 +228,11 @@ def _draft_step(variables, draft_module, input_ids, hidden, cache_k, cache_v,
         x2 = jnp.concatenate([normed_emb, normed_hidden], axis=-1)
 
         attn = layer.self_attn
-        q = attn.q_proj(x2).reshape(b, t, h_heads, d).transpose(0, 2, 1, 3)
-        k = attn.k_proj(x2).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
-        v = attn.v_proj(x2).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
+        qc, kc = h_heads * d, kvh * d
+        qkv = attn.qkv_proj(x2)
+        q = qkv[..., :qc].reshape(b, t, h_heads, d).transpose(0, 2, 1, 3)
+        k = qkv[..., qc:qc + kc].reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
+        v = qkv[..., qc + kc:].reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
         positions = cache_len + jnp.arange(t, dtype=jnp.int32)[None]
         positions = jnp.broadcast_to(positions, (b, t))
         cos, sin = rope_cos_sin(attn.rope_spec, positions, m, dtype=q.dtype)

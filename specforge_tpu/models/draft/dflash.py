@@ -46,6 +46,29 @@ class KernelParam(nn.Module):
         )
 
 
+class MergedProj(nn.Module):
+    """Column-merged linear params (``<name>/kernel`` [+ ``/bias``]) exposed
+    raw so callers can matmul column slices (e.g. the context stream uses
+    only the k/v columns of the merged qkv kernel). ``lecun_normal`` variance
+    depends only on fan-in, so the merged init distribution equals the
+    separate per-projection inits."""
+
+    shape: tuple  # (in_features, out_features)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[1],),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
 def build_target_layer_ids(num_target_layers: int, num_draft_layers: int):
     """Evenly spaced capture layers (reference dflash.py:271-281)."""
     if num_draft_layers == 1:
@@ -153,13 +176,25 @@ class DFlashAttention(nn.Module):
     def setup(self):
         cfg = self.config
         d = cfg.resolved_head_dim
+        h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
         dense = lambda feats, name: nn.Dense(
             feats, use_bias=cfg.attention_bias, dtype=self.dtype,
             param_dtype=jnp.float32, name=name,
         )
-        self.q_proj = dense(cfg.num_attention_heads * d, "q_proj")
-        self.k_proj = dense(cfg.num_key_value_heads * d, "k_proj")
-        self.v_proj = dense(cfg.num_key_value_heads * d, "v_proj")
+        # q/k/v merged into ONE [H, (h+2*kvh)*d] projection: on v5e a bare
+        # [8192,4096]x[4096,4096] matmul reaches only ~54% of peak and
+        # [.,12288] ~76%, while the same FLOPs in one wider matmul reach
+        # 84-89% (MXU ramp/weight-streaming amortization) — merging the
+        # draft-stream projections is worth several ms/step at the bench
+        # shape. The context stream multiplies only the k/v column slice of
+        # the same kernel (no wasted q FLOPs). The reference keeps separate
+        # q_proj/k_proj/v_proj (dflash.py:97-460); the exporter splits the
+        # merged kernel back to torch names (export/exporter.py) and warm
+        # start folds them (training/model_loading.py).
+        self.qkv_proj = MergedProj(
+            (cfg.hidden_size, (h + 2 * kvh) * d),
+            use_bias=cfg.attention_bias, name="qkv_proj",
+        )
         self.o_proj = dense(cfg.hidden_size, "o_proj")
         self.q_norm = RMSNorm(d, cfg.rms_norm_eps, name="q_norm")
         self.k_norm = RMSNorm(d, cfg.rms_norm_eps, name="k_norm")
@@ -186,15 +221,23 @@ class DFlashAttention(nn.Module):
         d = cfg.resolved_head_dim
         h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
 
+        qc, kc = h * d, kvh * d
+        kernel, bias = self.qkv_proj()
+        kernel = kernel.astype(self.dtype)
+        qkv = draft_hidden @ kernel
+        kv_ctx = context_hidden @ kernel[:, qc:]
+        if bias is not None:
+            qkv = qkv + bias.astype(self.dtype)
+            kv_ctx = kv_ctx + bias[qc:].astype(self.dtype)
         # per-head norms apply over the last dim; operate in [B, T, nh, d]
-        q = self.q_proj(draft_hidden).reshape(b, q_len, h, d)
+        q = qkv[..., :qc].reshape(b, q_len, h, d)
         q = self.q_norm(q).transpose(0, 2, 1, 3)
-        k_ctx = self.k_proj(context_hidden).reshape(b, s, kvh, d)
-        k_drf = self.k_proj(draft_hidden).reshape(b, q_len, kvh, d)
+        k_ctx = kv_ctx[..., :kc].reshape(b, s, kvh, d)
+        k_drf = qkv[..., qc:qc + kc].reshape(b, q_len, kvh, d)
         k_ctx = self.k_norm(k_ctx).transpose(0, 2, 1, 3)
         k_drf = self.k_norm(k_drf).transpose(0, 2, 1, 3)
-        v_ctx = self.v_proj(context_hidden).reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
-        v_drf = self.v_proj(draft_hidden).reshape(b, q_len, kvh, d).transpose(0, 2, 1, 3)
+        v_ctx = kv_ctx[..., kc:].reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
+        v_drf = qkv[..., qc + kc:].reshape(b, q_len, kvh, d).transpose(0, 2, 1, 3)
 
         cos_c, sin_c = rope_cos_sin(self.rope_spec, ctx_position_ids, s,
                                     dtype=q.dtype)
@@ -237,9 +280,13 @@ class DFlashMLP(nn.Module):
             name=name,
         )
         act = ACT_FNS[cfg.hidden_act]
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
-        return dense(cfg.hidden_size, "down_proj")(act(gate) * up)
+        # gate+up merged into one [H, 2F] matmul (same MXU-utilization
+        # argument as the merged qkv projection; exporter splits it back)
+        f = cfg.intermediate_size
+        gate_up = dense(2 * f, "gate_up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(
+            act(gate_up[..., :f]) * gate_up[..., f:]
+        )
 
 
 class DFlashDecoderLayer(nn.Module):

@@ -83,9 +83,17 @@ class Eagle3Attention(nn.Module):
             feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name,
         )
-        self.q_proj = dense(cfg.num_attention_heads * d, "q_proj")
-        self.k_proj = dense(cfg.num_key_value_heads * d, "k_proj")
-        self.v_proj = dense(cfg.num_key_value_heads * d, "v_proj")
+        # q/k/v merged into one [2H, (h+2*kvh)*d] matmul: several separate
+        # sub-TFLOP matmuls run at 54-76% of v5e peak while the same FLOPs
+        # merged reach 84-89% (MXU ramp/weight-streaming amortization). The
+        # reference keeps separate projections (llama3_eagle.py); the
+        # exporter splits the merged kernel back to torch q/k/v names and
+        # warm start folds published EAGLE3 heads into it
+        # (export/exporter.py, training/model_loading.py).
+        self.qkv_proj = dense(
+            (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * d,
+            "qkv_proj",
+        )
         self.o_proj = dense(cfg.hidden_size, "o_proj")
         self.rope_spec = RopeSpec.from_config(cfg)
 
@@ -116,9 +124,11 @@ class Eagle3Attention(nn.Module):
         d = cfg.resolved_head_dim
         h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
 
-        q = self.q_proj(hidden_2h).reshape(b, s, h, d).transpose(0, 2, 1, 3)
-        k = self.k_proj(hidden_2h).reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
-        v = self.v_proj(hidden_2h).reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
+        qc, kc = h * d, kvh * d
+        qkv = self.qkv_proj(hidden_2h)
+        q = qkv[..., :qc].reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = qkv[..., qc:qc + kc].reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
+        v = qkv[..., qc + kc:].reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
 
         lck = len(cache[0])
         if self.rope_spec.scaling_type == "mrope":
@@ -178,9 +188,13 @@ class Eagle3MLP(nn.Module):
             name=name,
         )
         act = ACT_FNS[cfg.hidden_act]
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
-        return dense(cfg.hidden_size, "down_proj")(act(gate) * up)
+        # gate+up merged into one [H, 2F] matmul (MXU utilization; the
+        # exporter splits it back to gate_proj/up_proj)
+        f = cfg.intermediate_size
+        gate_up = dense(2 * f, "gate_up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(
+            act(gate_up[..., :f]) * gate_up[..., f:]
+        )
 
 
 class Eagle3DecoderLayer(nn.Module):

@@ -85,6 +85,7 @@ def make_train_step(
     lr_schedule: Optional[Callable] = None,
     trainable_mask: Optional[Any] = None,
     grads_dtype: Any = jnp.float32,
+    compute_params_dtype: Optional[Any] = None,
     jit: bool = True,
 ) -> Callable:
     """Build ``train_step(state, batch, frozen) -> (state, metrics)``.
@@ -100,13 +101,39 @@ def make_train_step(
     BF16Optimizer copies them into fp32 masters
     (specforge/training/backend.py bf16 param mp + optimizer.py:12); the
     clip/Adam math here always runs fp32 at the boundary either way.
+
+    ``compute_params_dtype``: when set (e.g. ``bfloat16``), fp32 master
+    params are cast to this dtype ONCE per micro-step behind an
+    ``optimization_barrier`` before the model sees them. Without it the
+    flax modules' per-use-site casts fuse INTO each matmul as a weight-side
+    producer, so the MXU waits on the VPU converting the fp32 kernel tile
+    by tile — on v5e this runs the worst DFlash MLP matmuls at 54-63% of
+    peak while identical matmuls with materialized bf16 weights hit 87%.
+    The barrier materializes one bf16 copy (read by fwd and dgrad; ~half
+    the HBM traffic of two fused fp32 reads) at the cost of params-sized
+    bf16 live memory. Numerics are unchanged: the per-use-site casts
+    perform the same rounding, only earlier — but weight-grads are then
+    produced in the compute dtype before the fp32 convert-back, i.e. the
+    effective wgrad precision matches ``grads_dtype=bfloat16`` (the
+    reference's FSDP bf16 mixed precision, backend.py).
     """
     metadata = dict(metadata or {})
     grads_dtype = jnp.dtype(grads_dtype)
+    compute_params_dtype = (
+        jnp.dtype(compute_params_dtype)
+        if compute_params_dtype is not None else None
+    )
 
     def micro(trainable, frozen_params, buffers, tensors, frozen, ctx):
         def loss_fn(tp):
             p = merge_params(tp, frozen_params)
+            if compute_params_dtype is not None:
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_params_dtype)
+                    if x.dtype == jnp.float32 else x,
+                    p,
+                )
+                p = jax.lax.optimization_barrier(p)
             out = strategy.forward_loss(
                 {"params": p, "buffers": buffers}, tensors, frozen, ctx, metadata
             )

@@ -45,6 +45,9 @@ class TrainerConfig:
     #: gradient storage dtype between bwd and the optimizer ("bfloat16"
     #: halves grad HBM — the reference's bf16 mixed-precision grads)
     grads_dtype: str = "float32"
+    #: cast fp32 masters to this dtype once per micro-step (barriered)
+    #: instead of per use site — see make_train_step(compute_params_dtype)
+    compute_params_dtype: Optional[str] = None
     log_interval: int = 10
     eval_interval: int = 0          # optimizer steps; 0 = end of epoch only
     checkpoint_interval: int = 0    # optimizer steps; 0 = end of epoch only
@@ -145,6 +148,7 @@ class Trainer:
             lr_schedule=self.lr_schedule,
             trainable_mask=trainable_mask,
             grads_dtype=config.grads_dtype,
+            compute_params_dtype=config.compute_params_dtype,
         )
         from specforge_tpu.parallel.multihost import barrier as mh_barrier
 

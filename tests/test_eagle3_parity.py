@@ -88,10 +88,21 @@ def to_mirror_weights(params, t2d, d2t):
         "t2d": torch.tensor(t2d),
         "d2t": torch.tensor(d2t.astype(np.int64)),
     }
-    for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-        w[name] = t(p["midlayer"]["self_attn"][name]["kernel"]).T.contiguous()
-    for name in ("gate_proj", "up_proj", "down_proj"):
-        w[name] = t(p["midlayer"]["mlp"][name]["kernel"]).T.contiguous()
+    # the flax draft stores q/k/v (gate/up) column-merged; the torch oracle
+    # keeps them separate — slice the merged kernels
+    attn = p["midlayer"]["self_attn"]
+    qkv = np.asarray(attn["qkv_proj"]["kernel"], np.float32)
+    qd = np.asarray(attn["o_proj"]["kernel"]).shape[0]
+    kvd = (qkv.shape[1] - qd) // 2
+    w["q_proj"] = torch.tensor(qkv[:, :qd]).T.contiguous()
+    w["k_proj"] = torch.tensor(qkv[:, qd:qd + kvd]).T.contiguous()
+    w["v_proj"] = torch.tensor(qkv[:, qd + kvd:]).T.contiguous()
+    w["o_proj"] = t(attn["o_proj"]["kernel"]).T.contiguous()
+    gu = np.asarray(p["midlayer"]["mlp"]["gate_up_proj"]["kernel"], np.float32)
+    half = gu.shape[1] // 2
+    w["gate_proj"] = torch.tensor(gu[:, :half]).T.contiguous()
+    w["up_proj"] = torch.tensor(gu[:, half:]).T.contiguous()
+    w["down_proj"] = t(p["midlayer"]["mlp"]["down_proj"]["kernel"]).T.contiguous()
     return w
 
 

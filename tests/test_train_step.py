@@ -175,3 +175,59 @@ def test_bf16_grads_train_close_to_fp32():
     np.testing.assert_allclose(
         losses["bfloat16"], losses["float32"], rtol=0.05
     )
+
+
+def test_compute_params_dtype_matches_per_use_casts():
+    """compute_params_dtype=bfloat16 hoists the fp32→bf16 use-site casts to
+    one barriered cast per micro-step (so matmuls read materialized bf16
+    weights instead of stalling the MXU on a fused fp32 convert). The
+    forward rounding is identical — step-1 loss must match the default path
+    exactly; later steps track closely (wgrads round through bf16 on the
+    convert-back, the grads_dtype=bfloat16 precision class)."""
+    rng = np.random.default_rng(0)
+    draft = LlamaEagle3Draft(CFG, dtype=jnp.bfloat16)
+    model = OnlineEagle3Model(draft_model=draft, length=LENGTH)
+    strategy = Eagle3TrainStrategy(model)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, V, size=(1, B, S))),
+        "attention_mask": jnp.ones((1, B, S), jnp.int32),
+        "loss_mask": jnp.asarray(
+            (rng.random((1, B, S, 1)) > 0.2).astype(np.int32)
+        ),
+        "hidden_state": jnp.asarray(
+            rng.normal(size=(1, B, S, 3 * H)).astype(np.float32)
+        ),
+        "target": jnp.asarray(
+            (rng.normal(size=(1, B, S, V)) * 2).astype(np.float32)
+        ),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"][0], batch["attention_mask"][0],
+        batch["loss_mask"][0], batch["hidden_state"][0], batch["target"][0],
+    )
+    opt_cfg = OptimizerConfig(lr=1e-3, warmup_ratio=0.1)
+    mask = embedding_freeze_mask(variables["params"])
+    tx = build_optimizer(opt_cfg, 50)
+
+    losses = {}
+    for cpd in (None, "bfloat16"):
+        fresh = jax.tree_util.tree_map(jnp.copy, variables)
+        state = TrainState.create(
+            fresh["params"], fresh["buffers"], tx, trainable_mask=mask
+        )
+        step_fn = make_train_step(
+            strategy, tx, accum_steps=1, total_steps=50,
+            lr_schedule=build_lr_schedule(opt_cfg, 50),
+            trainable_mask=mask, compute_params_dtype=cpd,
+        )
+        run = []
+        for _ in range(6):
+            state, metrics = step_fn(state, batch, {})
+            run.append(float(metrics["train/loss"]))
+        losses[cpd] = run
+    np.testing.assert_allclose(
+        losses["bfloat16"][0], losses[None][0], rtol=1e-6
+    )
+    np.testing.assert_allclose(losses["bfloat16"], losses[None], rtol=0.05)
+    assert losses["bfloat16"][-1] < losses["bfloat16"][0]
