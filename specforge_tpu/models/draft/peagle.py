@@ -57,9 +57,12 @@ class PEagleAttention(nn.Module):
             feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name,
         )
-        self.q_proj = dense(cfg.num_attention_heads * d, "q_proj")
-        self.k_proj = dense(cfg.num_key_value_heads * d, "k_proj")
-        self.v_proj = dense(cfg.num_key_value_heads * d, "v_proj")
+        # q/k/v merged into one matmul (MXU utilization — see
+        # Eagle3Attention); the exporter splits it back to torch names
+        self.qkv_proj = dense(
+            (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * d,
+            "qkv_proj",
+        )
         self.o_proj = dense(cfg.hidden_size, "o_proj")
 
     def _resolve_backend(self, t, cod_props):
@@ -86,9 +89,11 @@ class PEagleAttention(nn.Module):
         d = cfg.resolved_head_dim
         h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
         g = h // kvh
-        q = self.q_proj(x).reshape(b, t, h, d).transpose(0, 2, 1, 3)
-        k = self.k_proj(x).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
-        v = self.v_proj(x).reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
+        qc, kc = h * d, kvh * d
+        qkv = self.qkv_proj(x)
+        q = qkv[..., :qc].reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        k = qkv[..., qc:qc + kc].reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
+        v = qkv[..., qc + kc:].reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
         q, k = apply_rope(q, k, cos, sin)
         backend = self._resolve_backend(t, cod_props)
         if backend in ("pallas", "pallas_interpret"):

@@ -269,17 +269,13 @@ def _domino_fwd(hidden4d, corr_act, p1_kernel, target_ids, weight_mask,
     p1_cast = p1_kernel.astype(dtype)
     lam = jnp.asarray(lambda_base, jnp.float32)
 
-    import os
-    barrier_mode = os.environ.get("SPECFORGE_OBJ_BARRIER", "none")
-
     def chunk_fn(h, act, tgt, wm, ewm):
+        # NOTE: do not barrier the logits to force bf16-only materialization
+        # — measured on v5e (b2/s768/a256) it is ~15 ms/step SLOWER than
+        # XLA's chosen f32+bf16 dual materialization of the [.., V] arrays.
         base_logits = jnp.einsum("bnkh,vh->bnkv", h, w_cast)
         corr = jnp.einsum("bnke,ev->bnkv", act, p1_cast)
-        if barrier_mode in ("logits", "logits+dl"):
-            base_logits = jax.lax.optimization_barrier(base_logits)
         final_logits = base_logits + corr
-        if barrier_mode in ("logits", "logits+dl"):
-            final_logits = jax.lax.optimization_barrier(final_logits)
 
         nlq_f, sm_f = _ce_stats(final_logits, tgt)
         nlq_b, sm_b = _ce_stats(base_logits, tgt)
@@ -311,11 +307,7 @@ def _domino_fwd(hidden4d, corr_act, p1_kernel, target_ids, weight_mask,
         #   d/d base_logits  = that + lam * wm * (sm_b - onehot) [both CEs]
         dl_f = _grad_logits(sm_f, tgt, (1.0 - lam) * wm, dtype)
         dl_b = _grad_logits(sm_b, tgt, lam * wm, dtype)
-        dl_sum = dl_f + dl_b
-        if barrier_mode == "logits+dl":
-            dl_f = jax.lax.optimization_barrier(dl_f)
-            dl_sum = jax.lax.optimization_barrier(dl_sum)
-        dh = jnp.einsum("bnkv,vh->bnkh", dl_sum, w_cast)
+        dh = jnp.einsum("bnkv,vh->bnkh", dl_f + dl_b, w_cast)
         d_act = jnp.einsum("bnkv,ev->bnke", dl_f, p1_cast)
         dp1 = jnp.einsum(
             "bnke,bnkv->ev", act, dl_f, preferred_element_type=jnp.float32
