@@ -239,7 +239,12 @@ class PEagleDraftModel(nn.Module):
         return self.mask_hidden
 
     def embed_input_ids(self, input_ids):
-        return self.embed_tokens(input_ids)
+        # gather fp32 rows FIRST, cast after: nn.Embed's dtype promotion
+        # casts the whole [V, H] table to bf16 before the take (~600 MB
+        # write per step at 152k vocab ≈ 5.6 ms on v5e) to produce a few
+        # thousand rows
+        table = self.embed_tokens.embedding
+        return jnp.take(table, input_ids, axis=0).astype(self.dtype)
 
     def project_hidden_states(self, hidden_3h):
         return self.fc(hidden_3h)
