@@ -356,21 +356,36 @@ def bench_peagle(seq, steps):
     rng = jax.random.PRNGKey(0)
     print("initializing peagle params...", file=sys.stderr)
     variables = providers.init_variables(model, cfg, options, rng, seq)
-    tx = build_optimizer(
-        OptimizerConfig(
-            lr=1e-4,
-            moments_dtype=moments_dtype,
-            factored_second_moments=factored,
-            adam_b1=0.0 if factored else 0.9,
-        ),
-        1000,
+    # row-sparse embedding update (exact under the factored b1=0 regime):
+    # the 152k-row table's dense grad/master traffic disappears
+    sparse = factored and os.environ.get("BENCH_SPARSE_EMBED", "1") == "1"
+    opt_cfg = OptimizerConfig(
+        lr=1e-4,
+        moments_dtype=moments_dtype,
+        factored_second_moments=factored,
+        adam_b1=0.0 if factored else 0.9,
+        row_sparse_embedding=sparse,
     )
-    state = TrainState.create(variables["params"], variables.get("buffers", {}), tx)
+    tx = build_optimizer(opt_cfg, 1000, include_clip=not sparse)
+    plan = None
+    if sparse:
+        from specforge_tpu.training.optimizer import build_lr_schedule
+        from specforge_tpu.training.train_step import SparseEmbedPlan
+
+        plan = SparseEmbedPlan(
+            strategy.sparse_embed_path, strategy.sparse_embed_delta_shape,
+            opt_cfg, build_lr_schedule(opt_cfg, 1000),
+        )
+    state = TrainState.create(
+        variables["params"], variables.get("buffers", {}), tx,
+        sparse_embed_path=plan.path if plan else None,
+    )
     variables = None
     step_fn = make_train_step(
         strategy, tx, accum_steps=1, total_steps=1000,
         metadata={"target_repr": "hidden_state"},
         grads_dtype=os.environ.get("BENCH_GRADS_DTYPE", "float32"),
+        sparse_embed=plan,
     )
     np_rng = np.random.default_rng(0)
     batch_tensors = {

@@ -160,6 +160,7 @@ class OnlinePEagleModel(nn.Module):
         hidden_states: jnp.ndarray,   # [1, S, 3*target_hidden]
         rng: jax.Array,
         lengths: Optional[jnp.ndarray] = None,
+        embed_delta: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         if input_ids.shape[0] != 1:
             raise ValueError("P-EAGLE requires per-rank batch size 1")
@@ -190,6 +191,14 @@ class OnlinePEagleModel(nn.Module):
             self.mask_token_id,
         )[None]
         inputs_embeds = self.draft_model.embed_input_ids(sampled_ids)
+        if embed_delta is not None:
+            # row-sparse embedding-update surrogate: zeros in the forward
+            # (values unchanged); its cotangent IS the per-position
+            # embedding-output gradient, so the dense [V, H] scatter grad
+            # never materializes (training/train_step.py sparse path)
+            inputs_embeds = inputs_embeds + embed_delta.astype(
+                inputs_embeds.dtype
+            )
 
         # sampled features: target hidden at depth 0, learned mask vector else
         mask_hidden = self.draft_model.get_mask_hidden()[0, 0]
@@ -220,9 +229,13 @@ class OnlinePEagleModel(nn.Module):
         logits = self.draft_model.compute_logits(h)
 
         t2d, d2t = self.draft_model.get_vocab_maps()
-        return self._loss_and_metrics(
+        loss, metrics = self._loss_and_metrics(
             logits, target, loss_mask, sample, orig_positions, t2d, d2t
         )
+        # int row ids of the embedded tokens (for the sparse-update path);
+        # the strategy strips this from the logged metrics
+        metrics["embedded_ids"] = sampled_ids[0]
+        return loss, metrics
 
     def _loss_and_metrics(
         self, logits, target, loss_mask, sample, orig_positions, t2d, d2t

@@ -419,6 +419,7 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         adam_b2=t.adam_b2,
         moments_dtype=t.moments_dtype,
         factored_second_moments=t.factored_second_moments,
+        row_sparse_embedding=t.row_sparse_embedding,
     )
     from specforge_tpu.training.model_loading import (
         draft_config_fingerprint,

@@ -198,6 +198,11 @@ class TrainingConfig(StrictModel):
     #: too — lets a 152k-vocab P-EAGLE draft (trainable embeddings) fit a
     #: single chip's HBM.
     factored_second_moments: bool = False
+    #: row-sparse embedding update (P-EAGLE trainable embeddings): per-token
+    #: row grads + scatter update instead of a dense [V, H] gradient/master
+    #: pass. Requires factored_second_moments, adam_b1=0, weight_decay=0;
+    #: bit-equivalent to the dense update under that regime.
+    row_sparse_embedding: bool = False
     seed: int = 42
 
     # --- TPU mesh topology ---

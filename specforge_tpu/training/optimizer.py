@@ -46,6 +46,16 @@ class OptimizerConfig:
     #: two chips and training on one.
     factored_second_moments: bool = False
     factored_min_dim: int = 128
+    #: row-sparse embedding update: the (trainable) embedding table's
+    #: gradient never materializes as a dense [V, H] array — the train step
+    #: collects per-token embedding-output grads + their row ids from the
+    #: model, segment-sums duplicates, and scatter-updates ONLY the touched
+    #: rows of the fp32 master (plus O(V)+O(H) factored-moment vectors).
+    #: Bit-equivalent to the dense path under the required
+    #: ``factored_second_moments=True, adam_b1=0, weight_decay=0`` regime
+    #: (untouched rows receive exactly zero update there). At vocab scale
+    #: this removes ~GBs of scatter/master/grad HBM traffic per step.
+    row_sparse_embedding: bool = False
 
 
 def build_lr_schedule(config: OptimizerConfig, total_steps: int) -> Callable:
@@ -245,13 +255,29 @@ def build_optimizer(
     config: OptimizerConfig,
     total_steps: int,
     trainable_mask: Optional[Any] = None,
+    include_clip: bool = True,
 ) -> optax.GradientTransformation:
     """Clip-by-global-norm → AdamW with the warmup schedule.
 
     ``trainable_mask``: pytree of bools matching params; False leaves (frozen,
     e.g. the target-copied embedding) receive zero updates and no optimizer
     state.
+
+    ``include_clip=False`` drops the internal clip stage — used by the
+    row-sparse embedding path, where the train step computes the global norm
+    over BOTH the optax leaves and the sparse embedding rows and pre-scales
+    the gradients itself (the internal clip would see a partial norm).
     """
+    if config.row_sparse_embedding and (
+        not config.factored_second_moments
+        or config.adam_b1 != 0.0
+        or config.weight_decay != 0.0
+    ):
+        raise ValueError(
+            "row_sparse_embedding requires factored_second_moments=True, "
+            "adam_b1=0 and weight_decay=0 (untouched rows must receive "
+            "exactly zero update for the sparse path to equal the dense one)"
+        )
     schedule = build_lr_schedule(config, total_steps)
     if config.factored_second_moments:
         adamw = optax.chain(
@@ -279,10 +305,13 @@ def build_optimizer(
             optax.add_decayed_weights(config.weight_decay),
             optax.scale_by_learning_rate(schedule),
         )
-    tx = optax.chain(
-        optax.clip_by_global_norm(config.max_grad_norm),
-        adamw,
-    )
+    if include_clip:
+        tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            adamw,
+        )
+    else:
+        tx = adamw
     if trainable_mask is not None:
         labels = jax.tree_util.tree_map(
             lambda trainable: "trainable" if trainable else "frozen",
@@ -303,6 +332,83 @@ def cast_frozen_to(params: Any, trainable_mask: Any, dtype) -> Any:
         return leaf
 
     return jax.tree_util.tree_map(_cast, params, trainable_mask)
+
+
+class SparseEmbedState(NamedTuple):
+    """Factored-Adam state for a row-sparse-updated embedding table:
+    O(V)+O(H) vectors instead of any [V, H] array."""
+
+    count: jnp.ndarray    # int32 scalar
+    nu_row: jnp.ndarray   # [V] f32 row EMA of sum_h g^2
+    nu_col: jnp.ndarray   # [H] f32 col EMA of sum_v g^2
+
+
+def init_sparse_embed_state(table: jnp.ndarray) -> SparseEmbedState:
+    v, h = table.shape
+    return SparseEmbedState(
+        count=jnp.zeros((), jnp.int32),
+        nu_row=jnp.zeros((v,), jnp.float32),
+        nu_col=jnp.zeros((h,), jnp.float32),
+    )
+
+
+def segment_sum_rows(ids: jnp.ndarray, rows: jnp.ndarray):
+    """Sum duplicate-id rows (the dense scatter-add equivalent).
+
+    Returns ``(uids [N], summed [N, H])``: position ``i`` holds the i-th
+    unique id's total row gradient; tail positions past the unique count
+    hold id 0 with an all-zero row (inert under scatter-ADD)."""
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = jnp.take(ids, order)
+    srows = jnp.take(rows, order, axis=0)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(srows, seg, num_segments=n)
+    uids = jax.ops.segment_sum(
+        jnp.where(first, sids, 0), seg, num_segments=n
+    )
+    return uids, summed
+
+
+def sparse_embed_update(
+    config: OptimizerConfig,
+    schedule: Callable,
+    state: SparseEmbedState,
+    table: jnp.ndarray,          # fp32 master [V, H]
+    uids: jnp.ndarray,           # [N] unique row ids (0-padded tail)
+    g_rows: jnp.ndarray,         # [N, H] f32 summed row grads (zero tail),
+                                 # already loss-normalized and clip-scaled
+):
+    """One factored-Adam step touching only ``uids`` rows of ``table``.
+
+    Mirrors ``_scale_by_factored_adam`` exactly for b1=0/wd=0: untouched
+    rows there get ``g=0 → update=0``; their ``nu_row`` still decays by
+    ``b2`` each step, which is the dense [V]-vector op below."""
+    b2, eps = config.adam_b2, config.adam_eps
+    f32 = jnp.float32
+    count = state.count + 1
+    c = count.astype(f32)
+    bc2 = 1.0 - b2 ** c
+
+    row_gg = jnp.sum(g_rows * g_rows, axis=1)               # [N]
+    nu_row = b2 * state.nu_row
+    nu_row = nu_row.at[uids].add((1.0 - b2) * row_gg)
+    nu_col = b2 * state.nu_col + (1.0 - b2) * jnp.sum(
+        g_rows * g_rows, axis=0
+    )
+
+    r32 = jnp.take(nu_row, uids)                            # [N]
+    denom = jnp.maximum(jnp.sum(nu_row), 1e-30)
+    vhat = r32[:, None] * nu_col[None, :] / denom           # [N, H]
+    update = g_rows / (jnp.sqrt(vhat / bc2) + eps)
+    lr = schedule(state.count).astype(f32)
+    new_table = table.at[uids].add(-lr * update)
+    return new_table, SparseEmbedState(
+        count=count, nu_row=nu_row, nu_col=nu_col
+    )
 
 
 def embedding_freeze_mask(params: Any, freeze_embedding: bool = True) -> Any:

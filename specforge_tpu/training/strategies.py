@@ -33,6 +33,9 @@ class StepOutput:
         default_factory=dict
     )
     loss_terms: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+    #: non-logged passthrough arrays (any dtype) the train step may consume
+    #: (e.g. the embedded-token row ids for the row-sparse embedding update)
+    aux: Dict[str, jnp.ndarray] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -345,6 +348,21 @@ class PEagleTrainStrategy(DraftTrainStrategy):
         self.model = model
         self.seed = seed
 
+    #: path of the trainable embedding table inside the TrainState params
+    sparse_embed_path = ("draft_model", "embed_tokens", "embedding")
+
+    def sparse_embed_delta_shape(self, tensors):
+        """[1, T_sampled, H] zeros-surrogate shape for the row-sparse
+        embedding update (T is static given the COD sampler config)."""
+        from specforge_tpu.algorithms.peagle.model import cod_capacities
+
+        s = tensors["input_ids"].shape[-1]
+        t = sum(cod_capacities(
+            s, self.model.num_depths, self.model.down_sample_ratio,
+            self.model.down_sample_ratio_min,
+        ))
+        return (1, t, self.model.draft_model.config.hidden_size)
+
     def forward_loss(self, variables, tensors, frozen, ctx, metadata=None):
         self.validate_batch(tensors)
         metadata = metadata or {}
@@ -371,6 +389,7 @@ class PEagleTrainStrategy(DraftTrainStrategy):
             tensors["hidden_state"],
             rng,
             lengths,
+            embed_delta=tensors.get("embed_delta"),
         )
         metrics = {
             k: jax.lax.stop_gradient(v) for k, v in model_metrics.items()
@@ -381,8 +400,14 @@ class PEagleTrainStrategy(DraftTrainStrategy):
                 model_metrics["full_acc_sum"], model_metrics["full_acc_total"]
             ),
         }
+        aux = {
+            "embedded_ids": jax.lax.stop_gradient(
+                model_metrics["embedded_ids"]
+            )
+        }
         return StepOutput(
-            loss=loss.reshape(()), metrics=metrics, ratio_metrics=ratio_metrics
+            loss=loss.reshape(()), metrics=metrics,
+            ratio_metrics=ratio_metrics, aux=aux,
         )
 
     def checkpoint_state_filter(self, params):

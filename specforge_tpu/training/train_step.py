@@ -51,6 +51,37 @@ def merge_params(trainable: Any, frozen: Any, like: Optional[Any] = None):
     return traverse_util.unflatten_dict({**trainable, **frozen})
 
 
+class SparseEmbedPlan:
+    """Row-sparse embedding update plan (see OptimizerConfig.row_sparse_embedding).
+
+    ``path``: flat tuple path of the embedding table in the param tree.
+    ``delta_shape_fn``: tensors → shape of the zeros surrogate whose
+    cotangent is the per-position embedding-output gradient.
+    ``opt_config`` / ``schedule``: optimizer hyperparams + LR schedule for
+    the manual factored-Adam row update.
+    """
+
+    def __init__(self, path, delta_shape_fn, opt_config, schedule):
+        self.path = tuple(path)
+        self.delta_shape_fn = delta_shape_fn
+        self.opt_config = opt_config
+        self.schedule = schedule
+
+
+def _pop_sparse_leaf(trainable, trainable_mask, path):
+    """Flatten ``trainable`` if needed and remove the sparse-embed leaf."""
+    if trainable_mask is None:
+        trainable = traverse_util.flatten_dict(trainable)
+    else:
+        trainable = dict(trainable)
+    if path not in trainable:
+        raise ValueError(
+            f"sparse-embed path {path} not found among trainable params"
+        )
+    leaf = trainable.pop(path)
+    return trainable, leaf
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -65,12 +96,27 @@ class TrainState:
         buffers,
         tx: optax.GradientTransformation,
         trainable_mask: Optional[Any] = None,
+        sparse_embed_path: Optional[Tuple[str, ...]] = None,
     ):
         trainable, _frozen = partition_params(params, trainable_mask)
+        if sparse_embed_path is not None:
+            from specforge_tpu.training.optimizer import (
+                init_sparse_embed_state,
+            )
+
+            trainable, leaf = _pop_sparse_leaf(
+                trainable, trainable_mask, tuple(sparse_embed_path)
+            )
+            opt_state = {
+                "optax": tx.init(trainable),
+                "sparse_embed": init_sparse_embed_state(leaf),
+            }
+        else:
+            opt_state = tx.init(trainable)
         return cls(
             params=params,
             buffers=buffers,
-            opt_state=tx.init(trainable),
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -86,6 +132,7 @@ def make_train_step(
     trainable_mask: Optional[Any] = None,
     grads_dtype: Any = jnp.float32,
     compute_params_dtype: Optional[Any] = None,
+    sparse_embed: Optional[SparseEmbedPlan] = None,
     jit: bool = True,
 ) -> Callable:
     """Build ``train_step(state, batch, frozen) -> (state, metrics)``.
@@ -125,7 +172,12 @@ def make_train_step(
     )
 
     def micro(trainable, frozen_params, buffers, tensors, frozen, ctx):
-        def loss_fn(tp):
+        if sparse_embed is not None:
+            delta0 = jnp.zeros(
+                sparse_embed.delta_shape_fn(tensors), jnp.float32
+            )
+
+        def loss_fn(tp, delta=None):
             p = merge_params(tp, frozen_params)
             if compute_params_dtype is not None:
                 p = jax.tree_util.tree_map(
@@ -134,8 +186,9 @@ def make_train_step(
                     p,
                 )
                 p = jax.lax.optimization_barrier(p)
+            t = tensors if delta is None else {**tensors, "embed_delta": delta}
             out = strategy.forward_loss(
-                {"params": p, "buffers": buffers}, tensors, frozen, ctx, metadata
+                {"params": p, "buffers": buffers}, t, frozen, ctx, metadata
             )
             if out.loss_terms is None:
                 grad_target = out.loss
@@ -161,7 +214,22 @@ def make_train_step(
                 },
                 "denom": denom,
             }
+            if sparse_embed is not None:
+                ids = out.aux["embedded_ids"].reshape(-1).astype(jnp.int32)
+                return grad_target, (stats, ids)
             return grad_target, stats
+
+        if sparse_embed is not None:
+            (_, (stats, ids)), (grads, d_delta) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(trainable, delta0)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(grads_dtype), grads
+            )
+            d_delta = d_delta.reshape(-1, d_delta.shape[-1]).astype(
+                jnp.float32
+            )
+            return grads, stats, ids, d_delta
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         grads = jax.tree_util.tree_map(lambda g: g.astype(grads_dtype), grads)
@@ -170,30 +238,57 @@ def make_train_step(
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], frozen):
         ctx = StepContext(global_step=state.step, total_steps=total_steps)
         trainable, frozen_params = partition_params(state.params, trainable_mask)
+        if sparse_embed is not None:
+            # the sparse-embed leaf is constant w.r.t. AD (its grads arrive
+            # as per-token delta rows) and invisible to optax — park it with
+            # the frozen params and update it manually below
+            trainable, embed_table = _pop_sparse_leaf(
+                trainable, trainable_mask, sparse_embed.path
+            )
+            frozen_params = dict(frozen_params)
+            frozen_params[sparse_embed.path] = embed_table
         # First micro-step hoisted out of the scan (the _scan_chunks pattern,
         # ops/fused_objective.py:63): at accum_steps=1 the model then runs
         # with no while loop around it at all — XLA schedules/overlaps the
         # whole step freely — and at accum_steps>1 it saves the zeros-init +
         # tree-add pass over a full gradient pytree.
         micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
-        grads, stats = micro(
+        out0 = micro(
             trainable, frozen_params, state.buffers, micro0, frozen, ctx
         )
+        if sparse_embed is not None:
+            grads, stats, ids_all, dd_all = out0
+        else:
+            grads, stats = out0
         if accum_steps > 1:
 
             def scan_body(carry, micro_batch):
                 grads_acc, stats_acc = carry
-                g, s = micro(
+                out = micro(
                     trainable, frozen_params, state.buffers, micro_batch,
                     frozen, ctx,
                 )
+                if sparse_embed is not None:
+                    g, s, ids, dd = out
+                    ys = (ids, dd)
+                else:
+                    g, s = out
+                    ys = None
                 carry = jax.tree_util.tree_map(
                     jnp.add, (grads_acc, stats_acc), (g, s)
                 )
-                return carry, None
+                return carry, ys
 
             rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
-            (grads, stats), _ = jax.lax.scan(scan_body, (grads, stats), rest)
+            (grads, stats), ys = jax.lax.scan(scan_body, (grads, stats), rest)
+            if sparse_embed is not None:
+                ids_r, dd_r = ys
+                ids_all = jnp.concatenate(
+                    [ids_all, ids_r.reshape(-1)]
+                )
+                dd_all = jnp.concatenate(
+                    [dd_all, dd_r.reshape(-1, dd_r.shape[-1])]
+                )
 
         # Static decision: strategies declare the loss_terms contract.
         uses_loss_terms = getattr(strategy, "uses_loss_terms", False)
@@ -209,9 +304,39 @@ def make_train_step(
             lambda g: g.astype(jnp.float32) / norm, grads
         )
 
-        grad_norm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, trainable)
-        new_trainable = optax.apply_updates(trainable, updates)
+        if sparse_embed is not None:
+            from specforge_tpu.training.optimizer import (
+                segment_sum_rows, sparse_embed_update,
+            )
+
+            uids, summed = segment_sum_rows(ids_all, dd_all / norm)
+            # clip by the TOTAL global norm (optax leaves + embedding rows);
+            # tx was built without its internal clip stage
+            max_norm = sparse_embed.opt_config.max_grad_norm
+            grad_norm = jnp.sqrt(
+                optax.global_norm(grads) ** 2 + jnp.sum(summed * summed)
+            )
+            scale = jnp.where(
+                grad_norm < max_norm, 1.0,
+                max_norm / jnp.maximum(grad_norm, 1e-30),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            summed = summed * scale
+            updates, optax_state = tx.update(
+                grads, state.opt_state["optax"], trainable
+            )
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_table, sparse_state = sparse_embed_update(
+                sparse_embed.opt_config, sparse_embed.schedule,
+                state.opt_state["sparse_embed"],
+                frozen_params[sparse_embed.path], uids, summed,
+            )
+            frozen_params[sparse_embed.path] = new_table
+            opt_state = {"optax": optax_state, "sparse_embed": sparse_state}
+        else:
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
         params = merge_params(new_trainable, frozen_params)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1

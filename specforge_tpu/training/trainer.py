@@ -113,11 +113,33 @@ class Trainer:
             config.total_steps = per_epoch * config.num_epochs
         self.total_steps = config.total_steps
 
-        self.tx = build_optimizer(optimizer_config, self.total_steps)
+        sparse_plan = None
+        if optimizer_config.row_sparse_embedding:
+            from specforge_tpu.training.train_step import SparseEmbedPlan
+
+            path = getattr(strategy, "sparse_embed_path", None)
+            shape_fn = getattr(strategy, "sparse_embed_delta_shape", None)
+            if path is None or shape_fn is None:
+                raise ValueError(
+                    "optimizer.row_sparse_embedding requires a strategy that "
+                    "declares sparse_embed_path and sparse_embed_delta_shape "
+                    f"(strategy {getattr(strategy, 'name', strategy)!r} does "
+                    "not)"
+                )
+            sparse_plan = SparseEmbedPlan(
+                path, shape_fn,
+                optimizer_config,
+                build_lr_schedule(optimizer_config, self.total_steps),
+            )
+        self.tx = build_optimizer(
+            optimizer_config, self.total_steps,
+            include_clip=sparse_plan is None,
+        )
         self.lr_schedule = build_lr_schedule(optimizer_config, self.total_steps)
         self.state = TrainState.create(
             variables["params"], variables.get("buffers", {}), self.tx,
             trainable_mask=trainable_mask,
+            sparse_embed_path=sparse_plan.path if sparse_plan else None,
         )
         if self.mesh is not None:
             # commit non-fsdp-sharded leaves (buffers, step, frozen tables)
@@ -149,6 +171,7 @@ class Trainer:
             trainable_mask=trainable_mask,
             grads_dtype=config.grads_dtype,
             compute_params_dtype=config.compute_params_dtype,
+            sparse_embed=sparse_plan,
         )
         from specforge_tpu.parallel.multihost import barrier as mh_barrier
 
