@@ -21,29 +21,15 @@ Batch size is 1 per rank (the reference constraint; packed documents ride the
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from specforge_tpu.models.draft.peagle import PEagleDraftModel
+from specforge_tpu.models.draft.peagle import PEagleDraftModel, cod_capacities
 from specforge_tpu.ops.loss import log_softmax_loss
 from specforge_tpu.ops.teacher import draft_gather_indices
-
-
-def cod_capacities(
-    seq_length: int,
-    num_depths: int,
-    down_sample_ratio: float,
-    down_sample_ratio_min: float,
-) -> Tuple[int, ...]:
-    caps = [seq_length]
-    for d in range(1, num_depths):
-        ratio = max(down_sample_ratio ** d, down_sample_ratio_min)
-        caps.append(int(math.ceil(seq_length * ratio)))
-    return tuple(caps)
 
 
 def document_ids_from_lengths(

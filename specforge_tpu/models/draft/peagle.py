@@ -9,6 +9,7 @@ specforge/modeling/draft/peagle.py:97-322.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
@@ -35,6 +36,23 @@ class PEagleConfig(Eagle3Config):
 # sampled length at or above which the Pallas COD flash kernel beats the
 # dense masked path (the dense path also stops fitting HBM around T~6k)
 PEAGLE_PALLAS_MIN_T = 2048
+
+
+def cod_capacities(
+    seq_length: int,
+    num_depths: int,
+    down_sample_ratio: float,
+    down_sample_ratio_min: float,
+) -> Tuple[int, ...]:
+    """Per-depth COD sample capacities (static given the sampler config).
+
+    Depth 0 keeps every position; depth d keeps ``ceil(S * ratio^d)`` bounded
+    below by ``ratio_min`` (reference peagle chain-of-draft sampling)."""
+    caps = [seq_length]
+    for d in range(1, num_depths):
+        ratio = max(down_sample_ratio ** d, down_sample_ratio_min)
+        caps.append(int(math.ceil(seq_length * ratio)))
+    return tuple(caps)
 
 
 class PEagleAttention(nn.Module):

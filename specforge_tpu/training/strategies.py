@@ -354,7 +354,7 @@ class PEagleTrainStrategy(DraftTrainStrategy):
     def sparse_embed_delta_shape(self, tensors):
         """[1, T_sampled, H] zeros-surrogate shape for the row-sparse
         embedding update (T is static given the COD sampler config)."""
-        from specforge_tpu.algorithms.peagle.model import cod_capacities
+        from specforge_tpu.models.draft.peagle import cod_capacities
 
         s = tensors["input_ids"].shape[-1]
         t = sum(cod_capacities(
