@@ -172,6 +172,9 @@ def bench_domino(batch, seq, steps, algo="domino"):
     draft_config = {
         "architectures": [arch],
         "attention_backend": os.environ.get("BENCH_DFLASH_ATTN", "auto"),
+        "attn_chunk_blocks": int(
+            os.environ.get("BENCH_ATTN_CHUNK_BLOCKS", "8")
+        ),
         "vocab_size": vocab,
         "hidden_size": 4096,
         "intermediate_size": 12288,
@@ -267,7 +270,10 @@ def bench_domino(batch, seq, steps, algo="domino"):
     final_loss = float(metrics["train/loss"])
     dt = (time.monotonic() - t0) / steps
 
-    flops = domino_step_flops(batch, seq, cfg, num_anchors)
+    flops = domino_step_flops(
+        batch, seq, cfg, num_anchors,
+        attn_chunk_blocks=int(os.environ.get("BENCH_ATTN_CHUNK_BLOCKS", "8")),
+    )
     peak, gen = detect_peak()
     mfu = flops / dt / peak
     print(
