@@ -90,7 +90,13 @@ def domino_step_flops(b, s, cfg, num_anchors, attn_chunk_blocks=8):
     q_len = num_anchors * block
     tc = b * s          # context tokens
     tq = b * q_len      # draft (mask-token) tokens
-    cq = min(attn_chunk_blocks, num_anchors) * block
+    # mirror dflash_attention's semantics: chunk_blocks <= 0 means all
+    # anchors in one chunk (every query block sees every other block's keys)
+    cq = (
+        min(attn_chunk_blocks, num_anchors)
+        if attn_chunk_blocks > 0
+        else num_anchors
+    ) * block
 
     def mm(m, k, n):
         return 2.0 * m * k * n
@@ -136,6 +142,8 @@ def bench_domino(batch, seq, steps, algo="domino"):
     from specforge_tpu.training.train_step import TrainState, make_train_step
 
     num_anchors = int(os.environ.get("BENCH_ANCHORS", "256"))
+    attn_backend = os.environ.get("BENCH_DFLASH_ATTN", "auto")
+    attn_chunk_blocks = int(os.environ.get("BENCH_ATTN_CHUNK_BLOCKS", "8"))
     # swept on v5e with the fused objective + factored moments:
     # 64 → 63.4% MFU, 32 → 62.6%, 16 → 57.2%; 128+ OOMs 15.75G HBM.
     # obj_chunk=64 only fits because the factored optimizer frees the
@@ -171,10 +179,8 @@ def bench_domino(batch, seq, steps, algo="domino"):
     }.get(algo, "DFlashDraftModel")
     draft_config = {
         "architectures": [arch],
-        "attention_backend": os.environ.get("BENCH_DFLASH_ATTN", "auto"),
-        "attn_chunk_blocks": int(
-            os.environ.get("BENCH_ATTN_CHUNK_BLOCKS", "8")
-        ),
+        "attention_backend": attn_backend,
+        "attn_chunk_blocks": attn_chunk_blocks,
         "vocab_size": vocab,
         "hidden_size": 4096,
         "intermediate_size": 12288,
@@ -270,9 +276,18 @@ def bench_domino(batch, seq, steps, algo="domino"):
     final_loss = float(metrics["train/loss"])
     dt = (time.monotonic() - t0) / steps
 
+    # the Pallas backend ignores attn_chunk_blocks (it tiles by block and
+    # skips masked context tiles); when it is the active backend, account
+    # MFU against the NOMINAL chunked graph at the default chunk_blocks=8 so
+    # the env knob cannot shift reported MFU without changing actual compute.
+    from specforge_tpu.models.draft.dflash import DFLASH_PALLAS_MIN_CTX
+
+    pallas_active = attn_backend == "pallas" or (
+        attn_backend == "auto" and seq >= DFLASH_PALLAS_MIN_CTX
+    )
     flops = domino_step_flops(
         batch, seq, cfg, num_anchors,
-        attn_chunk_blocks=int(os.environ.get("BENCH_ATTN_CHUNK_BLOCKS", "8")),
+        attn_chunk_blocks=8 if pallas_active else attn_chunk_blocks,
     )
     peak, gen = detect_peak()
     mfu = flops / dt / peak

@@ -65,6 +65,10 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
                     "mean_accept_length": round(
                         report.mean_accept_length, 4
                     ),
+                    # wall-clock serving throughput, as in the reference
+                    # grid (benchmarks/benchmarker/utils.py:55,116)
+                    "output_tokens": report.output_tokens,
+                    "output_throughput": round(report.output_throughput, 2),
                 }
                 print(json.dumps(cell), file=sys.stderr)
                 cells.append(cell)

@@ -24,10 +24,26 @@ class AcceptLengthReport:
     accept_lengths: List[int]
     num_draft_tokens: int
     topk: int = 1
+    # wall-clock decode seconds (generate() calls only; model loading
+    # excluded, first-call compilation included) — the reference benchmark
+    # reports accept length AND output_throughput
+    # (benchmarks/benchmarker/utils.py:17,55,116)
+    wall_seconds: float = 0.0
 
     @property
     def mean_accept_length(self) -> float:
         return float(np.mean(self.accept_lengths)) if self.accept_lengths else 0.0
+
+    @property
+    def output_tokens(self) -> int:
+        return int(np.sum(self.accept_lengths)) if self.accept_lengths else 0
+
+    @property
+    def output_throughput(self) -> float:
+        """Output tokens per wall-clock second across all prompts."""
+        if self.wall_seconds <= 0.0:
+            return 0.0
+        return self.output_tokens / self.wall_seconds
 
     def to_json(self) -> Dict[str, Any]:
         hist = np.bincount(
@@ -41,6 +57,9 @@ class AcceptLengthReport:
             "num_draft_tokens": self.num_draft_tokens,
             "topk": self.topk,
             "rounds": len(self.accept_lengths),
+            "output_tokens": self.output_tokens,
+            "wall_seconds": round(self.wall_seconds, 4),
+            "output_throughput": round(self.output_throughput, 2),
         }
 
 
@@ -88,12 +107,17 @@ def measure_with_decoder(
     topk: int = 1,
     max_new_tokens: int = 128,
 ) -> AcceptLengthReport:
+    import time
+
     per_prompt: List[float] = []
     all_lengths: List[int] = []
+    wall = 0.0
     for i, prompt in enumerate(prompts):
+        t0 = time.monotonic()
         result = decoder.generate(
             list(prompt), max_new_tokens=max_new_tokens, topk=topk
         )
+        wall += time.monotonic() - t0
         per_prompt.append(result.mean_accept_length)
         all_lengths.extend(result.accept_lengths)
         logger.info(
@@ -102,7 +126,7 @@ def measure_with_decoder(
         )
     return AcceptLengthReport(
         per_prompt=per_prompt, accept_lengths=all_lengths,
-        num_draft_tokens=decoder.k, topk=topk,
+        num_draft_tokens=decoder.k, topk=topk, wall_seconds=wall,
     )
 
 

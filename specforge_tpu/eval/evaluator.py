@@ -36,11 +36,23 @@ class Evaluator:
         self.strategy = strategy
         self.metadata = dict(metadata or {})
         self.device_put_fn = device_put_fn
-        self._jitted = jax.jit(
-            lambda variables, tensors, frozen: strategy.eval_outputs(
-                variables, tensors, frozen, self.metadata
+        # jit cache keyed by the (static) per-batch metadata: a mixed-metadata
+        # eval set compiles once per distinct metadata, not once per drift
+        # (ref eval/evaluator.py:27-222 re-traces implicitly via torch).
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _jitted_for(self, metadata: Dict[str, Any]):
+        key = tuple(sorted((k, repr(v)) for k, v in metadata.items()))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            meta = dict(metadata)
+            fn = jax.jit(
+                lambda variables, tensors, frozen: self.strategy.eval_outputs(
+                    variables, tensors, frozen, meta
+                )
             )
-        )
+            self._jit_cache[key] = fn
+        return fn
 
     def run(
         self,
@@ -52,21 +64,12 @@ class Evaluator:
         n_batches = 0
         for batch in batches:
             metadata = {**self.metadata, **batch.metadata}
-            if metadata != self.metadata:
-                # metadata participates in the trace via the strategy closure;
-                # rebuild if a batch carries different static metadata.
-                self.metadata = metadata
-                self._jitted = jax.jit(
-                    lambda variables, tensors, frozen: self.strategy.eval_outputs(
-                        variables, tensors, frozen, self.metadata
-                    )
-                )
             tensors = (
                 self.device_put_fn(batch.tensors)
                 if self.device_put_fn is not None
                 else batch.tensors
             )
-            out = self._jitted(variables, tensors, frozen)
+            out = self._jitted_for(metadata)(variables, tensors, frozen)
             out = jax.device_get(out)
             for key, value in out.items():
                 acc = sums.get(key)

@@ -243,7 +243,12 @@ class CheckpointManager:
         ``*.latest`` marker — the reference's resume_from path forms
         (schema.py:568). A root holding several runs is ambiguous and
         refused (point at the step dir instead): picking one by directory
-        order would silently restore a different run per filesystem."""
+        order would silently restore a different run per filesystem.
+
+        Returns an ABSOLUTE path: orbax's metadata reader silently yields
+        ``item_metadata=None`` for relative directories, which would fail
+        export/resume with a relative --checkpoint."""
+        checkpoint = os.path.abspath(checkpoint)
         if os.path.isdir(os.path.join(checkpoint, "state")):
             return checkpoint
         resolved = []
