@@ -102,7 +102,7 @@ def _build_tiny_stack(workdir: str):
 
 def run_gate(target_dir: str, export_dir: str, prompts, *,
              num_draft_tokens: int = 3, max_new_tokens: int = 16,
-             topk: int = 1):
+             topk: int = 1, capture_layers=None):
     from specforge_tpu.benchmarks.accept_length import load_exported_draft
     from specforge_tpu.inference.spec_decode import (
         Eagle3SpecDecoder,
@@ -123,7 +123,9 @@ def run_gate(target_dir: str, export_dir: str, prompts, *,
         target_dir, target_config, dtype=jnp.float32
     )
     n = target_config.num_hidden_layers
-    capture_layers = (1, max(n // 2 - 1, 1), max(n - 4, 2))
+    if capture_layers is None:
+        # must match the layers the draft's features were captured at
+        capture_layers = (1, max(n // 2 - 1, 1), max(n - 4, 2))
 
     module, variables = load_exported_draft(
         export_dir,
