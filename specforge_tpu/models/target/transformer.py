@@ -32,6 +32,15 @@ from specforge_tpu.ops.attention import NEG_INF, make_causal_bias
 from specforge_tpu.ops.rope import RopeSpec, apply_rope, rope_cos_sin
 
 
+# model families the capture forward cannot run — composition-time failure
+# with a named reason beats a silent wrong forward at capture time
+# (round-2 verdict item 2: "fail fast at composition, not at capture time")
+UNSUPPORTED_MODEL_TYPES = {
+    "bailing_moe": "not present in the installed transformers; no parity "
+                   "oracle available",
+}
+
+
 @dataclass(frozen=True)
 class TargetConfig:
     vocab_size: int
@@ -58,15 +67,95 @@ class TargetConfig:
     decoder_sparse_step: int = 1
     mlp_only_layers: Tuple[int, ...] = ()
 
+    # --- family extensions (round 3) ---
+    # attention variant: "standard" | "mla" (deepseek v2/v3, kimi)
+    attn_variant: str = "standard"
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    rope_interleave: bool = False
+    # v3 multiplies the softmax scale by yarn mscale^2; v2 does not
+    # (HF DeepseekV3Attention.__init__ vs DeepseekV2Attention.__init__)
+    mla_logit_mscale: bool = False
+    # per-layer attention kinds: "full_attention" | "sliding_attention"
+    # (gemma3, gpt-oss); empty = all full
+    layer_types: Tuple[str, ...] = ()
+    sliding_window: Optional[int] = None
+    rope_local_base_freq: Optional[float] = None   # gemma3 sliding-layer theta
+    query_pre_attn_scalar: Optional[float] = None  # gemma3 attention scale
+    attn_logit_softcapping: Optional[float] = None
+    norm_style: str = "standard"   # "gemma" = fp32 x_norm * (1 + w)
+    sandwich_norms: bool = False   # gemma3 post-attention/post-mlp norms
+    embed_scale: Optional[float] = None            # gemma3 sqrt(hidden)
+    attention_sinks: bool = False  # gpt-oss learned per-head sink logits
+    partial_rotary_factor: float = 1.0             # glm4_moe 0.5
+    # MoE variant: "qwen" (softmax top-k over gate.weight) |
+    # "deepseek" (sigmoid/softmax grouped router + shared experts) |
+    # "gptoss" (fused clamp-swiglu experts, router bias)
+    moe_variant: str = "qwen"
+    n_shared_experts: int = 0
+    routed_scaling_factor: float = 1.0
+    scoring_func: str = "softmax"   # deepseek v2 softmax, v3 sigmoid
+    topk_method: str = "greedy"     # greedy|group_limited_greedy|noaux_tc
+    n_group: int = 1
+    topk_group: int = 1
+    first_k_dense_replace: int = 0
+    moe_alpha: float = 1.702        # gpt-oss clamp-swiglu
+    moe_limit: float = 7.0
+    # llama4: rope skipped on listed layers (value 0), chunked attention on
+    # rope layers, L2 (weightless) qk norm, nope-layer temperature tuning,
+    # input-scaled fused experts + always-on shared expert, dense layers
+    # with their own intermediate size
+    no_rope_layers: Tuple[int, ...] = ()
+    attention_chunk_size: Optional[int] = None
+    qk_l2_norm: bool = False
+    attn_temperature_tuning: bool = False
+    attn_scale: float = 0.1
+    floor_scale: float = 8192.0
+    moe_layers: Tuple[int, ...] = ()
+    intermediate_size_mlp: Optional[int] = None
+    # qwen3_next: hybrid gated-deltanet linear attention + gated full
+    # attention (HF Qwen3NextGatedDeltaNet / Qwen3NextAttention);
+    # layer_types carries "linear_attention" entries
+    attn_output_gate: bool = False   # q_proj carries a sigmoid output gate
+    shared_expert_gated: bool = False  # sigmoid-gated always-on shared MLP
+    linear_num_value_heads: int = 0
+    linear_num_key_heads: int = 0
+    linear_key_head_dim: int = 0
+    linear_value_head_dim: int = 0
+    linear_conv_kernel_dim: int = 4
+    # longcat_flash: dual-sublayer logical layers (2×MLA + 2×dense MLP +
+    # one shortcut MoE), zero-computation (identity) experts, LoRA q/kv
+    # rescaling inside MLA (HF LongcatFlashDecoderLayer / LongcatFlashMLA)
+    dual_sublayer: bool = False
+    zero_expert_num: int = 0
+    mla_lora_scaling: bool = False
+    router_bias: bool = False
+
     @property
     def resolved_head_dim(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
+    def layer_kind(self, layer_idx: int) -> str:
+        if not self.layer_types:
+            return "full_attention"
+        return self.layer_types[layer_idx]
+
     def is_moe_layer(self, layer_idx: int) -> bool:
-        """HF Qwen3Moe rule: sparse unless listed dense or off-cadence."""
+        """Per-family MoE placement: deepseek-style uses
+        first_k_dense_replace (HF DeepseekV3DecoderLayer.__init__); llama4
+        an explicit interleave list; qwen/gpt-oss the sparse-step/dense-list
+        rule (HF Qwen3Moe)."""
+        if self.num_experts <= 0:
+            return False
+        if self.moe_variant == "deepseek":
+            return layer_idx >= self.first_k_dense_replace
+        if self.moe_variant == "llama4":
+            return layer_idx in self.moe_layers
         return (
-            self.num_experts > 0
-            and layer_idx not in self.mlp_only_layers
+            layer_idx not in self.mlp_only_layers
             and (layer_idx + 1) % max(self.decoder_sparse_step, 1) == 0
         )
 
@@ -76,33 +165,219 @@ class TargetConfig:
             raw = json.load(f)
         raw = raw.get("text_config", raw)
         model_type = raw.get("model_type", "llama")
+        if model_type in UNSUPPORTED_MODEL_TYPES:
+            raise ValueError(
+                f"target architecture {model_type!r} is not supported by the "
+                f"capture forward: {UNSUPPORTED_MODEL_TYPES[model_type]}. "
+                "Capture its hidden states externally and ingest them via "
+                "scripts/convert_ckpt_dataset.py instead."
+            )
+        kw: Dict[str, Any] = {}
+        gemma = model_type in ("gemma3", "gemma3_text")
+        if gemma:
+            kw.update(
+                norm_style="gemma",
+                sandwich_norms=True,
+                embed_scale=float(raw["hidden_size"]) ** 0.5,
+                query_pre_attn_scalar=raw.get("query_pre_attn_scalar", 256),
+                rope_local_base_freq=raw.get("rope_local_base_freq", 10000.0),
+                attn_logit_softcapping=raw.get("attn_logit_softcapping"),
+                hidden_act=raw.get(
+                    "hidden_activation", "gelu_pytorch_tanh"
+                ),
+            )
+        if model_type == "gpt_oss":
+            kw.update(
+                attention_sinks=True,
+                moe_variant="gptoss",
+                num_experts=raw.get("num_local_experts", 0) or 0,
+                num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
+                moe_intermediate_size=raw["intermediate_size"],
+            )
+        if model_type in ("deepseek_v2", "deepseek_v3", "kimi_k2"):
+            # kimi_k2/k3 checkpoints are DeepseekV3-architecture
+            v3ish = model_type != "deepseek_v2"
+            kw.update(
+                attn_variant="mla",
+                q_lora_rank=raw.get("q_lora_rank"),
+                kv_lora_rank=raw["kv_lora_rank"],
+                qk_nope_head_dim=raw["qk_nope_head_dim"],
+                qk_rope_head_dim=raw["qk_rope_head_dim"],
+                v_head_dim=raw["v_head_dim"],
+                # both families rotate INTERLEAVED channel pairs: v3 via
+                # config.rope_interleave (default True), v2 via complex-pair
+                # apply_rotary_emb — equivalent for attention outputs since
+                # q and k share the channel permutation
+                rope_interleave=raw.get("rope_interleave", True),
+                mla_logit_mscale=v3ish,
+                moe_variant="deepseek",
+                num_experts=raw.get("n_routed_experts", 0) or 0,
+                n_shared_experts=raw.get("n_shared_experts", 0) or 0,
+                routed_scaling_factor=raw.get("routed_scaling_factor", 1.0),
+                scoring_func=raw.get(
+                    "scoring_func", "sigmoid" if v3ish else "softmax"
+                ),
+                topk_method=raw.get(
+                    "topk_method", "noaux_tc" if v3ish else "greedy"
+                ),
+                n_group=raw.get("n_group", 1) or 1,
+                topk_group=raw.get("topk_group", 1) or 1,
+                first_k_dense_replace=raw.get("first_k_dense_replace", 0),
+                num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
+                # HF v2's gate never normalizes top-k probs (4.57 tail:
+                # weights * routed_scaling_factor only)
+                norm_topk_prob=raw.get("norm_topk_prob", False) and v3ish,
+            )
+        if model_type in ("llama4", "llama4_text"):
+            n_layers = raw["num_hidden_layers"]
+            step = raw.get("interleave_moe_layer_step", 1) or 1
+            # HF default: a NoPE layer every no_rope_layer_interval layers
+            # (Llama4TextConfig.__init__); value 1 = rope, 0 = nope
+            interval = raw.get("no_rope_layer_interval", 4) or 4
+            no_rope = tuple(
+                raw.get("no_rope_layers")
+                or (int((i + 1) % interval != 0) for i in range(n_layers))
+            )
+            kw.update(
+                moe_variant="llama4",
+                num_experts=raw.get("num_local_experts", 0) or 0,
+                num_experts_per_tok=raw.get("num_experts_per_tok", 1) or 1,
+                moe_layers=tuple(
+                    raw.get("moe_layers")
+                    or range(step - 1, n_layers, step)
+                ),
+                intermediate_size_mlp=raw.get("intermediate_size_mlp"),
+                no_rope_layers=no_rope,
+                # rope layers attend within chunks, nope layers globally
+                # (Llama4TextConfig layer_types default)
+                layer_types=tuple(
+                    raw.get("layer_types")
+                    or (
+                        "chunked_attention" if r else "full_attention"
+                        for r in no_rope
+                    )
+                ),
+                attention_chunk_size=raw.get("attention_chunk_size", 8192),
+                qk_l2_norm=raw.get("use_qk_norm", False),
+                attn_temperature_tuning=bool(
+                    raw.get("attn_temperature_tuning", False)
+                ),
+                attn_scale=raw.get("attn_scale", 0.1),
+                floor_scale=raw.get("floor_scale", 8192.0),
+                # llama4 rotates interleaved channel pairs (complex
+                # apply_rotary_emb) — same common-permutation equivalence
+                # as deepseek
+                rope_interleave=True,
+            )
+        if model_type == "longcat_flash":
+            kw.update(
+                attn_variant="mla",
+                dual_sublayer=True,
+                mla_lora_scaling=True,
+                rope_interleave=True,
+                mla_logit_mscale=True,
+                q_lora_rank=raw.get("q_lora_rank"),
+                kv_lora_rank=raw.get("kv_lora_rank", 512),
+                qk_nope_head_dim=raw.get("qk_nope_head_dim", 128),
+                qk_rope_head_dim=raw.get("qk_rope_head_dim", 64),
+                v_head_dim=raw.get("v_head_dim", 128),
+                moe_variant="longcat",
+                num_experts=raw.get("n_routed_experts", 0) or 0,
+                zero_expert_num=raw.get("zero_expert_num", 0) or 0,
+                num_experts_per_tok=raw.get("moe_topk", 0) or 0,
+                routed_scaling_factor=raw.get("routed_scaling_factor", 1.0),
+                router_bias=raw.get("router_bias", False),
+                moe_intermediate_size=raw.get("expert_ffn_hidden_size"),
+            )
+        if model_type == "qwen3_next":
+            n_layers = raw["num_hidden_layers"]
+            interval = raw.get("full_attention_interval", 4) or 4
+            kw.update(
+                qk_norm=True,
+                attn_output_gate=True,
+                shared_expert_gated=True,
+                # Qwen3NextRMSNorm is zero-centered (1 + w) with the fp32
+                # product before the dtype cast — gemma semantics (the
+                # GDN-internal RMSNormGated is NOT, handled separately)
+                norm_style="gemma",
+                partial_rotary_factor=raw.get("partial_rotary_factor", 0.25),
+                layer_types=tuple(
+                    raw.get("layer_types")
+                    or (
+                        "linear_attention"
+                        if (i + 1) % interval
+                        else "full_attention"
+                        for i in range(n_layers)
+                    )
+                ),
+                linear_num_value_heads=raw.get("linear_num_value_heads", 32),
+                linear_num_key_heads=raw.get("linear_num_key_heads", 16),
+                linear_key_head_dim=raw.get("linear_key_head_dim", 128),
+                linear_value_head_dim=raw.get("linear_value_head_dim", 128),
+                linear_conv_kernel_dim=raw.get("linear_conv_kernel_dim", 4),
+            )
+        if model_type == "glm4_moe":
+            kw.update(
+                qk_norm=raw.get("use_qk_norm", False),
+                partial_rotary_factor=raw.get("partial_rotary_factor", 0.5),
+                moe_variant="deepseek",
+                num_experts=raw.get("n_routed_experts", 0) or 0,
+                n_shared_experts=raw.get("n_shared_experts", 0) or 0,
+                routed_scaling_factor=raw.get("routed_scaling_factor", 1.0),
+                scoring_func="sigmoid",
+                topk_method="noaux_tc",
+                n_group=raw.get("n_group", 1) or 1,
+                topk_group=raw.get("topk_group", 1) or 1,
+                first_k_dense_replace=raw.get("first_k_dense_replace", 0),
+                num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
+                norm_topk_prob=raw.get("norm_topk_prob", False),
+            )
+        defaults = dict(
+            num_experts=raw.get("num_experts", 0) or 0,
+            num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
+            norm_topk_prob=raw.get("norm_topk_prob", False),
+            moe_intermediate_size=raw.get("moe_intermediate_size"),
+            attention_bias=raw.get("attention_bias", model_type in ("qwen2",)),
+            qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            hidden_act=raw.get("hidden_act", "silu"),
+            partial_rotary_factor=raw.get("partial_rotary_factor", 1.0),
+            layer_types=tuple(raw.get("layer_types", []) or []),
+        )
+        defaults.update(kw)
         return cls(
             vocab_size=raw["vocab_size"],
             hidden_size=raw["hidden_size"],
-            intermediate_size=raw["intermediate_size"],
-            num_hidden_layers=raw["num_hidden_layers"],
+            # longcat names the dense-MLP width ffn_hidden_size
+            intermediate_size=(
+                raw.get("intermediate_size") or raw["ffn_hidden_size"]
+            ),
+            # longcat's num_hidden_layers counts MLA sublayers (2× the
+            # decoder's logical num_layers — HF LongcatFlashModel.__init__)
+            num_hidden_layers=(
+                raw["num_layers"]
+                if model_type == "longcat_flash"
+                else raw["num_hidden_layers"]
+            ),
             num_attention_heads=raw["num_attention_heads"],
             num_key_value_heads=raw.get(
                 "num_key_value_heads", raw["num_attention_heads"]
             ),
             head_dim=raw.get("head_dim"),
-            rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+            # HF to_diff_dict omits default-valued keys; llama4's RMSNorm
+            # default eps is 1e-5, the others 1e-6
+            rms_norm_eps=raw.get(
+                "rms_norm_eps",
+                1e-5 if model_type in ("llama4", "llama4_text") else 1e-6,
+            ),
             rope_theta=raw.get("rope_theta", 10000.0),
             rope_scaling=raw.get("rope_scaling"),
             max_position_embeddings=raw.get("max_position_embeddings", 32768),
             tie_word_embeddings=raw.get("tie_word_embeddings", False),
-            attention_bias=raw.get(
-                "attention_bias", model_type in ("qwen2",)
-            ),
-            qk_norm=model_type in ("qwen3", "qwen3_moe"),
             model_type=model_type,
-            hidden_act=raw.get("hidden_act", "silu"),
-            num_experts=raw.get("num_experts", 0) or 0,
-            num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
-            norm_topk_prob=raw.get("norm_topk_prob", False),
-            moe_intermediate_size=raw.get("moe_intermediate_size"),
             decoder_sparse_step=raw.get("decoder_sparse_step", 1) or 1,
             mlp_only_layers=tuple(raw.get("mlp_only_layers", []) or []),
+            sliding_window=raw.get("sliding_window"),
+            **defaults,
         )
 
 
@@ -153,11 +428,683 @@ def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return weight.astype(dtype) * x32.astype(dtype)
 
 
+def _rms_gemma(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Gemma RMSNorm: zero-centered weight, fp32 product THEN the dtype cast
+    (HF Gemma3RMSNorm — llama casts before multiplying)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    x32 = x32 * jax.lax.rsqrt(var + eps)
+    return (x32 * (1.0 + weight.astype(jnp.float32))).astype(dtype)
+
+
+def _norm(cfg: "TargetConfig", x, weight):
+    if cfg.norm_style == "gemma":
+        return _rms_gemma(x, weight, cfg.rms_norm_eps)
+    return _rms(x, weight, cfg.rms_norm_eps)
+
+
+def _l2norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Weightless RMS normalization (llama4 qk norm, HF Llama4TextL2Norm)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _interleave_to_half(x: jnp.ndarray) -> jnp.ndarray:
+    """Reorder interleaved rope channels (x0,y0,x1,y1,…) to half layout
+    (x0,x1,…,y0,y1,…) — HF apply_rotary_pos_emb_interleave's view/transpose
+    (deepseek_v3 rope_interleave=True)."""
+    *lead, d = x.shape
+    return x.reshape(*lead, d // 2, 2).swapaxes(-1, -2).reshape(*lead, d)
+
+
+def _apply_partial_rope(q, k, cos, sin, rot_dim: int, interleave: bool):
+    """Rope on the first ``rot_dim`` channels only (glm4_moe/phi partial
+    rotary); optional interleaved-weight reorder first (deepseek_v3)."""
+    if interleave:
+        q_r, k_r = _interleave_to_half(q[..., :rot_dim]), _interleave_to_half(
+            k[..., :rot_dim]
+        )
+    else:
+        q_r, k_r = q[..., :rot_dim], k[..., :rot_dim]
+    q_r, k_r = apply_rope(q_r, k_r, cos, sin)
+    if rot_dim == q.shape[-1]:
+        return q_r, k_r
+    return (
+        jnp.concatenate([q_r, q[..., rot_dim:]], axis=-1),
+        jnp.concatenate([k_r, k[..., rot_dim:]], axis=-1),
+    )
+
+
 def _act(name: str):
     return {"silu": jax.nn.silu, "gelu": jax.nn.gelu,
             "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True)}[
         name
     ]
+
+
+def _attend(q, k, v, bias, scale, *, sinks=None, softcap=None):
+    """Grouped-query softmax attention core. q [B,H,S,Dq], k [B,KVH,S,Dq],
+    v [B,KVH,S,Dv], bias [B,1,S,S] additive fp32 mask. ``sinks``: [H]
+    learned per-head sink logits appended as one extra softmax column and
+    dropped from the probabilities (gpt-oss, HF eager_attention_forward).
+    ``softcap``: tanh logit cap (gemma attn_logit_softcapping)."""
+    b, h, s, dq = q.shape
+    kvh = k.shape[1]
+    g = h // kvh
+    qg = q.reshape(b, kvh, g, s, dq)
+    w = jnp.einsum(
+        "bkgsd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if softcap:
+        w = jnp.tanh(w / softcap) * softcap
+    w = w + bias[:, :, None].astype(jnp.float32)
+    if sinks is not None:
+        sink = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(1, kvh, g, 1, 1),
+            (b, kvh, g, s, 1),
+        )
+        w = jnp.concatenate([w, sink], axis=-1)
+        p = jax.nn.softmax(w, axis=-1)[..., :-1].astype(v.dtype)
+    else:
+        p = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bkgst,bktd->bkgsd", p, v)
+    dv = v.shape[-1]
+    return attn.reshape(b, h, s, dv).transpose(0, 2, 1, 3).reshape(
+        b, s, h * dv
+    )
+
+
+def _linear(params, key, val):
+    out = val @ params[f"{key}.weight"].T
+    bias_key = f"{key}.bias"
+    if bias_key in params:
+        out = out + params[bias_key]
+    return out
+
+
+def _std_attention(params, cfg: "TargetConfig", prefix: str, y, bias,
+                   cos, sin, layer_idx: int = 0):
+    """Standard GQA attention covering llama/qwen/phi/gemma3/gpt-oss/llama4:
+    fused qkv (phi3 qkv_proj) or separate projections, per-head q/k RMSNorm
+    (qwen3/gemma3) or L2 norm (llama4), partial/interleaved/skipped rotary,
+    query_pre_attn_scalar (gemma3), nope-layer temperature tuning (llama4),
+    sinks (gpt-oss), logit softcap."""
+    b, s, _ = y.shape
+    d = cfg.resolved_head_dim
+    h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
+    ap = f"{prefix}.self_attn"
+    out_gate = None
+    if f"{ap}.qkv_proj.weight" in params:  # phi3 fused projection
+        qkv = _linear(params, f"{ap}.qkv_proj", y)
+        q, k, v = jnp.split(qkv, [h * d, h * d + kvh * d], axis=-1)
+    elif cfg.attn_output_gate:
+        # qwen3_next: q_proj emits per-head (query, output-gate) halves
+        # (HF Qwen3NextAttention.forward chunk-by-head)
+        qg = _linear(params, f"{ap}.q_proj", y).reshape(b, s, h, 2 * d)
+        q, out_gate = jnp.split(qg, 2, axis=-1)
+        out_gate = out_gate.reshape(b, s, h * d)
+        q = q.reshape(b, s, h * d)
+        k = _linear(params, f"{ap}.k_proj", y)
+        v = _linear(params, f"{ap}.v_proj", y)
+    else:
+        q = _linear(params, f"{ap}.q_proj", y)
+        k = _linear(params, f"{ap}.k_proj", y)
+        v = _linear(params, f"{ap}.v_proj", y)
+    q = q.reshape(b, s, h, d)
+    k = k.reshape(b, s, kvh, d)
+    v = v.reshape(b, s, kvh, d)
+    if cfg.qk_norm or cfg.norm_style == "gemma":
+        q = _norm(cfg, q, params[f"{ap}.q_norm.weight"])
+        k = _norm(cfg, k, params[f"{ap}.k_norm.weight"])
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    use_rope = (
+        bool(cfg.no_rope_layers[layer_idx]) if cfg.no_rope_layers else True
+    )
+    if use_rope:
+        rot_dim = cos.shape[-1]
+        q, k = _apply_partial_rope(
+            q, k, cos, sin, rot_dim, interleave=cfg.rope_interleave
+        )
+        if cfg.qk_l2_norm:  # llama4: weightless L2 norm AFTER rope
+            q = _l2norm(q, cfg.rms_norm_eps)
+            k = _l2norm(k, cfg.rms_norm_eps)
+    elif cfg.attn_temperature_tuning:
+        # llama4 nope layers: per-position query temperature
+        # (HF Llama4TextAttention.forward, arXiv:2501.19399)
+        pos = jnp.arange(s, dtype=jnp.float32)
+        scales = (
+            jnp.log1p(jnp.floor((pos + 1.0) / cfg.floor_scale))
+            * cfg.attn_scale + 1.0
+        )
+        q = (q * scales[None, None, :, None]).astype(q.dtype)
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None
+        else d ** -0.5
+    )
+    sinks = params.get(f"{ap}.sinks") if cfg.attention_sinks else None
+    attn = _attend(
+        q, k, v, bias, scale, sinks=sinks,
+        softcap=cfg.attn_logit_softcapping,
+    )
+    if out_gate is not None:
+        attn = attn * jax.nn.sigmoid(out_gate)
+    return _linear(params, f"{ap}.o_proj", attn)
+
+
+def _mla_attention(params, cfg: "TargetConfig", prefix: str, y, bias,
+                   cos, sin, ap: Optional[str] = None):
+    """Multi-head latent attention (deepseek v2/v3, kimi, longcat): low-rank
+    q (optional), compressed kv latent + shared rope key, per-head nope/rope
+    split — HF DeepseekV3Attention.forward. ``ap`` overrides the attention
+    module path (longcat's dual sublayers index self_attn.{0,1}).
+    ``cfg.mla_lora_scaling``: longcat rescales the LoRA outputs by
+    sqrt(hidden/rank) (HF LongcatFlashMLA mla_scale_{q,kv}_lora)."""
+    b, s, _ = y.shape
+    heads = cfg.num_attention_heads
+    nope, rope = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    qk_dim = nope + rope
+    vd = cfg.v_head_dim
+    ap = ap or f"{prefix}.self_attn"
+
+    # the LoRA layernorms use the RMSNorm class default eps (1e-6), NOT
+    # config.rms_norm_eps (HF builds them without passing eps — matters for
+    # longcat whose decoder norms use 1e-5)
+    lora_eps = 1e-6
+    if cfg.q_lora_rank:
+        qa = _linear(params, f"{ap}.q_a_proj", y)
+        qa = _rms(qa, params[f"{ap}.q_a_layernorm.weight"], lora_eps)
+        q = _linear(params, f"{ap}.q_b_proj", qa)
+    else:
+        q = _linear(params, f"{ap}.q_proj", y)
+    q = q.reshape(b, s, heads, qk_dim).transpose(0, 2, 1, 3)
+    if cfg.mla_lora_scaling and cfg.q_lora_rank:
+        q = q * (cfg.hidden_size / cfg.q_lora_rank) ** 0.5
+    q_pass, q_rot = q[..., :nope], q[..., nope:]
+
+    ckv = _linear(params, f"{ap}.kv_a_proj_with_mqa", y)
+    k_pass, k_rot = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+    k_pass = _rms(
+        k_pass, params[f"{ap}.kv_a_layernorm.weight"], lora_eps
+    )
+    if cfg.mla_lora_scaling:
+        k_pass = k_pass * (cfg.hidden_size / cfg.kv_lora_rank) ** 0.5
+    kv = _linear(params, f"{ap}.kv_b_proj", k_pass)
+    kv = kv.reshape(b, s, heads, nope + vd).transpose(0, 2, 1, 3)
+    k_pass, v = kv[..., :nope], kv[..., nope:]
+    k_rot = k_rot.reshape(b, 1, s, rope)
+
+    q_rot, k_rot = _apply_partial_rope(
+        q_rot, k_rot, cos, sin, rope, interleave=cfg.rope_interleave
+    )
+    k_rot = jnp.broadcast_to(k_rot, (b, heads, s, rope))
+    q = jnp.concatenate([q_pass, q_rot], axis=-1)
+    k = jnp.concatenate([k_pass, k_rot], axis=-1)
+
+    scale = qk_dim ** -0.5
+    if cfg.mla_logit_mscale and cfg.rope_scaling:
+        mscale_all_dim = cfg.rope_scaling.get("mscale_all_dim", 0)
+        factor = cfg.rope_scaling.get("factor", 1.0)
+        if mscale_all_dim:
+            import math as _math
+
+            m = (
+                0.1 * mscale_all_dim * _math.log(factor) + 1.0
+                if factor > 1 else 1.0
+            )
+            scale = scale * m * m
+    attn = _attend(q, k, v, bias, scale)
+    return _linear(params, f"{ap}.o_proj", attn)
+
+
+def _chunk_gated_delta_rule(q, k, v, g, beta, chunk_size: int = 64):
+    """Chunked gated delta rule (HF torch_chunk_gated_delta_rule), computed
+    the TPU way: the reference's in-chunk sequential forward substitution
+    becomes one unit-lower-triangular solve per chunk (batched
+    ``solve_triangular`` — MXU-friendly, no per-row Python loop), and the
+    cross-chunk recurrence is a ``lax.scan`` carrying the [dk, dv] state.
+
+    q/k [B,S,H,dk], v [B,S,H,dv], g/beta [B,S,H]. fp32 compute (the
+    reference kernel casts everything to float32). Returns [B,S,H,dv].
+    """
+    in_dtype = v.dtype
+
+    def _l2(x):  # FLA l2norm: sum-of-squares (NOT rms)
+        x = x.astype(jnp.float32)
+        return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + 1e-6)
+
+    # [B,H,S,*] fp32
+    q = _l2(q).transpose(0, 2, 1, 3)
+    k = _l2(k).transpose(0, 2, 1, 3)
+    v = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    g = g.astype(jnp.float32).transpose(0, 2, 1)
+    beta = beta.astype(jnp.float32).transpose(0, 2, 1)
+    b, h, s, dk = k.shape
+    dv = v.shape[-1]
+    c = min(chunk_size, s)
+    pad = (-s) % c
+    nc = (s + pad) // c
+    if pad:
+        q, k, v = (
+            jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) for x in (q, k, v)
+        )
+        g, beta = (
+            jnp.pad(x, ((0, 0), (0, 0), (0, pad))) for x in (g, beta)
+        )
+    q = q * (dk ** -0.5)
+    v_beta = v * beta[..., None]
+    k_beta = k * beta[..., None]
+    q, k, v_beta, k_beta = (
+        x.reshape(b, h, nc, c, x.shape[-1]) for x in (q, k, v_beta, k_beta)
+    )
+    g = jnp.cumsum(g.reshape(b, h, nc, c), axis=-1)
+
+    lower = jnp.tril(jnp.ones((c, c), bool))
+    strict = jnp.tril(jnp.ones((c, c), bool), -1)
+    gd = g[..., :, None] - g[..., None, :]
+    decay = jnp.where(lower, jnp.exp(jnp.where(lower, gd, 0.0)), 0.0)
+    # in-chunk mixing matrix: the reference builds T = (I - A)^{-1} row by
+    # row with A = -(Kβ Kᵀ · decay) strictly lower; (I - A) is unit lower
+    # triangular, so one triangular solve per chunk replaces the loop
+    a_strict = jnp.where(
+        strict,
+        jnp.einsum(
+            "bhncd,bhned->bhnce", k_beta, k,
+            preferred_element_type=jnp.float32,
+        ) * decay,
+        0.0,
+    )
+    m_mat = jnp.eye(c, dtype=jnp.float32) + a_strict
+    from jax.scipy.linalg import solve_triangular
+
+    u = solve_triangular(m_mat, v_beta, lower=True, unit_diagonal=True)
+    w = solve_triangular(
+        m_mat, k_beta * jnp.exp(g)[..., None], lower=True, unit_diagonal=True
+    )
+
+    def body(state, xs):
+        q_i, k_i, u_i, w_i, g_i, decay_i = xs
+        attn = jnp.where(
+            lower,
+            jnp.einsum(
+                "bhcd,bhed->bhce", q_i, k_i,
+                preferred_element_type=jnp.float32,
+            ) * decay_i,
+            0.0,
+        )
+        v_new = u_i - jnp.einsum("bhck,bhkv->bhcv", w_i, state)
+        out_i = (
+            jnp.einsum(
+                "bhck,bhkv->bhcv", q_i * jnp.exp(g_i)[..., None], state
+            )
+            + jnp.einsum("bhce,bhev->bhcv", attn, v_new)
+        )
+        g_last = g_i[..., -1]
+        kd = k_i * jnp.exp(g_last[..., None] - g_i)[..., None]
+        state = state * jnp.exp(g_last)[..., None, None] + jnp.einsum(
+            "bhck,bhcv->bhkv", kd, v_new
+        )
+        return state, out_i
+
+    xs = tuple(jnp.moveaxis(x, 2, 0) for x in (q, k, u, w, g, decay))
+    state0 = jnp.zeros((b, h, dk, dv), jnp.float32)
+    _, outs = jax.lax.scan(body, state0, xs)
+    out = jnp.moveaxis(outs, 0, 2).reshape(b, h, nc * c, dv)[:, :, :s]
+    return out.transpose(0, 2, 1, 3).astype(in_dtype)
+
+
+def _gdn_attention(params, cfg: "TargetConfig", prefix: str, y,
+                   token_valid):
+    """Gated-DeltaNet linear attention layer (qwen3_next, HF
+    Qwen3NextGatedDeltaNet.forward): fused qkvz/ba projections in per-key-
+    head interleaved layout, causal depthwise conv + silu over (q,k,v),
+    chunked gated delta rule, gated RMS norm (norm before gate), out
+    projection. Padding tokens are zeroed on entry (HF
+    apply_mask_to_padding_states); with right padding the recurrent state
+    past a sequence's end never feeds a valid position."""
+    b, s, _ = y.shape
+    nk, nv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    key_dim, value_dim = nk * dk, nv * dv
+    r = nv // nk
+    ap = f"{prefix}.linear_attn"
+    if token_valid is not None:
+        y = y * token_valid[..., None].astype(y.dtype)
+    qkvz = _linear(params, f"{ap}.in_proj_qkvz", y).reshape(
+        b, s, nk, 2 * dk + 2 * r * dv
+    )
+    ba = _linear(params, f"{ap}.in_proj_ba", y).reshape(b, s, nk, 2 * r)
+    q = qkvz[..., :dk].reshape(b, s, key_dim)
+    k = qkvz[..., dk:2 * dk].reshape(b, s, key_dim)
+    v = qkvz[..., 2 * dk:2 * dk + r * dv].reshape(b, s, value_dim)
+    z = qkvz[..., 2 * dk + r * dv:].reshape(b, s, nv, dv)
+    bg = ba[..., :r].reshape(b, s, nv)
+    a = ba[..., r:].reshape(b, s, nv)
+
+    # causal depthwise conv over time + silu (HF conv1d groups=conv_dim,
+    # left-pad K-1 ≡ torch's symmetric pad + truncate-to-seq_len)
+    mixed = jnp.concatenate([q, k, v], axis=-1)          # [B, S, conv_dim]
+    w = params[f"{ap}.conv1d.weight"]                    # [conv_dim, 1, K]
+    ksz = w.shape[-1]
+    conv_dim = 2 * key_dim + value_dim
+    lhs = jnp.pad(mixed, ((0, 0), (ksz - 1, 0), (0, 0))).transpose(0, 2, 1)
+    conv = jax.lax.conv_general_dilated(
+        lhs, w.astype(lhs.dtype), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=conv_dim,
+    )
+    mixed = jax.nn.silu(conv).transpose(0, 2, 1)
+    q, k, v = jnp.split(mixed, [key_dim, 2 * key_dim], axis=-1)
+    q = q.reshape(b, s, nk, dk)
+    k = k.reshape(b, s, nk, dk)
+    v = v.reshape(b, s, nv, dv)
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+
+    beta = jax.nn.sigmoid(bg.astype(jnp.float32))
+    g = -jnp.exp(params[f"{ap}.A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a.astype(jnp.float32) + params[f"{ap}.dt_bias"].astype(jnp.float32)
+    )
+    core = _chunk_gated_delta_rule(q, k, v, g, beta)     # [B, S, nv, dv]
+
+    # gated RMS norm: normalize, weight, THEN silu(z) gate (HF
+    # Qwen3NextRMSNormGated "norm before gate")
+    c32 = core.astype(jnp.float32)
+    var = jnp.mean(c32 * c32, axis=-1, keepdims=True)
+    normed = params[f"{ap}.norm.weight"].astype(jnp.float32) * (
+        c32 * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+    )
+    gated = (normed * jax.nn.silu(z.astype(jnp.float32))).astype(y.dtype)
+    return _linear(params, f"{ap}.out_proj", gated.reshape(b, s, value_dim))
+
+
+def _dense_mlp(params, cfg: "TargetConfig", prefix: str, y):
+    """Dense MLP: separate gate/up or phi3 fused gate_up_proj (gate is the
+    FIRST half — HF Phi3MLP chunk order)."""
+    act = _act(cfg.hidden_act)
+    if f"{prefix}.gate_up_proj.weight" in params:
+        gu = _linear(params, f"{prefix}.gate_up_proj", y)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = _linear(params, f"{prefix}.gate_proj", y)
+        up = _linear(params, f"{prefix}.up_proj", y)
+    return _linear(params, f"{prefix}.down_proj", act(gate) * up)
+
+
+def _sort_assignments(top_w, top_i, num_experts: int):
+    """Sort flattened (token, expert) assignments by expert id (stable).
+    Returns (order, token_of, expert_of_sorted, sorted_weight, group_sizes)."""
+    t, k = top_i.shape
+    m = t * k
+    flat_expert = top_i.reshape(m)
+    flat_weight = top_w.reshape(m)
+    order = jnp.argsort(flat_expert)
+    token_of = order // k
+    expert_of = jnp.take(flat_expert, order)
+    group_sizes = (
+        jnp.zeros((num_experts,), jnp.int32).at[flat_expert].add(1, mode="drop")
+    )
+    return order, token_of, expert_of, jnp.take(flat_weight, order), group_sizes
+
+
+def _expert_mix_gathered(xs_tokens, top_w, top_i, num_experts,
+                         expert_fn, *, scale_inputs: bool = False):
+    """Generic gather-by-expert mix: sort assignments, run ``expert_fn``
+    (grouped compute over the sorted rows) and scatter-add weighted outputs.
+    ``expert_fn(rows, expert_of, group_sizes) -> rows_out``.
+    ``scale_inputs``: apply the routing weight to the expert INPUT instead
+    of the output — llama4's semantics (the weight passes through the
+    nonlinearity, HF Llama4TextMoe.forward scales routed_in)."""
+    t, h = xs_tokens.shape
+    order, token_of, expert_of, w_sorted, group_sizes = _sort_assignments(
+        top_w, top_i, num_experts
+    )
+    rows = jnp.take(xs_tokens, token_of, axis=0)
+    if scale_inputs:
+        rows = rows * w_sorted[:, None].astype(rows.dtype)
+    out_rows = expert_fn(rows, expert_of, group_sizes)
+    if not scale_inputs:
+        out_rows = out_rows * w_sorted[:, None].astype(out_rows.dtype)
+    return jnp.zeros((t, h), out_rows.dtype).at[token_of].add(out_rows)
+
+
+def _deepseek_route(params, cfg: "TargetConfig", prefix: str, x32):
+    """Deepseek v2/v3 router (HF DeepseekV2MoEGate / DeepseekV3TopkRouter):
+    fp32 scores (softmax v2 / sigmoid v3), optional group-limited selection,
+    v3 noaux_tc correction bias for CHOICE only, norm_topk_prob, then
+    routed_scaling_factor."""
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    logits = x32 @ params[f"{prefix}.mlp.gate.weight"].astype(jnp.float32).T
+    if cfg.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+
+    if cfg.topk_method == "noaux_tc":
+        bias_key = f"{prefix}.mlp.gate.e_score_correction_bias"
+        correction = params.get(
+            bias_key, jnp.zeros((e,), jnp.float32)
+        ).astype(jnp.float32)
+        choice = scores + correction
+        grp = choice.reshape(-1, cfg.n_group, e // cfg.n_group)
+        group_scores = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)
+    elif cfg.topk_method == "group_limited_greedy":
+        choice = scores
+        grp = choice.reshape(-1, cfg.n_group, e // cfg.n_group)
+        group_scores = jnp.max(grp, axis=-1)
+    else:  # greedy
+        top_w, top_i = jax.lax.top_k(scores, k)
+        if cfg.norm_topk_prob and k > 1:
+            top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
+        return top_w * cfg.routed_scaling_factor, top_i
+
+    _, group_idx = jax.lax.top_k(group_scores, cfg.topk_group)
+    group_mask = jnp.sum(
+        jax.nn.one_hot(group_idx, cfg.n_group, dtype=jnp.float32), axis=-2
+    )
+    score_mask = jnp.repeat(group_mask, e // cfg.n_group, axis=-1)
+    masked_choice = jnp.where(score_mask > 0, choice, 0.0)
+    _, top_i = jax.lax.top_k(masked_choice, k)
+    # weights come from the UNCORRECTED scores at the chosen indices
+    top_w = jnp.take_along_axis(scores, top_i, axis=-1)
+    if cfg.norm_topk_prob and k > 1:
+        top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
+    return top_w * cfg.routed_scaling_factor, top_i
+
+
+def _moe_deepseek(params, cfg: "TargetConfig", prefix: str, y):
+    """Deepseek-style MoE layer: routed experts (ragged grouped matmuls)
+    + always-on shared experts (HF DeepseekV3MoE.forward)."""
+    b, s, h = y.shape
+    t = b * s
+    x = y.reshape(t, h)
+    e = cfg.num_experts
+    top_w, top_i = _deepseek_route(
+        params, cfg, prefix, x.astype(jnp.float32)
+    )
+    gate_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.gate_proj.weight"].T
+         for i in range(e)]
+    )
+    up_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.up_proj.weight"].T
+         for i in range(e)]
+    )
+    down_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.down_proj.weight"].T
+         for i in range(e)]
+    )
+    act = _act(cfg.hidden_act)
+
+    def expert_fn(rows, expert_of, group_sizes):
+        g = jax.lax.ragged_dot(rows, gate_w, group_sizes)
+        u = jax.lax.ragged_dot(rows, up_w, group_sizes)
+        return jax.lax.ragged_dot(
+            (act(g) * u).astype(rows.dtype), down_w, group_sizes
+        )
+
+    routed = _expert_mix_gathered(x, top_w, top_i, e, expert_fn)
+    out = routed.reshape(b, s, h).astype(y.dtype)
+    if cfg.n_shared_experts:
+        out = out + _dense_mlp(params, cfg, f"{prefix}.mlp.shared_experts", y)
+    return out
+
+
+def _moe_gptoss(params, cfg: "TargetConfig", prefix: str, y):
+    """gpt-oss MoE: biased router (softmax over the top-k logits), fused
+    expert tensors with interleaved gate/up and clamp-swiglu activation
+    (HF GptOssTopKRouter + GptOssExperts)."""
+    b, s, h = y.shape
+    t = b * s
+    x = y.reshape(t, h)
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    logits = (
+        x @ params[f"{prefix}.mlp.router.weight"].T
+        + params[f"{prefix}.mlp.router.bias"]
+    )
+    top_v, top_i = jax.lax.top_k(logits, k)
+    top_w = jax.nn.softmax(top_v, axis=-1)
+
+    gate_up_w = params[f"{prefix}.mlp.experts.gate_up_proj"]      # [E, h, 2i]
+    gate_up_b = params[f"{prefix}.mlp.experts.gate_up_proj_bias"]  # [E, 2i]
+    down_w = params[f"{prefix}.mlp.experts.down_proj"]             # [E, i, h]
+    down_b = params[f"{prefix}.mlp.experts.down_proj_bias"]        # [E, h]
+    alpha, limit = cfg.moe_alpha, cfg.moe_limit
+
+    def expert_fn(rows, expert_of, group_sizes):
+        gu = jax.lax.ragged_dot(rows, gate_up_w, group_sizes)
+        gu = gu + jnp.take(gate_up_b, expert_of, axis=0)
+        gate, up = gu[..., ::2], gu[..., 1::2]
+        gate = jnp.minimum(gate, limit)
+        up = jnp.clip(up, -limit, limit)
+        glu = gate * jax.nn.sigmoid(gate * alpha)
+        inner = ((up + 1.0) * glu).astype(rows.dtype)
+        out = jax.lax.ragged_dot(inner, down_w, group_sizes)
+        return out + jnp.take(down_b, expert_of, axis=0)
+
+    routed = _expert_mix_gathered(x, top_w, top_i, e, expert_fn)
+    return routed.reshape(b, s, h).astype(y.dtype)
+
+
+def _moe_llama4(params, cfg: "TargetConfig", prefix: str, y):
+    """llama4 MoE: top-k router with sigmoid'd logits as weights applied to
+    the expert INPUTS, fused chunked gate_up experts, always-on shared
+    expert (HF Llama4TextMoe/Llama4TextExperts)."""
+    b, s, h = y.shape
+    t = b * s
+    x = y.reshape(t, h)
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    fp = f"{prefix}.feed_forward"
+    logits = x @ params[f"{fp}.router.weight"].T
+    top_v, top_i = jax.lax.top_k(logits, k)
+    top_w = jax.nn.sigmoid(top_v.astype(jnp.float32)).astype(x.dtype)
+
+    gate_up_w = params[f"{fp}.experts.gate_up_proj"]  # [E, h, 2i]
+    down_w = params[f"{fp}.experts.down_proj"]        # [E, i, h]
+    act = _act(cfg.hidden_act)
+
+    def expert_fn(rows, expert_of, group_sizes):
+        gu = jax.lax.ragged_dot(rows, gate_up_w, group_sizes)
+        gate, up = jnp.split(gu, 2, axis=-1)  # chunk(2), not interleaved
+        return jax.lax.ragged_dot(
+            (up * act(gate)).astype(rows.dtype), down_w, group_sizes
+        )
+
+    routed = _expert_mix_gathered(
+        x, top_w, top_i, e, expert_fn, scale_inputs=True
+    )
+    out = routed.reshape(b, s, h).astype(y.dtype)
+    return out + _dense_mlp(params, cfg, f"{fp}.shared_expert", y)
+
+
+def _moe_longcat(params, cfg: "TargetConfig", prefix: str, y):
+    """longcat shortcut MoE: softmax router over routed + zero-computation
+    experts with a correction bias for CHOICE only (weights from the
+    uncorrected scores), identity experts contribute weight × input (HF
+    LongcatFlashTopkRouter / LongcatFlashMoE)."""
+    b, s, h = y.shape
+    t = b * s
+    x = y.reshape(t, h)
+    e, z, k = cfg.num_experts, cfg.zero_expert_num, cfg.num_experts_per_tok
+    rp = f"{prefix}.mlp.router"
+    logits = x.astype(jnp.float32) @ params[
+        f"{rp}.classifier.weight"
+    ].astype(jnp.float32).T
+    if cfg.router_bias:
+        logits = logits + params[f"{rp}.classifier.bias"].astype(jnp.float32)
+    scores = jax.nn.softmax(logits, axis=-1)
+    choice = scores + params.get(
+        f"{rp}.e_score_correction_bias", jnp.zeros((e + z,), jnp.float32)
+    ).astype(jnp.float32)
+    _, top_i = jax.lax.top_k(choice, k)
+    top_w = jnp.take_along_axis(scores, top_i, axis=-1) * (
+        cfg.routed_scaling_factor
+    )
+
+    # zero-computation experts (id >= e): identity × routing weight
+    id_w = jnp.sum(jnp.where(top_i >= e, top_w, 0.0), axis=-1)
+    out = x.astype(jnp.float32) * id_w[:, None]
+
+    # routed experts: sentinel id e drops identity assignments from the
+    # grouped compute; their (zeroed) weights kill any residual rows
+    routed_w = jnp.where(top_i < e, top_w, 0.0)
+    routed_i = jnp.minimum(top_i, e)
+    gate_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.gate_proj.weight"].T
+         for i in range(e)]
+    )
+    up_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.up_proj.weight"].T
+         for i in range(e)]
+    )
+    down_w = jnp.stack(
+        [params[f"{prefix}.mlp.experts.{i}.down_proj.weight"].T
+         for i in range(e)]
+    )
+    act = _act(cfg.hidden_act)
+
+    def expert_fn(rows, expert_of, group_sizes):
+        g = jax.lax.ragged_dot(rows, gate_w, group_sizes)
+        u = jax.lax.ragged_dot(rows, up_w, group_sizes)
+        return jax.lax.ragged_dot(
+            (act(g) * u).astype(rows.dtype), down_w, group_sizes
+        )
+
+    routed = _expert_mix_gathered(x, routed_w, routed_i, e, expert_fn)
+    return (out + routed.astype(jnp.float32)).reshape(b, s, h).astype(y.dtype)
+
+
+def _longcat_layer(params, cfg: "TargetConfig", prefix: str, x, bias,
+                   cos, sin):
+    """One longcat logical layer (HF LongcatFlashDecoderLayer): two
+    MLA+dense-MLP sublayers with a shortcut MoE computed on the FIRST
+    post-attention norm output and added after the SECOND MLP."""
+    shortcut = None
+    for j in (0, 1):
+        residual = x
+        y = _norm(cfg, x, params[f"{prefix}.input_layernorm.{j}.weight"])
+        attn = _mla_attention(
+            params, cfg, prefix, y, bias, cos, sin,
+            ap=f"{prefix}.self_attn.{j}",
+        )
+        x = residual + attn
+        residual = x
+        y = _norm(
+            cfg, x, params[f"{prefix}.post_attention_layernorm.{j}.weight"]
+        )
+        if j == 0:
+            shortcut = _moe_longcat(params, cfg, prefix, y)
+            x = residual + _dense_mlp(params, cfg, f"{prefix}.mlps.0", y)
+        else:
+            x = residual + _dense_mlp(
+                params, cfg, f"{prefix}.mlps.1", y
+            ) + shortcut
+    return x
 
 
 def _moe_route_w(router_weight, cfg, y):
@@ -474,18 +1421,58 @@ def target_capture_forward(
     ``stack_moe_expert_params``-prepared params)."""
     cfg = config
     b, s = input_ids.shape
-    d = cfg.resolved_head_dim
-    h, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
-    g = h // kvh
-    rope_spec = RopeSpec.from_config(cfg)
     capture_set = set(int(c) for c in capture_layers)
 
     x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
+    if cfg.embed_scale:  # gemma3 scales by sqrt(hidden) in embedding dtype
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     bias = make_causal_bias(attention_mask, b, s)
+    sliding_bias = None
+    if cfg.sliding_window and "sliding_attention" in cfg.layer_types:
+        qi = jnp.arange(s)[:, None]
+        ki = jnp.arange(s)[None, :]
+        band = (qi - ki) < cfg.sliding_window
+        sliding_bias = bias + jnp.where(band, 0.0, NEG_INF)[None, None]
+    chunked_bias = None
+    if (
+        cfg.attention_chunk_size
+        and "chunked_attention" in cfg.layer_types
+        and s > cfg.attention_chunk_size
+    ):
+        # llama4 rope layers attend within position chunks (HF
+        # create_chunked_causal_mask; chunk boundaries shift with LEFT
+        # padding — capture inputs here are right-padded, offset 0)
+        qi = jnp.arange(s)[:, None]
+        ki = jnp.arange(s)[None, :]
+        same = (qi // cfg.attention_chunk_size) == (
+            ki // cfg.attention_chunk_size
+        )
+        chunked_bias = bias + jnp.where(same, 0.0, NEG_INF)[None, None]
     position_ids = jnp.broadcast_to(
         jnp.arange(s, dtype=jnp.int32)[None], (b, s)
     )
+    # rotary dim: MLA ropes only the shared qk_rope channels; glm/phi rope
+    # a partial_rotary_factor fraction of the head dim
+    if cfg.attn_variant == "mla":
+        rot_dim = cfg.qk_rope_head_dim
+    else:
+        rot_dim = int(cfg.resolved_head_dim * cfg.partial_rotary_factor)
+    rope_spec = RopeSpec.from_config(cfg)
+    if rope_spec.head_dim != rot_dim:
+        import dataclasses
+
+        rope_spec = dataclasses.replace(rope_spec, head_dim=rot_dim)
     cos, sin = rope_cos_sin(rope_spec, position_ids, s, dtype=x.dtype)
+    cos_local = sin_local = None
+    if cfg.rope_local_base_freq and "sliding_attention" in cfg.layer_types:
+        # gemma3: sliding layers use a separate local theta, default type
+        local_spec = RopeSpec(
+            head_dim=rot_dim, base=cfg.rope_local_base_freq,
+            max_position_embeddings=cfg.max_position_embeddings,
+        )
+        cos_local, sin_local = rope_cos_sin(
+            local_spec, position_ids, s, dtype=x.dtype
+        )
 
     captured: Dict[int, jnp.ndarray] = {}
     if -1 in capture_set:  # embedding output, offset convention: id -1 → h[0]
@@ -494,69 +1481,105 @@ def target_capture_forward(
 
     for i in range(cfg.num_hidden_layers):
         prefix = f"model.layers.{i}"
-        residual = x
-        y = _rms(x, params[f"{prefix}.input_layernorm.weight"],
-                 cfg.rms_norm_eps)
-
-        def proj(name, val):
-            w = params[f"{prefix}.self_attn.{name}.weight"]
-            out = val @ w.T
-            bias_key = f"{prefix}.self_attn.{name}.bias"
-            if bias_key in params:
-                out = out + params[bias_key]
-            return out
-
-        q = proj("q_proj", y).reshape(b, s, h, d)
-        k = proj("k_proj", y).reshape(b, s, kvh, d)
-        v = proj("v_proj", y).reshape(b, s, kvh, d)
-        if cfg.qk_norm:
-            q = _rms(q, params[f"{prefix}.self_attn.q_norm.weight"],
-                     cfg.rms_norm_eps)
-            k = _rms(k, params[f"{prefix}.self_attn.k_norm.weight"],
-                     cfg.rms_norm_eps)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        q, k = apply_rope(q, k, cos, sin)
-
-        qg = q.reshape(b, kvh, g, s, d)
-        w = jnp.einsum(
-            "bkgsd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32
-        ) / (d ** 0.5)
-        w = w + bias[:, :, None].astype(jnp.float32)
-        p = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bkgst,bktd->bkgsd", p, v)
-        attn = attn.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(
-            b, s, h * d
+        kind = cfg.layer_kind(i)
+        sliding = kind == "sliding_attention"
+        if sliding and sliding_bias is not None:
+            bias_i = sliding_bias
+        elif kind == "chunked_attention" and chunked_bias is not None:
+            bias_i = chunked_bias
+        else:
+            bias_i = bias
+        cos_i, sin_i = (
+            (cos_local, sin_local)
+            if (sliding and cos_local is not None)
+            else (cos, sin)
         )
-        attn = attn @ params[f"{prefix}.self_attn.o_proj.weight"].T
-        x = residual + attn
+
+        if cfg.dual_sublayer:
+            x = _longcat_layer(params, cfg, prefix, x, bias_i, cos_i, sin_i)
+            if i in capture_set:
+                captured[i] = x
+            continue
 
         residual = x
-        y = _rms(x, params[f"{prefix}.post_attention_layernorm.weight"],
-                 cfg.rms_norm_eps)
+        y = _norm(cfg, x, params[f"{prefix}.input_layernorm.weight"])
+        if kind == "linear_attention":
+            attn = _gdn_attention(params, cfg, prefix, y, attention_mask)
+        elif cfg.attn_variant == "mla":
+            attn = _mla_attention(params, cfg, prefix, y, bias_i, cos_i, sin_i)
+        else:
+            attn = _std_attention(
+                params, cfg, prefix, y, bias_i, cos_i, sin_i, layer_idx=i
+            )
+        if cfg.sandwich_norms:  # gemma3 post-norms on the block OUTPUT
+            attn = _norm(
+                cfg, attn, params[f"{prefix}.post_attention_layernorm.weight"]
+            )
+            x = residual + attn
+            residual = x
+            y = _norm(
+                cfg, x, params[f"{prefix}.pre_feedforward_layernorm.weight"]
+            )
+        else:
+            x = residual + attn
+            residual = x
+            y = _norm(
+                cfg, x, params[f"{prefix}.post_attention_layernorm.weight"]
+            )
+
         if cfg.is_moe_layer(i):
+            y_in = y
             if moe_impl == "ep":
+                if cfg.moe_variant != "qwen":
+                    raise ValueError(
+                        "moe_impl='ep' currently supports qwen-style MoE "
+                        f"targets only (got {cfg.moe_variant!r})"
+                    )
                 y, overflow = _moe_mlp_ep(
                     params, cfg, prefix, y, moe_mesh,
                     capacity_factor=moe_capacity_factor,
                     token_valid=attention_mask,
                 )
                 moe_overflow = moe_overflow + overflow
+            elif cfg.moe_variant == "deepseek":
+                y = _moe_deepseek(params, cfg, prefix, y)
+            elif cfg.moe_variant == "gptoss":
+                y = _moe_gptoss(params, cfg, prefix, y)
+            elif cfg.moe_variant == "llama4":
+                y = _moe_llama4(params, cfg, prefix, y)
             else:
                 y = _moe_mlp(params, cfg, prefix, y, impl=moe_impl)
+            if cfg.shared_expert_gated:
+                # qwen3_next: sigmoid-gated always-on shared expert on the
+                # MoE INPUT (HF Qwen3NextSparseMoeBlock.forward)
+                shared = _dense_mlp(
+                    params, cfg, f"{prefix}.mlp.shared_expert", y_in
+                )
+                gate = _linear(
+                    params, f"{prefix}.mlp.shared_expert_gate", y_in
+                )
+                y = y + jax.nn.sigmoid(gate.astype(jnp.float32)).astype(
+                    shared.dtype
+                ) * shared
         else:
-            gate = y @ params[f"{prefix}.mlp.gate_proj.weight"].T
-            up = y @ params[f"{prefix}.mlp.up_proj.weight"].T
-            y = (_act(cfg.hidden_act)(gate) * up) @ params[
-                f"{prefix}.mlp.down_proj.weight"
-            ].T
+            # llama4 names the dense block feed_forward (Llama4TextMLP with
+            # intermediate_size_mlp), everyone else mlp
+            mlp_prefix = (
+                f"{prefix}.feed_forward"
+                if cfg.moe_variant == "llama4"
+                else f"{prefix}.mlp"
+            )
+            y = _dense_mlp(params, cfg, mlp_prefix, y)
+        if cfg.sandwich_norms:
+            y = _norm(
+                cfg, y, params[f"{prefix}.post_feedforward_layernorm.weight"]
+            )
         x = residual + y
 
         if i in capture_set:
             captured[i] = x
 
-    last_hidden = _rms(x, params["model.norm.weight"], cfg.rms_norm_eps)
+    last_hidden = _norm(cfg, x, params["model.norm.weight"])
     missing = capture_set - set(captured)
     if missing:
         raise ValueError(
