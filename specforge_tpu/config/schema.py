@@ -126,6 +126,25 @@ class ManagedLocalStackConfig(StrictModel):
     capture_layers: Optional[List[int]] = None
     #: max_length for the spawned capture servers.
     capture_max_length: int = Field(default=2048, gt=0)
+    #: shard each spawned capture server's target over N local devices
+    #: (0 = all local devices, 1 = single-device) — the per-server tp_size
+    #: of the reference (ref schema.py:314); targets larger than one
+    #: chip's HBM need this online just like offline capture does.
+    capture_shard_devices: int = Field(default=1, ge=0)
+    #: MoE path for the spawned servers' targets; "ep" keeps expert tables
+    #: sharded over the capture mesh (ref sglang_ep_size, schema.py:863).
+    capture_moe_impl: Optional[Literal["dense", "gathered", "ep"]] = None
+    #: EP per-shard row budget multiplier (None = full capacity).
+    capture_moe_capacity_factor: Optional[float] = Field(default=None, gt=0)
+
+    @model_validator(mode="after")
+    def _validate_capture_moe(self):
+        if self.capture_moe_impl == "ep" and self.capture_shard_devices == 1:
+            raise ValueError(
+                "capture_moe_impl='ep' needs capture_shard_devices != 1 "
+                "(expert tables shard over the capture mesh)"
+            )
+        return self
 
 
 class DeploymentConfig(StrictModel):

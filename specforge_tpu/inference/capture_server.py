@@ -73,7 +73,9 @@ class CaptureEngine:
 
     def __init__(self, target_model_path: str, capture_layers: Sequence[int],
                  layout: str = "eagle", max_length: int = 2048,
-                 target_config=None, target_params=None, mesh=None):
+                 target_config=None, target_params=None, mesh=None,
+                 moe_impl: Optional[str] = None,
+                 moe_capacity_factor: Optional[float] = None):
         from specforge_tpu.offline_capture.capture import (
             OfflineCaptureConfig,
             OfflineCaptureRunner,
@@ -93,6 +95,8 @@ class CaptureEngine:
             target_config=target_config,
             target_params=target_params,
             mesh=mesh,
+            moe_impl=moe_impl,
+            moe_capacity_factor=moe_capacity_factor,
         )
         self.aux_name, self.last_name = {
             "eagle": ("hidden_state", "target"),

@@ -22,6 +22,23 @@ def main() -> int:
     parser.add_argument("--layout", default="eagle",
                         choices=["eagle", "dflash"])
     parser.add_argument("--max-length", type=int, default=2048)
+    parser.add_argument(
+        "--shard-over-devices", type=int, default=1, metavar="N",
+        help="shard the target over N local devices (fsdp mesh; 0 = all "
+             "local devices, 1 = single-device) — the online counterpart "
+             "of the reference's per-server tp_size "
+             "(ref specforge/config/schema.py:314)",
+    )
+    parser.add_argument(
+        "--moe-impl", choices=("dense", "gathered", "ep"),
+        help="MoE path for MoE targets; 'ep' keeps expert tables sharded "
+             "over the mesh (requires --shard-over-devices != 1)",
+    )
+    parser.add_argument(
+        "--moe-capacity-factor", type=float,
+        help="EP per-shard row budget as a multiple of rows/ep "
+             "(default: full capacity, never drops)",
+    )
     args = parser.parse_args()
 
     capture_layers = args.capture_layers
@@ -59,9 +76,26 @@ def main() -> int:
         CaptureServer,
     )
 
+    mesh = None
+    if args.shard_over_devices != 1:
+        import jax
+
+        from specforge_tpu.parallel.mesh import MeshConfig, build_mesh
+
+        n = args.shard_over_devices or jax.device_count()
+        if n > jax.device_count():
+            raise SystemExit(
+                f"--shard-over-devices {n} exceeds the {jax.device_count()} "
+                f"local devices"
+            )
+        mesh = build_mesh(MeshConfig(fsdp=n), devices=jax.devices()[:n])
+        print(f"sharding target over {n} devices", flush=True)
+
     engine = CaptureEngine(
         args.target_model, capture_layers=tuple(capture_layers),
-        layout=layout, max_length=max_length,
+        layout=layout, max_length=max_length, mesh=mesh,
+        moe_impl=args.moe_impl,
+        moe_capacity_factor=args.moe_capacity_factor,
     )
     server = CaptureServer(engine, host=args.host, port=args.port)
     stop = threading.Event()

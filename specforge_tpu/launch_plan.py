@@ -142,6 +142,17 @@ def build_launch_plan(
                 server_argv += ["--capture-layers"] + [
                     str(layer) for layer in stack.capture_layers
                 ]
+            if stack.capture_shard_devices != 1:
+                server_argv += [
+                    "--shard-over-devices", str(stack.capture_shard_devices)
+                ]
+            if stack.capture_moe_impl:
+                server_argv += ["--moe-impl", stack.capture_moe_impl]
+            if stack.capture_moe_capacity_factor is not None:
+                server_argv += [
+                    "--moe-capacity-factor",
+                    str(stack.capture_moe_capacity_factor),
+                ]
             commands.append(PlannedCommand(
                 name=f"capture_server_{i}",
                 argv=tuple(server_argv),

@@ -77,6 +77,39 @@ def test_plan_managed_local_includes_services():
     assert rendered["kind"] == "managed_supervisor"
 
 
+def test_plan_managed_local_capture_sharding_flags():
+    """capture_shard_devices / capture_moe_* plumb through to the spawned
+    server's argv (online per-server tp_size, ref schema.py:314)."""
+    config = _cfg(
+        deployment={
+            "mode": "disaggregated",
+            "server_urls": ["http://127.0.0.1:38202"],
+            "managed_local": {
+                "capture_shard_devices": 0,
+                "capture_moe_impl": "ep",
+                "capture_moe_capacity_factor": 1.5,
+            },
+        },
+        training={"role": "auto"},
+        runtime={"store_backend": "network",
+                 "store_endpoint": "127.0.0.1:38151"},
+    )
+    plan = build_launch_plan(config, "cfg.json", managed_local=True)
+    argv = " ".join(
+        next(c for c in plan.commands if c.name == "capture_server_0").argv
+    )
+    assert "--shard-over-devices 0" in argv
+    assert "--moe-impl ep" in argv
+    assert "--moe-capacity-factor 1.5" in argv
+
+
+def test_managed_local_ep_needs_sharding():
+    from specforge_tpu.config.schema import ManagedLocalStackConfig
+
+    with pytest.raises(ValueError, match="capture_shard_devices"):
+        ManagedLocalStackConfig(capture_moe_impl="ep")
+
+
 def test_run_commands_supervises_and_tears_down(tmp_path):
     marker = tmp_path / "service_alive"
     plan = LaunchPlan(kind="supervisor", commands=(
