@@ -210,3 +210,74 @@ def load_exported_draft(export_dir: str, fallback_embedding=None):
             "d2t": jnp.asarray(tensors["d2t"].astype(np.int32)),
         }
     return module, {"params": params, "buffers": buffers}
+
+
+def load_exported_dflash_draft(export_dir: str):
+    """Load a DFlash-family SGLang export (exporter._export_dflash_to_sglang
+    normalization) into (module, variables) for block speculation.
+
+    The export's config keeps ``dflash_config`` nested; projector_type picks
+    the draft class (the normalized ``architectures`` carry serving names —
+    DFlashDraftModel / Qwen3DSparkModel — not trainer names). Variable init
+    routes through every auxiliary head so the reverse torch→flax mapper has
+    a complete template tree to fill."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from specforge_tpu.models.draft.dflash import (
+        DFlashConfig,
+        DFlashDraftModel,
+    )
+    from specforge_tpu.models.draft.domino import DominoDraftModel
+    from specforge_tpu.models.draft.dspark import DSparkDraftModel
+    from specforge_tpu.training.model_loading import _load_from_safetensors
+
+    with open(os.path.join(export_dir, "config.json")) as f:
+        raw = json.load(f)
+    projector = (
+        (raw.get("dflash_config") or {}).get("projector_type") or "dflash"
+    )
+    cls = {
+        "dflash": DFlashDraftModel,
+        "domino": DominoDraftModel,
+        "dspark": DSparkDraftModel,
+    }[projector]
+    config = DFlashConfig.from_dict(raw)
+    module = cls(config, dtype=jnp.bfloat16)
+
+    bs = config.block_size
+    h = config.hidden_size
+    n_cap = len(config.resolved_target_layer_ids)
+
+    def init_all(mod, noise, ctx, ctx_pos, draft_pos, anchors, keep,
+                 prev_emb, prev_ids):
+        hidden = mod(noise, ctx, ctx_pos, draft_pos, anchors, keep)
+        hs = hidden[:, None]  # [1, 1, bs, h]
+        base = jnp.zeros((1, 1, bs, config.vocab_size), jnp.float32)
+        mod.apply_logits_head(
+            base, prev_token_ids=prev_ids,
+            prev_token_embeddings=prev_emb, hidden_states=hs,
+        )
+        mod.predict_confidence(hs, prev_token_ids=prev_ids)
+        return hidden
+
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, bs, h), jnp.bfloat16),
+        jnp.zeros((1, 8, n_cap * h), jnp.bfloat16),
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, bs), jnp.int32),
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1, 1), bool),
+        jnp.zeros((1, 1, bs, h), jnp.bfloat16),
+        jnp.zeros((1, 1, bs), jnp.int32),
+        method=init_all,
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    buffers = dict(variables.get("buffers", {}))
+    params, buffers = _load_from_safetensors(
+        os.path.join(export_dir, "model.safetensors"), params, buffers
+    )
+    return module, {"params": params, "buffers": buffers}

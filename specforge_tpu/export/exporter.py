@@ -20,6 +20,27 @@ import numpy as np
 #: keys the sglang EAGLE3 spec-decoder loader requires in a draft checkpoint.
 REQUIRED_SGLANG_KEYS = ("fc.weight", "norm.weight", "lm_head.weight", "t2d", "d2t")
 
+#: backbone keys every DFlash-family serving draft must carry, plus the
+#: per-projector auxiliary-head keys (reference
+#: scripts/gates/normalize_dflash_export.py validates the config side; the
+#: key check here catches a head the flax→torch flattener dropped).
+REQUIRED_SGLANG_KEYS_DFLASH = (
+    "fc.weight", "hidden_norm.weight", "norm.weight",
+)
+_DFLASH_HEAD_KEYS = {
+    "domino": (
+        "prefix_gru.weight_ih_l0", "prefix_gru.weight_hh_l0",
+        "embed_proj.0.weight", "embed_proj.2.weight",
+    ),
+    "dspark": ("markov_head.markov_w1.weight", "markov_head.markov_w2.weight"),
+}
+#: dspark method-config fields SGLang's standalone loader reads top-level
+#: (reference normalize_dflash_export.py:12-17).
+_DSPARK_TOP_LEVEL_FIELDS = (
+    "markov_rank", "markov_head_type", "enable_confidence_head",
+    "confidence_head_with_markov",
+)
+
 #: per-architecture trainer-key → serving-key renames ({} = identity).
 WEIGHT_MAPS: Dict[str, Dict[str, str]] = {
     "LlamaEagle3Draft": {},
@@ -210,10 +231,16 @@ def export_to_sglang(
 ) -> str:
     state, payload = load_training_state(checkpoint)
     strategy = payload.get("contract", {}).get("strategy")
+    if strategy in ("dflash", "domino", "dspark"):
+        return _export_dflash_to_sglang(
+            state, strategy, output_dir,
+            draft_config_path=draft_config_path, weight_map=weight_map,
+        )
     if strategy not in (None, "eagle3"):
         raise ValueError(
-            "the SGLang exporter supports EAGLE3 checkpoints only, got "
-            f"strategy={strategy!r}; use --to hf for other families"
+            "the SGLang exporter supports EAGLE3 and DFlash-family "
+            f"checkpoints, got strategy={strategy!r}; use --to hf for "
+            "other families"
         )
     draft_params, draft_buffers = _extract_draft(state)
     if drop_embedding:
@@ -239,6 +266,104 @@ def export_to_sglang(
     os.makedirs(output_dir, exist_ok=True)
     _write_safetensors(os.path.join(output_dir, "model.safetensors"), serving)
     _write_config(output_dir, draft_config_path)
+    return output_dir
+
+
+def _export_dflash_to_sglang(
+    state: Dict[str, Any],
+    strategy: str,
+    output_dir: str,
+    *,
+    draft_config_path: Optional[str] = None,
+    weight_map: Optional[Dict[str, str]] = None,
+) -> str:
+    """DFlash-family serving export with the config normalization SGLang's
+    standalone loaders expect (reference
+    scripts/gates/normalize_dflash_export.py:1-113): architectures become
+    the serving class, dspark's method fields hoist top-level, block_size
+    must be declared, auto_map is dropped. Drafts carry no embedding (they
+    read the target's at serve time), so there is nothing to strip."""
+    if not draft_config_path:
+        raise ValueError(
+            "DFlash-family SGLang export needs --draft-config (the serving "
+            "config carries block_size + dflash_config)"
+        )
+    with open(draft_config_path) as f:
+        config = json.load(f)
+    block_size = config.get("block_size")
+    if not isinstance(block_size, int) or block_size <= 1:
+        raise ValueError(
+            f"DFlash-family export requires integer block_size > 1 in the "
+            f"draft config, got {block_size!r}"
+        )
+    method = dict(config.get("dflash_config") or {})
+    projector = method.get("projector_type") or "dflash"
+    expected = {"dflash": "dflash", "domino": "domino", "dspark": "dspark"}
+    if expected.get(projector) != (
+        "dflash" if strategy == "dflash" else strategy
+    ):
+        raise ValueError(
+            f"strategy {strategy!r} does not match "
+            f"dflash_config.projector_type={projector!r}"
+        )
+
+    draft_params, draft_buffers = _extract_draft(state)
+    serving = flax_to_serving_state(draft_params, draft_buffers)
+    if weight_map:
+        serving = {weight_map.get(k, k): v for k, v in serving.items()}
+
+    required = list(REQUIRED_SGLANG_KEYS_DFLASH)
+    if strategy == "domino":
+        required += _DFLASH_HEAD_KEYS["domino"]
+    if strategy == "dspark" and method.get("markov_rank", 0) > 0:
+        required += _DFLASH_HEAD_KEYS["dspark"]
+    missing = [k for k in required if k not in serving]
+    if missing:
+        raise ValueError(
+            f"serving state missing required keys {missing}; the serving "
+            f"loader would silently produce a broken draft. Present: "
+            f"{sorted(serving)[:8]}..."
+        )
+
+    # config normalization (reference normalize_dflash_export semantics)
+    config.pop("auto_map", None)
+    if strategy == "dspark":
+        rank = method.get("markov_rank", config.get("markov_rank", 0))
+        if not isinstance(rank, int) or isinstance(rank, bool) or rank <= 0:
+            raise ValueError(
+                f"DSpark export requires a positive integer markov_rank, "
+                f"got {rank!r}"
+            )
+        head_type = str(
+            method.get("markov_head_type", config.get("markov_head_type"))
+            or ""
+        ).lower()
+        if head_type not in ("vanilla", "gated", "rnn"):
+            raise ValueError(
+                "DSpark export requires markov_head_type in "
+                f"('vanilla', 'gated', 'rnn'), got {head_type!r}"
+            )
+        for key in _DSPARK_TOP_LEVEL_FIELDS:
+            nested = method.get(key)
+            if nested is None:
+                continue
+            top = config.get(key)
+            if top is not None and top != nested:
+                raise ValueError(
+                    f"DSpark config conflict for {key}: top-level {top!r} "
+                    f"!= dflash_config {nested!r}"
+                )
+            config[key] = nested
+        config["markov_rank"] = rank
+        config["markov_head_type"] = head_type
+        config["architectures"] = ["Qwen3DSparkModel"]
+    else:
+        config["architectures"] = ["DFlashDraftModel"]
+
+    os.makedirs(output_dir, exist_ok=True)
+    _write_safetensors(os.path.join(output_dir, "model.safetensors"), serving)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
     return output_dir
 
 

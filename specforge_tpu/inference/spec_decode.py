@@ -719,6 +719,68 @@ class DFlashSpecDecoder:
             )
 
         self._draft_forward = jax.jit(draft_forward)
+        self._projector = draft_module.config.projector_type or "dflash"
+
+        def head_forward(variables, base4, hidden4, prev_emb, prev_ids):
+            return draft_module.apply(
+                variables, base4,
+                prev_token_ids=prev_ids,
+                prev_token_embeddings=prev_emb,
+                hidden_states=hidden4,
+                method="apply_logits_head",
+            )
+
+        self._head_forward = jax.jit(head_forward)
+
+    def _propose(self, draft_hidden, block_ids: np.ndarray) -> list:
+        """Greedy block proposals (bs-1 tokens) with the family's auxiliary
+        logits head applied CAUSALLY within the block — domino feeds the
+        GRU the embeddings of already-committed tokens, dspark feeds the
+        Markov head the previous sampled id (reference
+        Domino._sample_draft_tokens / MarkovHead.sample_block_tokens);
+        plain DFlash takes one argmax over the base logits."""
+        bs = self.block_size
+        lm = jnp.asarray(self._lm_head, jnp.float32)
+        base = np.asarray(jnp.einsum(
+            "bsh,vh->bsv", draft_hidden.astype(jnp.float32), lm
+        ))                                            # [1, bs, V]
+        if self._projector == "dflash":
+            return base[0, 1:].argmax(axis=-1).tolist()
+
+        if self._projector == "domino":
+            shift = self.draft.config.shift_label
+            completed = np.asarray(block_ids, np.int64).copy()  # [1, bs]
+            hidden4 = draft_hidden[:, None]                     # [1,1,bs,h]
+            base4 = jnp.asarray(base[:, None])
+            embed = np.asarray(self._embed, np.float32)
+            for pos in range(1, bs):
+                prev_emb = jnp.asarray(
+                    embed[completed][:, None], jnp.float32
+                )                                               # [1,1,bs,e]
+                final = np.asarray(self._head_forward(
+                    self.draft_variables, base4, hidden4, prev_emb, None
+                ))
+                head_pos = pos - 1 if shift else pos
+                completed[0, pos] = int(final[0, 0, head_pos].argmax())
+            return completed[0, 1:].tolist()
+
+        # dspark: prev ids per block position (position j's prev = sampled
+        # j-1); heads are causal in prev ids, so iterative refill is exact
+        prev_ids = np.zeros((1, 1, bs), np.int64)
+        prev_ids[0, 0, 0] = int(block_ids[0, 0])
+        hidden4 = draft_hidden[:, None]
+        base4 = jnp.asarray(base[:, None])
+        out = []
+        for pos in range(1, bs):
+            prev_ids[0, 0, pos] = (
+                out[-1] if out else int(block_ids[0, 0])
+            )
+            final = np.asarray(self._head_forward(
+                self.draft_variables, base4, hidden4, None,
+                jnp.asarray(prev_ids),
+            ))
+            out.append(int(final[0, 0, pos].argmax()))
+        return out
 
     def _target_forward(self, ids: np.ndarray, state: TargetState):
         logits, aux, ck, cv = target_cached_forward(

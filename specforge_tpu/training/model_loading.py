@@ -146,7 +146,11 @@ def _load_from_safetensors(path, draft_params, draft_buffers):
             if parent and parent[-1] in linear:
                 key = tuple(parent + ["kernel"])
                 value = np.asarray(value).T
-            elif parent and "embed" in parent[-1]:
+            elif parent and (
+                "embed" in parent[-1] or parent[-1] == "markov_w1"
+            ):
+                # nn.Embed tables (incl. dspark's markov_w1 prev-token
+                # embedding): torch "weight" → flax "embedding", no transpose
                 key = tuple(parent + ["embedding"])
             else:
                 key = tuple(parent + ["weight"])
