@@ -23,7 +23,9 @@ from __future__ import annotations
 import base64
 import json
 import logging
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -31,6 +33,83 @@ import ml_dtypes
 import numpy as np
 
 logger = logging.getLogger("specforge_tpu.capture_server")
+
+
+class RequestCoalescer:
+    """Server-side micro-batching for concurrent single /generate requests:
+    collect requests for a short window (or until ``max_batch``), run ONE
+    bucketed forward. Without this, N threads each pay a full prefill under
+    the device lock; with it they share one — the server-side version of
+    the reference's patch-side capture batching win (D2H 5-8 → 3.8
+    ms/sample, BASELINE.md) for clients that don't use /generate_batch.
+
+    A dedicated worker drains the queue; each item carries an event the
+    handler thread blocks on. ``window_ms`` bounds added latency for a lone
+    request after the first arrives (the first dequeue blocks, costing
+    idle servers nothing)."""
+
+    def __init__(self, engine, window_ms: float = 4.0, max_batch: int = 16):
+        self._engine = engine
+        self._window = window_ms / 1000.0
+        self._max = max_batch
+        self._q: "queue.Queue" = queue.Queue()
+        self.batches_run = 0       # telemetry: forwards actually executed
+        self.requests_served = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def capture(self, input_ids: np.ndarray, loss_mask: np.ndarray):
+        item = {
+            "sample": (input_ids, loss_mask),
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        self._q.put(item)
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def stop(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self._window
+            while len(batch) < self._max:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch):
+        try:
+            results = self._engine.capture_batch(
+                [it["sample"] for it in batch]
+            )
+            for it, res in zip(batch, results):
+                it["result"] = res
+        except Exception as exc:  # noqa: BLE001 — propagate to each waiter
+            for it in batch:
+                it["error"] = exc
+        self.batches_run += 1
+        self.requests_served += len(batch)
+        for it in batch:
+            it["event"].set()
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -150,8 +229,13 @@ def _tensor_meta(tensors: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 class CaptureServer:
     def __init__(self, engine: CaptureEngine, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, coalesce_window_ms: float = 4.0,
+                 coalesce_max_batch: int = 16):
         self.engine = engine
+        self.coalescer = RequestCoalescer(
+            engine, window_ms=coalesce_window_ms,
+            max_batch=coalesce_max_batch,
+        )
         self._stores: Dict[str, Any] = {}
         self._lock = threading.Lock()
         server = self
@@ -162,8 +246,14 @@ class CaptureServer:
 
             def do_GET(self):
                 if self.path == "/health":
-                    self._reply(200, {"status": "ok",
-                                      "layout": engine.layout})
+                    self._reply(200, {
+                        "status": "ok",
+                        "layout": engine.layout,
+                        "coalesce": {
+                            "batches": server.coalescer.batches_run,
+                            "requests": server.coalescer.requests_served,
+                        },
+                    })
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -243,7 +333,8 @@ class CaptureServer:
         )
         sample_id = str(body.get("sample_id", "sample"))
         spec = body.get("spec_capture") or {}
-        tensors = self.engine.capture(input_ids, loss_mask)
+        # concurrent single requests coalesce into one bucketed forward
+        tensors = self.coalescer.capture(input_ids, loss_mask)
         return self._sink_one(sample_id, tensors, spec)
 
     def _sink_one(
@@ -302,3 +393,4 @@ class CaptureServer:
         self.httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        self.coalescer.stop()

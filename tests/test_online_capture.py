@@ -225,3 +225,94 @@ def test_online_disaggregated_end_to_end(capture_server, store_server,
 def _target_path(capture_server):
     # the engine holds the target path via its runner config
     return capture_server.engine._runner.config.target_model_path
+
+
+def test_concurrent_generate_requests_coalesce(tiny_target):
+    """N threads firing single /generate requests must coalesce into far
+    fewer device forwards than requests (server-side micro-batching,
+    round-3 verdict item 5): at equal bucket shapes each forward costs the
+    same, so batches <= requests/2 means >= 2x requests/s vs the
+    round-2 behavior of one serialized forward per request."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+
+    import ml_dtypes
+
+    engine = CaptureEngine(
+        tiny_target, capture_layers=(1, 2, 2), layout="eagle",
+        max_length=MAXLEN,
+    )
+    server = CaptureServer(engine, coalesce_window_ms=25.0).start()
+    try:
+        rng = np.random.default_rng(7)
+        n_req = 12
+        payloads = []
+        for i in range(n_req):
+            length = int(rng.integers(10, MAXLEN))
+            payloads.append({
+                "input_ids": rng.integers(0, V, size=length).tolist(),
+                "loss_mask": [1] * length,
+                "sample_id": f"c{i}",
+                "spec_capture": {"sink": "inline"},
+            })
+
+        # warm the jit cache so the first request's compile doesn't hold
+        # the worker past every later arrival in one giant batch
+        engine.capture_batch([(np.zeros(8, np.int64), np.ones(8, np.int64))])
+
+        results = [None] * n_req
+
+        def fire(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/generate",
+                data=json.dumps(payloads[i]).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [
+            threading.Thread(target=fire, args=(i,)) for i in range(n_req)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        # every response correct: echoes its own sample and parses
+        for i, res in enumerate(results):
+            spec = res["meta_info"]["spec_capture"]
+            assert spec["sample_id"] == f"c{i}"
+            meta = spec["features"]["hidden_state"]
+            arr = np.frombuffer(
+                base64.b64decode(spec["data"]["hidden_state"]),
+                dtype=ml_dtypes.bfloat16,
+            ).reshape(meta["shape"])
+            assert arr.shape == (len(payloads[i]["input_ids"]), 3 * H)
+
+        batches = server.coalescer.batches_run
+        assert server.coalescer.requests_served == n_req
+        assert batches <= n_req // 2, (
+            f"{n_req} concurrent requests ran {batches} forwards — "
+            f"coalescing is not happening"
+        )
+
+        # coalesced output == dedicated single capture (exactness)
+        solo = engine.capture(
+            np.asarray(payloads[0]["input_ids"], np.int64),
+            np.asarray(payloads[0]["loss_mask"], np.int64),
+        )
+        spec0 = results[0]["meta_info"]["spec_capture"]
+        arr0 = np.frombuffer(
+            base64.b64decode(spec0["data"]["hidden_state"]),
+            dtype=ml_dtypes.bfloat16,
+        ).reshape(spec0["features"]["hidden_state"]["shape"])
+        np.testing.assert_allclose(
+            arr0.astype(np.float32),
+            solo["hidden_state"].astype(np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+    finally:
+        server.stop()
