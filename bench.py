@@ -349,6 +349,9 @@ def bench_peagle(seq, steps):
     # ~12 GB fp32 — past one v5e chip's 15.75 GB. Factored second moments
     # + no first moment (adam_b1=0) make the single-chip config feasible.
     factored = os.environ.get("BENCH_FACTORED_MOMENTS", "1") == "1"
+    # batched COD (round-3): bs>1 amortizes the 1.5B draft's HBM-bound
+    # master-param traffic that made bs1 the MFU floor
+    batch = int(os.environ.get("BENCH_PEAGLE_BATCH", "1"))
     num_depths, dsr, dsr_min = 8, 0.7, 0.2
     draft_config = {
         "architectures": ["PEagleDraftModel"],
@@ -411,17 +414,17 @@ def bench_peagle(seq, steps):
     np_rng = np.random.default_rng(0)
     batch_tensors = {
         "input_ids": jnp.asarray(
-            np_rng.integers(0, vocab, size=(1, 1, seq))
+            np_rng.integers(0, vocab, size=(1, batch, seq))
         ),
-        "attention_mask": jnp.ones((1, 1, seq), jnp.int32),
+        "attention_mask": jnp.ones((1, batch, seq), jnp.int32),
         "loss_mask": jnp.asarray(
-            (np_rng.random((1, 1, seq, 1)) > 0.2).astype(np.int32)
+            (np_rng.random((1, batch, seq, 1)) > 0.2).astype(np.int32)
         ),
         "hidden_state": jnp.asarray(
-            np_rng.normal(size=(1, 1, seq, 3 * cfg.hidden_size))
+            np_rng.normal(size=(1, batch, seq, 3 * cfg.hidden_size))
         ).astype(jnp.bfloat16),
         "target": jnp.asarray(
-            np_rng.normal(size=(1, 1, seq, cfg.hidden_size))
+            np_rng.normal(size=(1, batch, seq, cfg.hidden_size))
         ).astype(jnp.bfloat16),
     }
     head_w = jax.random.normal(
@@ -440,11 +443,11 @@ def bench_peagle(seq, steps):
         state, metrics = step_fn(state, batch_tensors, frozen)
     final_loss = float(metrics["train/loss"])
     dt = (time.monotonic() - t0) / steps
-    flops = peagle_step_flops(seq, cfg, num_depths, dsr, dsr_min)
+    flops = batch * peagle_step_flops(seq, cfg, num_depths, dsr, dsr_min)
     peak, gen = detect_peak()
     mfu = flops / dt / peak
     print(
-        f"peagle step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
+        f"peagle b{batch} step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
         f"{flops/dt/1e12:.1f}TF/s peak[{gen}]={peak/1e12:.0f}TF/s "
         f"loss={final_loss:.3f}",
         file=sys.stderr,

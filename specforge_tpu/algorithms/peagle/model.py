@@ -12,11 +12,16 @@ shapes:
 - The COD attention predicate (same document ∧ (kv at depth 0 ∧ anchor-causal,
   or same rollout ∧ depth-ordered)) is evaluated as a dense [T, T] boolean
   allow-mask from the (anchor, depth, doc, valid) vectors.
-- Sampling is keyed RNG (fold in the step) — the determinism contract for
-  parity gates.
+- Sampling is keyed RNG (fold in the step, split per batch row) — the
+  determinism contract for parity gates.
 
-Batch size is 1 per rank (the reference constraint; packed documents ride the
-``lengths`` vector).
+The reference constrains batch size to 1 per rank
+(specforge/algorithms/peagle/model.py bs1 context); nothing in the math
+requires it once shapes are static, so this model batches: the per-sample
+sampler/mask vmap over the batch and the backbone/loss run once over
+[B, T, ...] — bs>1 amortizes the 1.5B draft's HBM-bound master-parameter
+traffic that makes bs1 the MFU floor (round-2 verdict W2). Packed documents
+still ride the per-sample ``lengths`` vectors.
 """
 
 from __future__ import annotations
@@ -139,43 +144,44 @@ class OnlinePEagleModel(nn.Module):
 
     def __call__(
         self,
-        input_ids: jnp.ndarray,       # [1, S]
-        attention_mask: jnp.ndarray,  # [1, S]
-        target: jnp.ndarray,          # [1, S, V] teacher logits
-        loss_mask: jnp.ndarray,       # [1, S] or [1, S, 1]
-        hidden_states: jnp.ndarray,   # [1, S, 3*target_hidden]
+        input_ids: jnp.ndarray,       # [B, S]
+        attention_mask: jnp.ndarray,  # [B, S]
+        target: jnp.ndarray,          # [B, S, V] teacher logits
+        loss_mask: jnp.ndarray,       # [B, S] or [B, S, 1]
+        hidden_states: jnp.ndarray,   # [B, S, 3*target_hidden]
         rng: jax.Array,
         lengths: Optional[jnp.ndarray] = None,
         embed_delta: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-        if input_ids.shape[0] != 1:
-            raise ValueError("P-EAGLE requires per-rank batch size 1")
-        s = input_ids.shape[1]
+        b, s = input_ids.shape
         if loss_mask.ndim == 3:
             loss_mask = loss_mask[..., 0]
         if lengths is None:
-            # batch-size-1 offline path: one document of the true length
-            lengths = attention_mask[0].sum().astype(jnp.int32)[None]
-        lengths = lengths.reshape(-1).astype(jnp.int32)
-        doc_ids = document_ids_from_lengths(lengths, s)
+            # offline path: one document of the true length per row
+            lengths = attention_mask.sum(axis=-1).astype(jnp.int32)[:, None]
+        lengths = lengths.reshape(b, -1).astype(jnp.int32)
+        doc_ids = jax.vmap(
+            document_ids_from_lengths, in_axes=(0, None)
+        )(lengths, s)                                          # [B, S]
 
-        sample = generate_cod_sample_indices(
-            rng,
-            loss_mask[0],
-            doc_ids,
-            self.num_depths,
-            self.down_sample_ratio,
-            self.down_sample_ratio_min,
-        )
-        orig_positions = sample.anchor_pos + sample.depth
+        # per-row keyed sampling; the sampler and mask builder are pure
+        # per-sample functions, vmapped over the batch
+        rngs = jax.random.split(rng, b)
+        sample = jax.vmap(
+            lambda r, lm, di: generate_cod_sample_indices(
+                r, lm, di, self.num_depths, self.down_sample_ratio,
+                self.down_sample_ratio_min,
+            )
+        )(rngs, loss_mask, doc_ids)                            # fields [B, T]
+        orig_positions = sample.anchor_pos + sample.depth      # [B, T]
         is_depth0 = sample.depth == 0
 
         # sampled token ids: real token at depth 0, mask token elsewhere
         sampled_ids = jnp.where(
             is_depth0,
-            jnp.take(input_ids[0], orig_positions),
+            jnp.take_along_axis(input_ids, orig_positions, axis=1),
             self.mask_token_id,
-        )[None]
+        )
         inputs_embeds = self.draft_model.embed_input_ids(sampled_ids)
         if embed_delta is not None:
             # row-sparse embedding-update surrogate: zeros in the forward
@@ -188,25 +194,25 @@ class OnlinePEagleModel(nn.Module):
 
         # sampled features: target hidden at depth 0, learned mask vector else
         mask_hidden = self.draft_model.get_mask_hidden()[0, 0]
-        gathered_hidden = jnp.take(
-            hidden_states[0], orig_positions, axis=0
+        gathered_hidden = jnp.take_along_axis(
+            hidden_states, orig_positions[..., None], axis=1
         )
         sampled_hidden = jnp.where(
-            is_depth0[:, None],
+            is_depth0[..., None],
             gathered_hidden,
-            mask_hidden.astype(gathered_hidden.dtype)[None, :],
-        )[None]
+            mask_hidden.astype(gathered_hidden.dtype)[None, None, :],
+        )
         sampled_hidden = self.draft_model.project_hidden_states(sampled_hidden)
 
-        allow = peagle_allow_mask(sample, doc_ids)[None]
-        position_ids = orig_positions[None]
+        allow = jax.vmap(peagle_allow_mask)(sample, doc_ids)   # [B, T, T]
+        position_ids = orig_positions
         # COD property vectors let the Pallas backend compute the same mask
         # in-kernel (anchor doc-id indirection pre-applied)
         cod_props = (
-            sample.anchor_pos[None],
-            sample.depth[None],
-            jnp.take(doc_ids, sample.anchor_pos)[None],
-            sample.valid[None],
+            sample.anchor_pos,
+            sample.depth,
+            jnp.take_along_axis(doc_ids, sample.anchor_pos, axis=1),
+            sample.valid,
         )
         h = self.draft_model.backbone(
             inputs_embeds, sampled_hidden, allow, position_ids,
@@ -220,41 +226,48 @@ class OnlinePEagleModel(nn.Module):
         )
         # int row ids of the embedded tokens (for the sparse-update path);
         # the strategy strips this from the logged metrics
-        metrics["embedded_ids"] = sampled_ids[0]
+        metrics["embedded_ids"] = sampled_ids.reshape(-1)
         return loss, metrics
 
     def _loss_and_metrics(
         self, logits, target, loss_mask, sample, orig_positions, t2d, d2t
     ):
-        sampled_loss_mask = jnp.take(
-            loss_mask[0], orig_positions
-        ).astype(jnp.float32) * sample.valid.astype(jnp.float32)
+        sampled_loss_mask = jnp.take_along_axis(
+            loss_mask, orig_positions, axis=1
+        ).astype(jnp.float32) * sample.valid.astype(jnp.float32)  # [B, T]
 
-        target32 = target[0].astype(jnp.float32)
-        target_top1 = jnp.argmax(target32, axis=-1)
-        in_draft = jnp.take(t2d, jnp.take(target_top1, orig_positions))
+        target32 = target.astype(jnp.float32)
+        target_top1 = jnp.argmax(target32, axis=-1)               # [B, S]
+        in_draft = jnp.take(
+            t2d, jnp.take_along_axis(target_top1, orig_positions, axis=1)
+        )
         sampled_loss_mask = sampled_loss_mask * in_draft.astype(jnp.float32)
 
         gather_idx = draft_gather_indices(d2t)
         # gather draft-vocab COLUMNS before expanding rows to the sampled
         # positions: the reverse order materializes a [T_sampled, V] fp32
         # intermediate (1.6 GB + a relayout copy ≈ 10 ms/step at the 152k
-        # bench shape); this order peaks at [S, draft_V]
-        target_logits = jnp.take(
-            jnp.take(target32, gather_idx, axis=-1), orig_positions, axis=0
+        # bench shape); this order peaks at [B, S, draft_V]
+        target_logits = jnp.take_along_axis(
+            jnp.take(target32, gather_idx, axis=-1),
+            orig_positions[..., None], axis=1,
         )
         target_p = jax.lax.stop_gradient(
             jax.nn.softmax(target_logits, axis=-1)
-        )[None]
-        position_mask = sampled_loss_mask[None, :, None]
+        )
+        position_mask = sampled_loss_mask[..., None]
         total_positions = position_mask.shape[0] * position_mask.shape[1]
+        # one masked mean over the whole batch: supervised positions pool
+        # across rows (sum of per-position losses / total supervised count),
+        # so the batched loss equals the denominator-weighted mean of the
+        # per-row bs1 losses — the bs1 contract generalized, not changed
         denominator = jnp.maximum(jnp.sum(sampled_loss_mask), 1e-6)
         loss = log_softmax_loss(logits, target_p, position_mask) * (
             total_positions / denominator
         )
 
-        pred_ids = jnp.argmax(logits, axis=-1)[0]
-        target_ids = jnp.argmax(target_p, axis=-1)[0]
+        pred_ids = jnp.argmax(logits, axis=-1)
+        target_ids = jnp.argmax(target_p, axis=-1)
         metrics: Dict[str, Any] = {
             "loss_sum": jax.lax.stop_gradient(loss),
             "loss_total": jnp.asarray(1.0, jnp.float32),

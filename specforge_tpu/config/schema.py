@@ -302,8 +302,6 @@ class TrainingConfig(StrictModel):
             raise ValueError(
                 "sp_ulysses_size/sp_ring_size require attention_backend=usp"
             )
-        if self.strategy == "peagle" and self.batch_size != 1:
-            raise ValueError("peagle requires training.batch_size=1")
         if self.resume_from is not None and self.role == "producer":
             raise ValueError(
                 "training.resume_from is valid only for a trainer role"

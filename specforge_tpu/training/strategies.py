@@ -352,16 +352,16 @@ class PEagleTrainStrategy(DraftTrainStrategy):
     sparse_embed_path = ("draft_model", "embed_tokens", "embedding")
 
     def sparse_embed_delta_shape(self, tensors):
-        """[1, T_sampled, H] zeros-surrogate shape for the row-sparse
+        """[B, T_sampled, H] zeros-surrogate shape for the row-sparse
         embedding update (T is static given the COD sampler config)."""
         from specforge_tpu.models.draft.peagle import cod_capacities
 
-        s = tensors["input_ids"].shape[-1]
+        b, s = tensors["input_ids"].shape[:2]
         t = sum(cod_capacities(
             s, self.model.num_depths, self.model.down_sample_ratio,
             self.model.down_sample_ratio_min,
         ))
-        return (1, t, self.model.draft_model.config.hidden_size)
+        return (b, t, self.model.draft_model.config.hidden_size)
 
     def forward_loss(self, variables, tensors, frozen, ctx, metadata=None):
         self.validate_batch(tensors)

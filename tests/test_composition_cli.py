@@ -60,10 +60,10 @@ def test_config_topology_validation():
             {"deployment": {"server_urls": ["http://x:9000"],
                             "mode": "colocated"}}
         )
-    with pytest.raises(Exception, match="batch_size=1"):
-        Config.model_validate(
-            {"training": {"strategy": "peagle", "batch_size": 2}}
-        )
+    # peagle batches since round 3 (batched COD); bs>1 must validate
+    assert Config.model_validate(
+        {"training": {"strategy": "peagle", "batch_size": 2}}
+    ).training.batch_size == 2
     with pytest.raises(Exception, match="mutually exclusive"):
         Config.model_validate({
             "model": {"draft_checkpoint_path": "/warm"},
