@@ -78,18 +78,12 @@ def main() -> int:
 
     mesh = None
     if args.shard_over_devices != 1:
-        import jax
+        from specforge_tpu.offline_capture.capture import build_capture_mesh
 
-        from specforge_tpu.parallel.mesh import MeshConfig, build_mesh
-
-        n = args.shard_over_devices or jax.device_count()
-        if n > jax.device_count():
-            raise SystemExit(
-                f"--shard-over-devices {n} exceeds the {jax.device_count()} "
-                f"local devices"
-            )
-        mesh = build_mesh(MeshConfig(fsdp=n), devices=jax.devices()[:n])
-        print(f"sharding target over {n} devices", flush=True)
+        mesh = build_capture_mesh(args.shard_over_devices)
+        print(
+            f"sharding target over {mesh.devices.size} devices", flush=True
+        )
 
     engine = CaptureEngine(
         args.target_model, capture_layers=tuple(capture_layers),

@@ -135,6 +135,13 @@ class TargetConfig:
     router_bias: bool = False
 
     @property
+    def mrope_section(self) -> Tuple[int, ...]:
+        """Multimodal rope channel sections (qwen2/2.5-vl text towers)."""
+        if not self.rope_scaling:
+            return ()
+        return tuple(self.rope_scaling.get("mrope_section") or ())
+
+    @property
     def resolved_head_dim(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
@@ -269,6 +276,17 @@ class TargetConfig:
                 # as deepseek
                 rope_interleave=True,
             )
+        if model_type in ("qwen2_5_vl", "qwen2_vl"):
+            # VL composite config: the language tower's fields live in
+            # text_config (HF Qwen2_5_VLConfig); capture runs the text
+            # tower — vision features enter via inputs_embeds (the
+            # multimodal seam of target_capture_forward)
+            text = dict(raw.get("text_config") or {})
+            for key in ("vocab_size", "tie_word_embeddings"):
+                if key not in text and key in raw:
+                    text[key] = raw[key]
+            raw = {**raw, **text} if text else raw
+            model_type = f"{model_type}_text"
         if model_type == "longcat_flash":
             kw.update(
                 attn_variant="mla",
@@ -337,7 +355,10 @@ class TargetConfig:
             num_experts_per_tok=raw.get("num_experts_per_tok", 0) or 0,
             norm_topk_prob=raw.get("norm_topk_prob", False),
             moe_intermediate_size=raw.get("moe_intermediate_size"),
-            attention_bias=raw.get("attention_bias", model_type in ("qwen2",)),
+            attention_bias=raw.get(
+                "attention_bias",
+                model_type in ("qwen2", "qwen2_5_vl_text", "qwen2_vl_text"),
+            ),
             qk_norm=model_type in ("qwen3", "qwen3_moe"),
             hidden_act=raw.get("hidden_act", "silu"),
             partial_rotary_factor=raw.get("partial_rotary_factor", 1.0),
@@ -398,10 +419,22 @@ def load_target_params(
             for key in f.keys():
                 key_to_shard[key] = "model.safetensors"
 
+    # VL composite checkpoints: the text tower lives under
+    # model.language_model.* (vision under model.visual.*, not captured)
+    vl_text = config.model_type in ("qwen2_5_vl_text", "qwen2_vl_text")
+
+    def canonical(key: str) -> Optional[str]:
+        if vl_text:
+            if key.startswith("model.visual."):
+                return None
+            if key.startswith("model.language_model."):
+                return "model." + key[len("model.language_model."):]
+        return key
+
     wanted_prefixes = ("model.", "lm_head.")
     by_shard: Dict[str, List[str]] = {}
     for key, shard in key_to_shard.items():
-        if key.startswith(wanted_prefixes):
+        if key.startswith(wanted_prefixes) and canonical(key) is not None:
             by_shard.setdefault(shard, []).append(key)
 
     params: Dict[str, jnp.ndarray] = {}
@@ -409,12 +442,13 @@ def load_target_params(
         with safe_open(os.path.join(path, shard), framework="numpy") as f:
             for key in keys:
                 arr = f.get_tensor(key)
+                name = canonical(key)
                 if np.issubdtype(arr.dtype, np.floating) or str(
                     arr.dtype
                 ) == "bfloat16":
-                    params[key] = jnp.asarray(arr).astype(dtype)
+                    params[name] = jnp.asarray(arr).astype(dtype)
                 else:
-                    params[key] = jnp.asarray(arr)
+                    params[name] = jnp.asarray(arr)
     if config.tie_word_embeddings and "lm_head.weight" not in params:
         params["lm_head.weight"] = params["model.embed_tokens.weight"]
     return params
@@ -564,7 +598,13 @@ def _std_attention(params, cfg: "TargetConfig", prefix: str, y, bias,
     use_rope = (
         bool(cfg.no_rope_layers[layer_idx]) if cfg.no_rope_layers else True
     )
-    if use_rope:
+    if use_rope and cos.ndim == 4:
+        # multimodal 3-axis rope (qwen2.5-vl text tower): cos/sin
+        # [3, B, S, D], channel chunks select axes by mrope_section
+        from specforge_tpu.ops.rope import apply_multimodal_rope
+
+        q, k = apply_multimodal_rope(q, k, cos, sin, cfg.mrope_section)
+    elif use_rope:
         rot_dim = cos.shape[-1]
         q, k = _apply_partial_rope(
             q, k, cos, sin, rot_dim, interleave=cfg.rope_interleave
@@ -1410,9 +1450,18 @@ def target_capture_forward(
     moe_impl: Optional[str] = None,
     moe_mesh=None,
     moe_capacity_factor: Optional[float] = None,
+    position_ids: Optional[jnp.ndarray] = None,  # [B, S] or [3, B, S]
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, H]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Prefill forward → (aux concat [B, S, L*H], post-norm last hidden
     [B, S, H], moe_overflow int32 scalar).
+
+    ``position_ids``: explicit positions — [3, B, S] enables the
+    multimodal 3-axis rope on VL text towers (data/vlm.py computes vision
+    spans); default is arange, which mrope degenerates to for pure text.
+    ``inputs_embeds``: precomputed embeddings — the seam for multimodal
+    captures where vision features are scattered into the text embeddings
+    by an external vision tower.
 
     ``moe_overflow`` is structurally 0 except under ``moe_impl="ep"`` with a
     bounded ``moe_capacity_factor``, where it counts expert assignments NOT
@@ -1423,7 +1472,10 @@ def target_capture_forward(
     b, s = input_ids.shape
     capture_set = set(int(c) for c in capture_layers)
 
-    x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
+    if inputs_embeds is not None:
+        x = inputs_embeds
+    else:
+        x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
     if cfg.embed_scale:  # gemma3 scales by sqrt(hidden) in embedding dtype
         x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     bias = make_causal_bias(attention_mask, b, s)
@@ -1448,9 +1500,13 @@ def target_capture_forward(
             ki // cfg.attention_chunk_size
         )
         chunked_bias = bias + jnp.where(same, 0.0, NEG_INF)[None, None]
-    position_ids = jnp.broadcast_to(
-        jnp.arange(s, dtype=jnp.int32)[None], (b, s)
-    )
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(
+            jnp.arange(s, dtype=jnp.int32)[None], (b, s)
+        )
+    if cfg.mrope_section and position_ids.ndim == 2:
+        # text-only mrope degenerates to three identical position axes
+        position_ids = jnp.broadcast_to(position_ids[None], (3, b, s))
     # rotary dim: MLA ropes only the shared qk_rope channels; glm/phi rope
     # a partial_rotary_factor fraction of the head dim
     if cfg.attn_variant == "mla":

@@ -54,6 +54,20 @@ _LAYOUTS = {
 }
 
 
+def build_capture_mesh(n_devices: int = 0):
+    """fsdp mesh over the first ``n_devices`` local devices (0 = all) —
+    the capture-side mesh builder shared by prepare_hidden_states and the
+    online capture server (per-server tp_size, ref schema.py:314)."""
+    from specforge_tpu.parallel.mesh import MeshConfig, build_mesh
+
+    n = n_devices or jax.device_count()
+    if n > jax.device_count():
+        raise ValueError(
+            f"requested {n} capture devices, have {jax.device_count()}"
+        )
+    return build_mesh(MeshConfig(fsdp=n), devices=jax.devices()[:n])
+
+
 class OfflineCaptureRunner:
     def __init__(
         self,

@@ -318,6 +318,78 @@ def test_longcat_flash_capture_matches_transformers(tmp_path):
     assert tc.attn_variant == "mla" and tc.zero_expert_num == 2
 
 
+def test_qwen2_5_vl_text_capture_matches_transformers(tmp_path):
+    """qwen2.5-vl composite checkpoint: the capture forward runs the text
+    tower (model.language_model.* keys remapped, vision tower skipped)
+    with the 3-axis multimodal rope — nontrivial [3, B, S] position ids
+    must match HF's apply_multimodal_rotary_pos_emb, and plain 2D ids must
+    degenerate to text rope."""
+    from transformers import (
+        Qwen2_5_VLConfig,
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    config = Qwen2_5_VLConfig(
+        text_config=dict(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_scaling={"type": "mrope", "mrope_section": [1, 1, 2]},
+        ),
+        vision_config=dict(
+            depth=2, hidden_size=32, out_hidden_size=32, intermediate_size=32,
+            num_heads=4, patch_size=4, spatial_merge_size=1,
+            temporal_patch_size=1,
+        ),
+    )
+    torch.manual_seed(13)
+    model = Qwen2_5_VLForConditionalGeneration(config).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    tc = TargetConfig.from_file(str(tmp_path))
+    assert tc.model_type == "qwen2_5_vl_text"
+    assert tc.mrope_section == (1, 1, 2)
+    params = load_target_params(str(tmp_path), tc, dtype=jnp.float32)
+    assert not any("visual" in k for k in params)
+    assert "model.layers.0.self_attn.q_proj.weight" in params
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 127, size=(B, S))
+    # nontrivial 3-axis positions (as if a vision span occupied 4:8)
+    pos = np.broadcast_to(np.arange(S), (3, B, S)).copy()
+    pos[1, :, 4:8] += 3
+    pos[2, :, 4:8] += 5
+
+    aux, last, _ = target_capture_forward(
+        params, tc, jnp.asarray(ids), None, [0, 1],
+        position_ids=jnp.asarray(pos),
+    )
+    with torch.no_grad():
+        out = model.model.language_model(
+            torch.tensor(ids), position_ids=torch.tensor(pos),
+            output_hidden_states=True,
+        )
+    ref_aux = torch.cat(
+        [out.hidden_states[i + 1] for i in (0, 1)], dim=-1
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(aux), ref_aux, **TOL)
+    np.testing.assert_allclose(
+        np.asarray(last), out.last_hidden_state.numpy(), **TOL
+    )
+
+    # 2D ids broadcast to three identical axes == explicit arange
+    aux2, _, _ = target_capture_forward(
+        params, tc, jnp.asarray(ids), None, [0, 1],
+    )
+    aux3, _, _ = target_capture_forward(
+        params, tc, jnp.asarray(ids), None, [0, 1],
+        position_ids=jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None], (B, S)
+        ),
+    )
+    np.testing.assert_allclose(np.asarray(aux2), np.asarray(aux3), rtol=0)
+
+
 def test_unsupported_model_type_fails_fast(tmp_path):
     import json
     import os
