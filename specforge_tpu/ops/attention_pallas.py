@@ -36,6 +36,18 @@ DEF_TK = 256
 STAT = 128  # lanes for per-row statistics buffers
 
 
+def _env_tiles(tq, tk):
+    """Resolve TTT-kernel tile sizes: explicit args win, then the
+    SPECFORGE_TTT_TQ/TK env knobs (perf sweeps), then the defaults."""
+    import os
+
+    if tq is None:
+        tq = int(os.environ.get("SPECFORGE_TTT_TQ", DEF_TQ))
+    if tk is None:
+        tk = int(os.environ.get("SPECFORGE_TTT_TK", DEF_TK))
+    return tq, tk
+
+
 def _row_ids(tq, tk, i, j):
     row = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + i * tq
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1) + j * tk
@@ -667,11 +679,12 @@ def ttt_flash_attention(
     keys: List[jnp.ndarray],       # per-branch [B, KVH, S, D]
     values: List[jnp.ndarray],
     key_valid: Optional[jnp.ndarray] = None,  # [B, S]
-    tq: int = DEF_TQ,
-    tk: int = DEF_TK,
+    tq: Optional[int] = None,
+    tk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """TTT branch flash attention → [B, S, H*D] (dispatch wrapper)."""
+    tq, tk = _env_tiles(tq, tk)
     b, h, s, d = q.shape
     kvh = keys[0].shape[1]
     g = h // kvh

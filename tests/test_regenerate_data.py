@@ -188,3 +188,50 @@ def test_expand_reasoning_events(tmp_path):
     r = _run(EXPAND, "--input-file-path", str(inp),
              "--output-file-path", str(out))
     assert r.returncode != 0
+
+
+def test_validate_regenerated_data_script(tmp_path):
+    """Standalone dataset gate (reference validate_regenerated_data.py):
+    valid rows pass with a JSON summary; think markers, reasoning
+    mismatches, duplicate ids, and bad status fail with named reasons."""
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts",
+        "validate_regenerated_data.py",
+    )
+
+    def run(rows, *flags):
+        path = tmp_path / "d.jsonl"
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        return subprocess.run(
+            [sys.executable, script, "--data-path", str(path), *flags],
+            capture_output=True, text=True,
+        )
+
+    good = {"id": "r1", "status": "success", "conversations": [
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "a", "reasoning_content": "why"},
+    ]}
+    res = run([good], "--expect-reasoning", "--strict-think-markers")
+    assert res.returncode == 0, res.stderr
+    assert json.loads(res.stdout)["rows"] == 1
+
+    res = run([good], "--expect-non-reasoning")
+    assert res.returncode != 0 and "reasoning_content" in res.stderr
+
+    bad_think = dict(good, conversations=[
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "<think>x</think>a"},
+    ])
+    res = run([bad_think], "--strict-think-markers")
+    assert res.returncode != 0 and "think marker" in res.stderr
+
+    res = run([good, dict(good)])  # duplicate id
+    assert res.returncode != 0 and "duplicate id" in res.stderr
+
+    res = run([dict(good, status="error")])
+    assert res.returncode != 0 and "status" in res.stderr
