@@ -272,9 +272,27 @@ def run_eagle3(workdir: str, corpus_train, corpus_eval, target_dir: str,
     }
 
 
-def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str):
+def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
+               projector: str = "domino"):
+    head = (
+        {
+            "pure_draft_prefix_len": 1,
+            "emb_dim": 32,
+            "gru_hidden_dim": 64,
+            "shift_label": True,
+        }
+        if projector == "domino"
+        else {
+            "markov_rank": 16,
+            "markov_head_type": "gated",
+            "enable_confidence_head": True,
+        }
+    )
     draft_config = {
-        "architectures": ["DominoDraftModel"],
+        "architectures": [
+            {"domino": "DominoDraftModel",
+             "dspark": "DSparkDraftModel"}[projector]
+        ],
         "vocab_size": VOCAB, "hidden_size": HIDDEN,
         "intermediate_size": 2 * HIDDEN,
         "num_attention_heads": 4, "num_key_value_heads": 2,
@@ -285,11 +303,8 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str):
         "dflash_config": {
             "mask_token_id": VOCAB - 1,
             "target_layer_ids": [1, 4],
-            "projector_type": "domino",
-            "pure_draft_prefix_len": 1,
-            "emb_dim": 32,
-            "gru_hidden_dim": 64,
-            "shift_label": True,
+            "projector_type": projector,
+            **head,
         },
     }
     capture_layers = (1, 4)
@@ -298,24 +313,31 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str):
     capture_features(target_dir, train_dir, corpus_train, layout="dflash",
                      capture_layers=capture_layers)
 
-    print("training domino baseline (1 step)...", file=sys.stderr)
+    rid = "convd" if projector == "domino" else f"conv-{projector}"
+    print(f"training {projector} baseline (1 step)...", file=sys.stderr)
     base_run = _train_draft(
-        workdir, "convd-base", algorithm="domino", target_dir=target_dir,
+        workdir, f"{rid}-base", algorithm=projector, target_dir=target_dir,
         train_dir=train_dir, eval_dir=None, draft_config=draft_config,
         total_steps=1, num_epochs=1,
     )
-    print("training domino draft...", file=sys.stderr)
+    print(f"training {projector} draft...", file=sys.stderr)
     run_dir = _train_draft(
-        workdir, "convd", algorithm="domino", target_dir=target_dir,
+        workdir, rid, algorithm=projector, target_dir=target_dir,
         train_dir=train_dir, eval_dir=None, draft_config=draft_config,
         num_epochs=6,
     )
+    # domino logs block accept length; dspark logs block accuracy —
+    # both strictly rise when the draft learns
+    climb_key = (
+        "train/accept_len" if projector == "domino" else "train/accuracy"
+    )
     series = _read_metric_series(
-        os.path.join(run_dir, "convd.metrics.jsonl"), "train/accept_len"
+        os.path.join(run_dir, f"{rid}.metrics.jsonl"), climb_key
     )
     if len(series) < 2:
         raise SystemExit(f"GATE FAILED: too few accept_len points: {series}")
     out = {
+        "climb_metric": climb_key,
         "accept_len_series": [
             (int(s), round(float(v), 4)) for s, v in series
         ],
@@ -329,9 +351,9 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str):
     except ImportError:
         return out
     prompts = [list(map(int, s[:24])) for s in corpus_eval[:4]]
-    base_export = _export(workdir, base_run, "convd-base", draft_config,
+    base_export = _export(workdir, base_run, f"{rid}-base", draft_config,
                           "sglang")
-    export_dir = _export(workdir, run_dir, "convd", draft_config, "sglang")
+    export_dir = _export(workdir, run_dir, rid, draft_config, "sglang")
     out["accept_untrained"] = dflash_gate(
         target_dir, base_export, prompts)["mean_accept_length"]
     out["accept_trained"] = dflash_gate(
@@ -343,7 +365,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--algorithm", default="eagle3",
-                        choices=["eagle3", "domino"])
+                        choices=["eagle3", "domino", "dspark"])
     parser.add_argument("--target-steps", type=int, default=400)
     parser.add_argument("--train-sequences", type=int, default=512)
     parser.add_argument("--eval-sequences", type=int, default=32)
@@ -376,7 +398,7 @@ def main():
                             target_dir)
     else:
         result = run_domino(args.workdir, corpus_train, corpus_eval,
-                            target_dir)
+                            target_dir, projector=args.algorithm)
 
     climbed = (
         result["acc_len_last"] >= args.min_climb * result["acc_len_first"]

@@ -745,6 +745,10 @@ class DFlashSpecDecoder:
             "bsh,vh->bsv", draft_hidden.astype(jnp.float32), lm
         ))                                            # [1, bs, V]
         if self._projector == "dflash":
+            if self.draft.config.shift_label:
+                # position j predicts token j+1: tokens 1..bs-1 come from
+                # positions 0..bs-2
+                return base[0, :-1].argmax(axis=-1).tolist()
             return base[0, 1:].argmax(axis=-1).tolist()
 
         if self._projector == "domino":
@@ -842,14 +846,9 @@ class DFlashSpecDecoder:
                 jnp.asarray(draft_pos), jnp.asarray(anchors),
                 jnp.asarray(keep),
             )
-            draft_logits = np.asarray(
-                jnp.einsum(
-                    "bsh,vh->bsv",
-                    draft_hidden[:, 1:].astype(jnp.float32),
-                    jnp.asarray(self._lm_head, jnp.float32),
-                )
-            )
-            proposals = draft_logits[0].argmax(axis=-1).tolist()  # bs-1
+            # bs-1 proposals with the family head applied causally (domino
+            # GRU / dspark Markov) and shift_label-aware position selection
+            proposals = self._propose(draft_hidden, block_ids)
 
             # --- target verification over the whole block ---
             block = np.asarray([[cur_token, *proposals]], np.int64)

@@ -83,3 +83,50 @@ def test_backward_matches_dense(n_branches):
             np.asarray(g_f[2][i]), np.asarray(g_d[2][i]),
             rtol=5e-4, atol=5e-5,
         )
+
+
+def test_adaptive_512_tiles_at_long_seq_non_multiple():
+    """s >= 1024 defaults to 512 tiles (measured faster on v5e); a length
+    that is NOT a multiple of 512 must still match the dense oracle fwd+bwd
+    (grid remainder masking)."""
+    s = 1152  # 2 full 512-tiles + a 128 remainder
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, H, s, D)).astype(np.float32))
+    keys = [jnp.asarray(rng.normal(size=(B, KVH, s, D)).astype(np.float32))
+            for _ in range(2)]
+    values = [jnp.asarray(rng.normal(size=(B, KVH, s, D)).astype(np.float32))
+              for _ in range(2)]
+    mask = np.ones((B, s), np.int32)
+    mask[0, s - 70:] = 0
+    key_valid = jnp.asarray(mask)
+    bias = make_causal_bias(key_valid, B, s)
+
+    from specforge_tpu.ops.attention_pallas import _env_tiles
+
+    assert _env_tiles(None, None, s) == (512, 512)
+    assert _env_tiles(None, None, 768) == (256, 256)
+
+    def flash_sum(q_, ks, vs):
+        return jnp.sum(ttt_flash_attention(
+            q_, ks, vs, key_valid=key_valid, interpret=True
+        ))
+
+    def dense_sum(q_, ks, vs):
+        return jnp.sum(ttt_branch_attention_reference(q_, ks, vs, bias))
+
+    got = ttt_flash_attention(q, keys, values, key_valid=key_valid,
+                              interpret=True)
+    expected = ttt_branch_attention_reference(q, keys, values, bias)
+    valid = np.asarray(key_valid)[0].astype(bool)
+    assert not np.isnan(np.asarray(got)).any()
+    np.testing.assert_allclose(
+        np.asarray(got)[0, valid], np.asarray(expected)[0, valid],
+        rtol=3e-5, atol=3e-5,
+    )
+    g_flash = jax.grad(flash_sum, argnums=(0,))(q, keys, values)[0]
+    g_dense = jax.grad(dense_sum, argnums=(0,))(q, keys, values)[0]
+    assert not np.isnan(np.asarray(g_flash)).any()
+    np.testing.assert_allclose(
+        np.asarray(g_flash)[:, :, valid], np.asarray(g_dense)[:, :, valid],
+        rtol=3e-4, atol=3e-4,
+    )
