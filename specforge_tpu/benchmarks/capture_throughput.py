@@ -126,11 +126,39 @@ def main():
                 ],
             })
         dt_batch = time.monotonic() - t0
+
+        # concurrent single requests: the server-side coalescer shares
+        # bucketed forwards across threads (round-3 W6 fix) — this is what
+        # N independent producers see without /generate_batch
+        import threading
+
+        batches_before = server.coalescer.batches_run
+        threads = []
+        t0 = time.monotonic()
+        for i, p in enumerate(prompts):
+            t = threading.Thread(
+                target=post,
+                args=("/generate",
+                      {"input_ids": p, "sample_id": f"c{i}"}),
+            )
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        dt_conc = time.monotonic() - t0
+        conc_batches = server.coalescer.batches_run - batches_before
     finally:
         server.stop()
 
     single_sps = n_prompts / dt_single
     batch_sps = n_prompts / dt_batch
+    conc_sps = n_prompts / dt_conc
+    print(json.dumps({
+        "metric": "capture_concurrent_coalesced_samples_per_s",
+        "value": round(conc_sps, 2), "unit": "samples/s",
+        "device_forwards": conc_batches,
+        "speedup_vs_serialized": round(conc_sps * dt_single / n_prompts, 2),
+    }))
     print(json.dumps({
         "metric": "capture_single_samples_per_s",
         "value": round(single_sps, 2), "unit": "samples/s",
