@@ -397,3 +397,62 @@ def test_batched_peagle_train_step_with_sparse_embedding():
     assert losses[-1] < losses[0]
     e1 = np.asarray(state.params["draft_model"]["embed_tokens"]["embedding"])
     assert not np.allclose(e0, e1)
+
+
+def test_batched_pallas_cod_matches_dense():
+    """bs=2 through the Pallas COD backend (interpret) == dense: the
+    kernel's (b*h, ...) grid and per-row cod_props must hold under the
+    round-3 batched COD path."""
+    rng = np.random.default_rng(6)
+    b = 2
+    tensors = {
+        "input_ids": jnp.asarray(rng.integers(0, V - 1, size=(b, S))),
+        "attention_mask": jnp.ones((b, S), jnp.int32),
+        "loss_mask": jnp.asarray((rng.random((b, S)) > 0.2).astype(np.int32)),
+        "hidden_state": jnp.asarray(
+            rng.normal(size=(b, S, 3 * H)).astype(np.float32)
+        ),
+        "target": jnp.asarray(
+            (rng.normal(size=(b, S, V)) * 2).astype(np.float32)
+        ),
+    }
+    keep = np.sort(rng.choice(V, size=VD, replace=False))
+    t2d = np.zeros(V, bool)
+    t2d[keep] = True
+    d2t = (keep - np.arange(VD)).astype(np.int32)
+
+    def build(backend):
+        draft = PEagleDraftModel(CFG, dtype=jnp.float32,
+                                 attention_backend=backend)
+        return OnlinePEagleModel(
+            draft_model=draft, mask_token_id=MASK_TOKEN, num_depths=3,
+            down_sample_ratio=0.7,
+        )
+
+    model_d = build("dense")
+    variables = model_d.init(
+        jax.random.PRNGKey(0), tensors["input_ids"][:1],
+        tensors["attention_mask"][:1], tensors["target"][:1],
+        tensors["loss_mask"][:1], tensors["hidden_state"][:1],
+        jax.random.PRNGKey(1),
+    )
+    variables = {
+        "params": variables["params"],
+        "buffers": {
+            "draft_model": {"t2d": jnp.asarray(t2d), "d2t": jnp.asarray(d2t)}
+        },
+    }
+
+    def run(model):
+        return model.apply(
+            variables, tensors["input_ids"], tensors["attention_mask"],
+            tensors["target"], tensors["loss_mask"],
+            tensors["hidden_state"], jax.random.PRNGKey(4),
+        )
+
+    loss_d, md = run(model_d)
+    loss_p, mp = run(build("pallas_interpret"))
+    np.testing.assert_allclose(float(loss_p), float(loss_d), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(mp["full_acc_sum"]), float(md["full_acc_sum"]), rtol=1e-6
+    )
