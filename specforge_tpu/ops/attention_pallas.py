@@ -39,17 +39,22 @@ STAT = 128  # lanes for per-row statistics buffers
 def _env_tiles(tq, tk, seq_len: int = 0):
     """Resolve TTT-kernel tile sizes: explicit args win, then the
     SPECFORGE_TTT_TQ/TK env knobs (perf sweeps), then a seq-adaptive
-    default — 512 tiles amortize grid-step overhead once the context is
-    long enough to fill them (measured on v5e, eagle3 ttt7 fwd+bwd:
-    s1024 63.8→65.5%, s2048 57.9→60.9% MFU vs 256 tiles; s768 is a wash,
-    so short contexts keep 256)."""
+    default — bigger tiles amortize grid-step overhead once the context
+    fills them. Measured on v5e (eagle3 ttt7 fwd+bwd MFU vs 256×256):
+    s1024 63.8→65.5% with 512×512; s2048 57.9→60.9% with 512×512 and
+    →62.3% with 1024×512 (512×1024 and 1024×512-at-s1024 fail to
+    compile); s768 is a wash, so short contexts keep 256."""
     import os
 
-    big = seq_len >= 1024
+    def_q, def_k = DEF_TQ, DEF_TK
+    if seq_len >= 2048:
+        def_q, def_k = 1024, 512
+    elif seq_len >= 1024:
+        def_q = def_k = 512
     if tq is None:
-        tq = int(os.environ.get("SPECFORGE_TTT_TQ", 512 if big else DEF_TQ))
+        tq = int(os.environ.get("SPECFORGE_TTT_TQ", def_q))
     if tk is None:
-        tk = int(os.environ.get("SPECFORGE_TTT_TK", 512 if big else DEF_TK))
+        tk = int(os.environ.get("SPECFORGE_TTT_TK", def_k))
     return tq, tk
 
 

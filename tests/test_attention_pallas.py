@@ -105,6 +105,7 @@ def test_adaptive_512_tiles_at_long_seq_non_multiple():
 
     assert _env_tiles(None, None, s) == (512, 512)
     assert _env_tiles(None, None, 768) == (256, 256)
+    assert _env_tiles(None, None, 2048) == (1024, 512)
 
     def flash_sum(q_, ks, vs):
         return jnp.sum(ttt_flash_attention(
