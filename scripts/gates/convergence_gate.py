@@ -165,7 +165,12 @@ def _train_draft(workdir: str, run_id: str, *, algorithm: str,
         training["total_steps"] = total_steps
     if algorithm == "eagle3":
         training.update({"ttt_length": 3, "eval_interval": eval_interval})
-    else:  # domino (dflash family)
+    elif algorithm == "peagle":
+        training.update({
+            "mask_token_id": VOCAB - 1, "num_depths": 4,
+            "down_sample_ratio": 0.7, "down_sample_ratio_min": 0.3,
+        })
+    else:  # dflash family (dflash / domino / dspark)
         training.update({
             "num_anchors": 16, "mask_token_id": VOCAB - 1,
             "objective_chunk_blocks": 8,
@@ -274,24 +279,25 @@ def run_eagle3(workdir: str, corpus_train, corpus_eval, target_dir: str,
 
 def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
                projector: str = "domino"):
-    head = (
-        {
+    head = {
+        "domino": {
             "pure_draft_prefix_len": 1,
             "emb_dim": 32,
             "gru_hidden_dim": 64,
             "shift_label": True,
-        }
-        if projector == "domino"
-        else {
+        },
+        "dspark": {
             "markov_rank": 16,
             "markov_head_type": "gated",
             "enable_confidence_head": True,
-        }
-    )
+        },
+        "dflash": {},  # vanilla: no correction head
+    }[projector]
     draft_config = {
         "architectures": [
             {"domino": "DominoDraftModel",
-             "dspark": "DSparkDraftModel"}[projector]
+             "dspark": "DSparkDraftModel",
+             "dflash": "DFlashDraftModel"}[projector]
         ],
         "vocab_size": VOCAB, "hidden_size": HIDDEN,
         "intermediate_size": 2 * HIDDEN,
@@ -303,7 +309,9 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
         "dflash_config": {
             "mask_token_id": VOCAB - 1,
             "target_layer_ids": [1, 4],
-            "projector_type": projector,
+            # vanilla dflash has no correction head (projector_type None)
+            **({} if projector == "dflash"
+               else {"projector_type": projector}),
             **head,
         },
     }
@@ -326,11 +334,14 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
         train_dir=train_dir, eval_dir=None, draft_config=draft_config,
         num_epochs=6,
     )
-    # domino logs block accept length; dspark logs block accuracy —
-    # both strictly rise when the draft learns
-    climb_key = (
-        "train/accept_len" if projector == "domino" else "train/accuracy"
-    )
+    # domino logs block accept length; dspark logs block accuracy; vanilla
+    # dflash logs masked-position accuracy — all strictly rise when the
+    # draft learns
+    climb_key = {
+        "domino": "train/accept_len",
+        "dspark": "train/accuracy",
+        "dflash": "train/accuracy",
+    }[projector]
     series = _read_metric_series(
         os.path.join(run_dir, f"{rid}.metrics.jsonl"), climb_key
     )
@@ -361,11 +372,53 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
     return out
 
 
+def run_peagle(workdir: str, corpus_train, target_dir: str):
+    """P-EAGLE COD convergence: ``train/accuracy`` (set-wide masked-position
+    accuracy over all COD depths) must climb. No serving-side comparison —
+    the reference ships no P-EAGLE export/serving path either (its
+    algorithms/peagle/ is training-only)."""
+    capture_layers = (1, 3, 5)  # same eagle-layout capture as EAGLE3
+    train_dir = os.path.join(workdir, "features-eagle/train")
+    if not os.path.exists(train_dir):
+        print("capturing eagle features...", file=sys.stderr)
+        capture_features(target_dir, train_dir, corpus_train, layout="eagle",
+                         capture_layers=capture_layers)
+
+    draft_config = {
+        "architectures": ["PEagleDraftModel"],
+        "vocab_size": VOCAB, "draft_vocab_size": VOCAB,
+        "hidden_size": HIDDEN, "intermediate_size": 2 * HIDDEN,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2,
+        "max_position_embeddings": 4 * SEQ,
+    }
+    print("training peagle draft...", file=sys.stderr)
+    run_dir = _train_draft(
+        workdir, "convp", algorithm="peagle", target_dir=target_dir,
+        train_dir=train_dir, eval_dir=None, draft_config=draft_config,
+        num_epochs=6,
+    )
+    series = _read_metric_series(
+        os.path.join(run_dir, "convp.metrics.jsonl"), "train/accuracy"
+    )
+    if len(series) < 2:
+        raise SystemExit(f"GATE FAILED: too few accuracy points: {series}")
+    return {
+        "climb_metric": "train/accuracy",
+        "accept_len_series": [
+            (int(s), round(float(v), 4)) for s, v in series
+        ],
+        "acc_len_first": round(float(series[0][1]), 4),
+        "acc_len_last": round(float(series[-1][1]), 4),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--algorithm", default="eagle3",
-                        choices=["eagle3", "domino", "dspark"])
+                        choices=["eagle3", "domino", "dspark", "dflash",
+                                 "peagle"])
     parser.add_argument("--target-steps", type=int, default=400)
     parser.add_argument("--train-sequences", type=int, default=512)
     parser.add_argument("--eval-sequences", type=int, default=32)
@@ -396,6 +449,8 @@ def main():
     if args.algorithm == "eagle3":
         result = run_eagle3(args.workdir, corpus_train, corpus_eval,
                             target_dir)
+    elif args.algorithm == "peagle":
+        result = run_peagle(args.workdir, corpus_train, target_dir)
     else:
         result = run_domino(args.workdir, corpus_train, corpus_eval,
                             target_dir, projector=args.algorithm)

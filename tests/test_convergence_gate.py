@@ -19,7 +19,9 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
 @pytest.mark.skipif(not RUN, reason="set SPECFORGE_RUN_CONVERGENCE=1")
-@pytest.mark.parametrize("algorithm", ["eagle3", "domino", "dspark"])
+@pytest.mark.parametrize(
+    "algorithm", ["eagle3", "domino", "dspark", "dflash", "peagle"]
+)
 def test_convergence_gate(tmp_path, algorithm):
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
