@@ -13,14 +13,24 @@ self-contained on one chip with no downloads:
 3. capture hidden states with the repo's own offline pipeline
    (``OfflineCaptureRunner`` — the production capture path);
 4. train a draft for a few hundred steps through ``build_training_run``;
-5. assert the learning signal CLIMBS:
-   - eagle3: ``eval/simulated_acc_len`` series strictly rises, and the
+5. assert the learning signal CLIMBS (``climb_metric`` names the series,
+   pass = last >= --min-climb x first), per family:
+   - eagle3: ``eval/simulated_acc_len`` (held-out eval) rises, and the
      exported draft's measured ``mean_accept_length`` (via the serving
      harness, greedy-equivalence enforced) beats a 1-step "untrained"
-     baseline export by a margin;
-   - domino: train-time ``train/accept_len`` telemetry strictly rises,
-     and the exported draft's block-speculation accept length beats the
-     1-step baseline (same serving harness, DFlash block mode).
+     baseline export by --min-accept-gain;
+   - domino: ``train/accept_len`` (block accept telemetry) rises, and
+     the exported draft's block-speculation accept length beats the
+     1-step baseline export (DFlash block serving harness);
+   - dflash / dspark: ``train/accuracy`` (masked-position / block
+     accuracy) rises, plus the same exported block-speculation
+     trained-vs-baseline comparison as domino;
+   - peagle: ``train/accuracy`` (COD masked-position accuracy over all
+     depths) rises, and a held-out eval probe (1-step runs on EVAL
+     features, warm-started from the trained checkpoint vs fresh init)
+     shows the trained draft's eval accuracy beating fresh init by
+     --min-accept-gain. No serving comparison — the reference ships no
+     P-EAGLE export/serving path either.
 
 Exit 0 = gate passed; prints ONE JSON verdict line.
 
@@ -112,6 +122,15 @@ def train_target(target_dir: str, corpus, *, steps: int, seed: int = 0):
     return first, last
 
 
+#: written after a capture fully completes — reuse gates on THIS, not on
+#: bare directory existence (an interrupted capture leaves a partial dir)
+_CAPTURE_MARKER = ".capture_complete"
+
+
+def capture_complete(out_dir: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, _CAPTURE_MARKER))
+
+
 def capture_features(target_dir: str, out_dir: str, seqs, *, layout: str,
                      capture_layers):
     from specforge_tpu.offline_capture.capture import (
@@ -130,7 +149,10 @@ def capture_features(target_dir: str, out_dir: str, seqs, *, layout: str,
     samples = [
         {"input_ids": s, "loss_mask": np.ones_like(s)} for s in seqs
     ]
-    return runner.run(samples)
+    written = runner.run(samples)
+    with open(os.path.join(out_dir, _CAPTURE_MARKER), "w") as f:
+        f.write(f"{len(written)}\n")
+    return written
 
 
 def _read_metric_series(metrics_jsonl: str, key: str):
@@ -151,15 +173,16 @@ def _read_metric_series(metrics_jsonl: str, key: str):
 def _train_draft(workdir: str, run_id: str, *, algorithm: str,
                  target_dir: str, train_dir: str, eval_dir: str,
                  draft_config: dict, total_steps=None, num_epochs: int = 4,
-                 eval_interval: int = 16):
+                 eval_interval: int = 16, learning_rate: float = 1e-3,
+                 log_interval: int = 8, warm_start: str = None):
     from specforge_tpu.application.composition import build_training_run
     from specforge_tpu.config.schema import Config
 
     out_dir = os.path.join(workdir, f"runs-{run_id}")
     training = {
         "strategy": algorithm, "batch_size": 8,
-        "num_epochs": num_epochs, "learning_rate": 1e-3,
-        "log_interval": 8, "seed": 7,
+        "num_epochs": num_epochs, "learning_rate": learning_rate,
+        "log_interval": log_interval, "seed": 7,
     }
     if total_steps is not None:
         training["total_steps"] = total_steps
@@ -181,6 +204,7 @@ def _train_draft(workdir: str, run_id: str, *, algorithm: str,
         "model": {
             "target_model_path": target_dir,
             "draft_config": draft_config,
+            **({"draft_checkpoint_path": warm_start} if warm_start else {}),
         },
         "data": {
             "train_data_path": train_dir,
@@ -267,11 +291,12 @@ def run_eagle3(workdir: str, corpus_train, corpus_eval, target_dir: str,
     accept_trained = _measure_accept(target_dir, export_dir, prompts,
                                      capture_layers)
     return {
-        "acc_len_series": [
+        "climb_metric": "eval/simulated_acc_len",
+        "series": [
             (int(s), round(float(v), 4)) for s, v in series
         ],
-        "acc_len_first": round(float(acc_first), 4),
-        "acc_len_last": round(float(acc_last), 4),
+        "first": round(float(acc_first), 4),
+        "last": round(float(acc_last), 4),
         "accept_untrained": round(float(accept_untrained), 4),
         "accept_trained": round(float(accept_trained), 4),
     }
@@ -346,14 +371,14 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
         os.path.join(run_dir, f"{rid}.metrics.jsonl"), climb_key
     )
     if len(series) < 2:
-        raise SystemExit(f"GATE FAILED: too few accept_len points: {series}")
+        raise SystemExit(f"GATE FAILED: too few {climb_key} points: {series}")
     out = {
         "climb_metric": climb_key,
-        "accept_len_series": [
+        "series": [
             (int(s), round(float(v), 4)) for s, v in series
         ],
-        "acc_len_first": round(float(series[0][1]), 4),
-        "acc_len_last": round(float(series[-1][1]), 4),
+        "first": round(float(series[0][1]), 4),
+        "last": round(float(series[-1][1]), 4),
     }
     # serving-side comparison: exported block-speculation accept length,
     # trained vs 1-step baseline (DFlash-family export + block spec decode)
@@ -372,16 +397,45 @@ def run_domino(workdir: str, corpus_train, corpus_eval, target_dir: str,
     return out
 
 
-def run_peagle(workdir: str, corpus_train, target_dir: str):
+def _peagle_eval_probe(workdir: str, run_id: str, *, target_dir: str,
+                       eval_dir: str, draft_config: dict,
+                       warm_start: str = None) -> float:
+    """Held-out accuracy of a peagle draft: run probe steps over the EVAL
+    feature set at a negligible learning rate (schema requires lr > 0) and
+    average the logged COD accuracy — the forward metrics ARE eval accuracy
+    when the weights don't move. ``warm_start``: trained run dir (weights
+    only) vs None (fresh init baseline)."""
+    run_dir = _train_draft(
+        workdir, run_id, algorithm="peagle", target_dir=target_dir,
+        train_dir=eval_dir, eval_dir=None, draft_config=draft_config,
+        num_epochs=1, learning_rate=1e-12, log_interval=1,
+        warm_start=warm_start,
+    )
+    series = _read_metric_series(
+        os.path.join(run_dir, f"{run_id}.metrics.jsonl"), "train/accuracy"
+    )
+    if not series:
+        raise SystemExit(f"GATE FAILED: eval probe {run_id} logged nothing")
+    return float(np.mean([v for _s, v in series]))
+
+
+def run_peagle(workdir: str, corpus_train, corpus_eval, target_dir: str):
     """P-EAGLE COD convergence: ``train/accuracy`` (set-wide masked-position
-    accuracy over all COD depths) must climb. No serving-side comparison —
-    the reference ships no P-EAGLE export/serving path either (its
-    algorithms/peagle/ is training-only)."""
+    accuracy over all COD depths) must climb, and a held-out eval probe
+    (trained weights vs fresh init over EVAL features) must show the gain
+    generalizes. No serving-side comparison — the reference ships no
+    P-EAGLE export/serving path either (its algorithms/peagle/ is
+    training-only)."""
     capture_layers = (1, 3, 5)  # same eagle-layout capture as EAGLE3
     train_dir = os.path.join(workdir, "features-eagle/train")
-    if not os.path.exists(train_dir):
+    eval_dir = os.path.join(workdir, "features-eagle/eval")
+    if not capture_complete(train_dir):
         print("capturing eagle features...", file=sys.stderr)
         capture_features(target_dir, train_dir, corpus_train, layout="eagle",
+                         capture_layers=capture_layers)
+    if not capture_complete(eval_dir):
+        print("capturing eagle eval features...", file=sys.stderr)
+        capture_features(target_dir, eval_dir, corpus_eval, layout="eagle",
                          capture_layers=capture_layers)
 
     draft_config = {
@@ -403,13 +457,27 @@ def run_peagle(workdir: str, corpus_train, target_dir: str):
     )
     if len(series) < 2:
         raise SystemExit(f"GATE FAILED: too few accuracy points: {series}")
+    print("peagle eval probes (trained vs fresh init)...", file=sys.stderr)
+    eval_trained = _peagle_eval_probe(
+        workdir, "convp-eval-trained", target_dir=target_dir,
+        eval_dir=eval_dir, draft_config=draft_config, warm_start=run_dir,
+    )
+    eval_fresh = _peagle_eval_probe(
+        workdir, "convp-eval-fresh", target_dir=target_dir,
+        eval_dir=eval_dir, draft_config=draft_config,
+    )
     return {
         "climb_metric": "train/accuracy",
-        "accept_len_series": [
+        "series": [
             (int(s), round(float(v), 4)) for s, v in series
         ],
-        "acc_len_first": round(float(series[0][1]), 4),
-        "acc_len_last": round(float(series[-1][1]), 4),
+        "first": round(float(series[0][1]), 4),
+        "last": round(float(series[-1][1]), 4),
+        # eval-side generalization proof reuses the accept_* verdict slots
+        # (same pass rule: trained >= untrained + min_accept_gain)
+        "accept_metric": "eval_cod_accuracy",
+        "accept_untrained": round(eval_fresh, 4),
+        "accept_trained": round(eval_trained, 4),
     }
 
 
@@ -423,7 +491,7 @@ def main():
     parser.add_argument("--train-sequences", type=int, default=512)
     parser.add_argument("--eval-sequences", type=int, default=32)
     parser.add_argument("--min-climb", type=float, default=2.0,
-                        help="required acc_len_last / acc_len_first ratio")
+                        help="required climb-metric last/first ratio")
     parser.add_argument("--min-accept-gain", type=float, default=0.2,
                         help="required accept_trained - accept_untrained")
     args = parser.parse_args()
@@ -450,14 +518,15 @@ def main():
         result = run_eagle3(args.workdir, corpus_train, corpus_eval,
                             target_dir)
     elif args.algorithm == "peagle":
-        result = run_peagle(args.workdir, corpus_train, target_dir)
+        result = run_peagle(args.workdir, corpus_train, corpus_eval,
+                            target_dir)
     else:
         result = run_domino(args.workdir, corpus_train, corpus_eval,
                             target_dir, projector=args.algorithm)
 
     climbed = (
-        result["acc_len_last"] >= args.min_climb * result["acc_len_first"]
-        and result["acc_len_last"] > result["acc_len_first"]
+        result["last"] >= args.min_climb * result["first"]
+        and result["last"] > result["first"]
     )
     accept_ok = True
     if "accept_trained" in result:

@@ -207,6 +207,66 @@ def _write_safetensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
     save_file(tensors, path)
 
 
+def apply_legacy_rope_scaling(output_dir: str) -> bool:
+    """Mirror modern/legacy RoPE scaling config fields on an export.
+
+    Transformers v5 configs carry ``rope_parameters`` (with ``rope_theta``
+    inside) while older serving stacks read only the legacy ``rope_scaling``
+    dict plus a top-level ``rope_theta`` — and vice versa for configs written
+    by older tooling being loaded by v5 stacks. Mirror whichever non-default
+    representation exists into the other, and hoist ``rope_theta`` to the top
+    level for legacy readers, so every exported draft loads identically under
+    both generations of config parsers (reference contract:
+    specforge/export/checkpoint_io.py:32-72, applied on every export by
+    to_sglang.py:87 / to_hf.py). Disabled by
+    ``SPECFORGE_DISABLE_LEGACY_ROPE_SCALING=1``. Returns True when the
+    config.json was rewritten.
+    """
+    if os.environ.get(
+        "SPECFORGE_DISABLE_LEGACY_ROPE_SCALING", ""
+    ).strip().lower() in ("1", "true", "yes", "on"):
+        return False
+    config_path = os.path.join(output_dir, "config.json")
+    if not os.path.exists(config_path):
+        return False
+    with open(config_path) as f:
+        config = json.load(f)
+
+    modern = config.get("rope_parameters")
+    legacy = config.get("rope_scaling")
+
+    def kind(payload) -> Optional[str]:
+        if not payload:
+            return None
+        return payload.get("rope_type") or payload.get("type")
+
+    changed = False
+    # modern rope_theta wins over a stale top-level copy
+    if modern and "rope_theta" in modern:
+        if config.get("rope_theta") != modern["rope_theta"]:
+            config["rope_theta"] = modern["rope_theta"]
+            changed = True
+    if modern and not legacy and kind(modern) not in (None, "default"):
+        config["rope_scaling"] = {
+            k: v for k, v in modern.items() if k != "rope_theta"
+        }
+        changed = True
+    elif legacy and not modern and kind(legacy) not in (None, "default"):
+        mirrored = dict(legacy)
+        if "rope_theta" in config:
+            mirrored.setdefault("rope_theta", config["rope_theta"])
+        config["rope_parameters"] = mirrored
+        changed = True
+    if not changed:
+        return False
+    tmp = f"{config_path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(config, f, indent=2, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, config_path)
+    return True
+
+
 def _write_config(
     output_dir: str, draft_config_path: Optional[str],
     extra: Optional[Dict[str, Any]] = None,
@@ -218,6 +278,7 @@ def _write_config(
     config.update(extra or {})
     with open(os.path.join(output_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=2)
+    apply_legacy_rope_scaling(output_dir)
 
 
 def export_to_sglang(
@@ -364,6 +425,7 @@ def _export_dflash_to_sglang(
     _write_safetensors(os.path.join(output_dir, "model.safetensors"), serving)
     with open(os.path.join(output_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=2)
+    apply_legacy_rope_scaling(output_dir)
     return output_dir
 
 

@@ -37,16 +37,33 @@ class TargetHead:
         """Load from a local HF checkpoint dir via its *.index.json weight map.
 
         Falls back to a single ``model.safetensors`` when no index exists.
+        Tied-embedding targets omit ``lm_head.weight`` from the shards; the
+        loader falls back to ``model.embed_tokens.weight`` when the config
+        declares ``tie_word_embeddings`` (reference target_utils.py weight
+        tying handling).
         """
+        raw: dict = {}
+        config_path = os.path.join(model_path, "config.json")
+        if os.path.exists(config_path):
+            with open(config_path) as f:
+                raw = json.load(f)
+
         index_files = glob.glob(os.path.join(model_path, "*.index.json"))
         if len(index_files) > 1:
             raise FileNotFoundError(
                 f"Multiple index.json files found in {model_path}"
             )
+        tied_fallback = (
+            lm_head_key == "lm_head.weight"
+            and raw.get("tie_word_embeddings", False)
+        )
         if index_files:
             with open(index_files[0]) as f:
                 index = json.load(f)
-            shard = index["weight_map"][lm_head_key]
+            weight_map = index["weight_map"]
+            if lm_head_key not in weight_map and tied_fallback:
+                lm_head_key = "model.embed_tokens.weight"
+            shard = weight_map[lm_head_key]
             shard_path = os.path.join(model_path, shard)
         else:
             shard_path = os.path.join(model_path, "model.safetensors")
@@ -57,8 +74,29 @@ class TargetHead:
         from safetensors import safe_open
 
         with safe_open(shard_path, framework="flax") as f:
+            if lm_head_key not in f.keys() and tied_fallback:
+                lm_head_key = "model.embed_tokens.weight"
             weight = f.get_tensor(lm_head_key)
-        return cls(jnp.asarray(weight, dtype))
+        weight = jnp.asarray(weight, dtype)
+        # muP targets: fold the width multiplier into the frozen head once
+        # so teacher logits recomputed from the canonical captured hidden
+        # match the target's serving logits (reference
+        # target_utils.py:140-153; the serving capture stores the
+        # pre-head-scale hidden — spec-capture.patch LogitsProcessor hunk).
+        # Only the real lm_head is folded — embedding loads through this
+        # same loader (export_to_hf embedding_source) must stay unscaled.
+        if lm_head_key == "lm_head.weight" or tied_fallback:
+            mup = raw.get("logits_mup_width_multiplier") or (
+                raw.get("text_config") or {}
+            ).get("logits_mup_width_multiplier")
+            if mup:
+                if raw.get("tie_word_embeddings", False):
+                    raise ValueError(
+                        "cannot fold logits_mup_width_multiplier into "
+                        "a tied embedding/lm_head"
+                    )
+                weight = weight / float(mup)
+        return cls(weight)
 
     def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """[B, S, H] → [B, S, V] logits in the weight's dtype."""

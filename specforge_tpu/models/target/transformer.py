@@ -133,6 +133,14 @@ class TargetConfig:
     zero_expert_num: int = 0
     mla_lora_scaling: bool = False
     router_bias: bool = False
+    # muP-pretrained targets: HF computes logits = lm_head(h) / multiplier
+    # (width-scaled head). We fold 1/multiplier into the loaded lm_head
+    # weight once (load_target_params / TargetHead.from_pretrained) so the
+    # captured last hidden stays the CANONICAL post-norm h and the frozen
+    # head applies the multiplier exactly once — the reference does the same
+    # fold (target_utils.py:140-153) and un-scales the serving-side capture
+    # (patches/sglang/v0.5.14/spec-capture.patch LogitsProcessor hunk).
+    logits_mup_width_multiplier: Optional[float] = None
 
     @property
     def mrope_section(self) -> Tuple[int, ...]:
@@ -363,6 +371,9 @@ class TargetConfig:
             hidden_act=raw.get("hidden_act", "silu"),
             partial_rotary_factor=raw.get("partial_rotary_factor", 1.0),
             layer_types=tuple(raw.get("layer_types", []) or []),
+            logits_mup_width_multiplier=raw.get(
+                "logits_mup_width_multiplier"
+            ),
         )
         defaults.update(kw)
         return cls(
@@ -451,6 +462,17 @@ def load_target_params(
                     params[name] = jnp.asarray(arr)
     if config.tie_word_embeddings and "lm_head.weight" not in params:
         params["lm_head.weight"] = params["model.embed_tokens.weight"]
+    mup = config.logits_mup_width_multiplier
+    if mup:
+        # fold the muP width scale into the head ONCE at load: logits are
+        # lm_head(h) / mup in the HF forward, and the captured last hidden
+        # stays the canonical post-norm h (see TargetConfig field comment)
+        if config.tie_word_embeddings:
+            raise ValueError(
+                "cannot fold logits_mup_width_multiplier into a tied "
+                "embedding/lm_head (the fold would corrupt the embedding)"
+            )
+        params["lm_head.weight"] = params["lm_head.weight"] / float(mup)
     return params
 
 
