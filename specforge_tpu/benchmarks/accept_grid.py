@@ -26,16 +26,19 @@ from typing import Dict, List
 
 def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              draft_tokens: List[int], max_new_tokens: int,
-             max_prompts: int, topks: List[int] = (1,)) -> Dict:
+             max_prompts: int, topks: List[int] = (1,),
+             fused: bool = True, baseline: bool = True) -> Dict:
     from specforge_tpu.benchmarks.accept_length import (
         build_decoder,
         load_spec_models,
+        measure_plain_decode,
         measure_with_decoder,
     )
 
     # load the checkpoints ONCE; one decoder per draft-token budget; every
     # (dataset, topk) cell reuses them (topk is a generate-time argument)
     models = load_spec_models(target, export_dir)
+    target_params, target_config = models[0], models[1]
     decoders = {k: build_decoder(models, num_draft_tokens=k)
                 for k in draft_tokens}
 
@@ -51,11 +54,22 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
         if not prompts:
             print(f"dataset {name}: no prompts, skipping", file=sys.stderr)
             continue
+        # the no-speculation baseline: plain greedy tokens/s on the SAME
+        # prompts — every cell's speedup is spec/plain throughput (the
+        # reference's headline metric, README.md:61)
+        plain = None
+        if baseline:
+            plain = measure_plain_decode(
+                target_params, target_config, prompts,
+                max_new_tokens=max_new_tokens,
+            )
+            print(json.dumps({"dataset": name, "plain_decode": plain}),
+                  file=sys.stderr)
         for k in draft_tokens:
             for topk in topks:
                 report = measure_with_decoder(
                     decoders[k], prompts, topk=topk,
-                    max_new_tokens=max_new_tokens,
+                    max_new_tokens=max_new_tokens, fused=fused,
                 )
                 cell = {
                     "dataset": name,
@@ -70,6 +84,12 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
                     "output_tokens": report.output_tokens,
                     "output_throughput": round(report.output_throughput, 2),
                 }
+                if plain and plain["output_throughput"] > 0:
+                    cell["plain_throughput"] = plain["output_throughput"]
+                    cell["speedup"] = round(
+                        report.output_throughput
+                        / plain["output_throughput"], 3,
+                    )
                 print(json.dumps(cell), file=sys.stderr)
                 cells.append(cell)
     return {"grid": cells, "target": target, "export": export_dir}
@@ -89,6 +109,11 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=64)
     parser.add_argument("--max-prompts", type=int, default=32)
     parser.add_argument("--out", default="accept_grid.json")
+    parser.add_argument("--host-loop", action="store_true",
+                        help="time the host-dispatched loop instead of the "
+                             "fused single-dispatch program (debugging)")
+    parser.add_argument("--no-baseline", action="store_true",
+                        help="skip the plain-decode baseline/speedup")
     args = parser.parse_args()
 
     datasets = dict(spec.split("=", 1) for spec in args.dataset)
@@ -97,6 +122,7 @@ def main():
         args.target, args.export, datasets, draft_tokens,
         args.max_new_tokens, args.max_prompts,
         topks=[int(x) for x in args.topk.split(",")],
+        fused=not args.host_loop, baseline=not args.no_baseline,
     )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

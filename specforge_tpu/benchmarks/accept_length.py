@@ -106,15 +106,25 @@ def measure_with_decoder(
     *,
     topk: int = 1,
     max_new_tokens: int = 128,
+    fused: bool = True,
+    warmup: bool = True,
 ) -> AcceptLengthReport:
+    """``fused=True`` (default) times the single-dispatch whole-generate
+    program (the serving-speed path); ``warmup=True`` runs the first prompt
+    once untimed so compilation is excluded from throughput — the reference
+    benchmark also measures steady-state serving throughput
+    (benchmarks/benchmarker/utils.py:17,55,116)."""
     import time
 
+    generate = decoder.generate_fused if fused else decoder.generate
+    if warmup and prompts:
+        generate(list(prompts[0]), max_new_tokens=max_new_tokens, topk=topk)
     per_prompt: List[float] = []
     all_lengths: List[int] = []
     wall = 0.0
     for i, prompt in enumerate(prompts):
         t0 = time.monotonic()
-        result = decoder.generate(
+        result = generate(
             list(prompt), max_new_tokens=max_new_tokens, topk=topk
         )
         wall += time.monotonic() - t0
@@ -128,6 +138,45 @@ def measure_with_decoder(
         per_prompt=per_prompt, accept_lengths=all_lengths,
         num_draft_tokens=decoder.k, topk=topk, wall_seconds=wall,
     )
+
+
+def measure_plain_decode(
+    target_params,
+    target_config,
+    prompts: Sequence[Sequence[int]],
+    *,
+    max_new_tokens: int = 128,
+    max_len: int = 2048,
+    warmup: bool = True,
+) -> Dict[str, Any]:
+    """No-speculation greedy-decode baseline: tokens/s of the fused plain
+    decode loop over the same prompts — the denominator of the speedup
+    ratio (the reference's headline '4x inference speedup' claim,
+    README.md:61, is speculative vs plain decoding throughput)."""
+    import time
+
+    from specforge_tpu.inference.spec_decode import fused_plain_decode
+
+    if warmup and prompts:
+        fused_plain_decode(
+            target_params, target_config, list(prompts[0]),
+            max_new_tokens=max_new_tokens, max_len=max_len,
+        )
+    wall = 0.0
+    tokens = 0
+    for prompt in prompts:
+        t0 = time.monotonic()
+        out = fused_plain_decode(
+            target_params, target_config, list(prompt),
+            max_new_tokens=max_new_tokens, max_len=max_len,
+        )
+        wall += time.monotonic() - t0
+        tokens += len(out) - len(prompt)
+    return {
+        "output_tokens": tokens,
+        "wall_seconds": round(wall, 4),
+        "output_throughput": round(tokens / wall, 2) if wall > 0 else 0.0,
+    }
 
 
 def measure_accept_length(

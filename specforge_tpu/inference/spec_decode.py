@@ -176,7 +176,12 @@ def target_cached_forward(
 
     last = _rms(x, params["model.norm.weight"], cfg.rms_norm_eps)
     logits = last @ params["lm_head.weight"].T
-    aux = jnp.concatenate([captured[i] for i in capture_layers], axis=-1)
+    # plain decoding passes no capture layers — a zero-width aux keeps the
+    # return pytree stable without paying for the concat
+    aux = (
+        jnp.concatenate([captured[i] for i in capture_layers], axis=-1)
+        if capture_layers else jnp.zeros((b, t, 0), x.dtype)
+    )
     return logits, aux, cache_k, cache_v
 
 
@@ -318,6 +323,7 @@ class Eagle3SpecDecoder:
                 variables, draft_module, ids, hidden, ck, cv, clen
             )
         )
+        self._fused = _FusedEagleLoops(self)
 
     @staticmethod
     def _resolve_d2t(draft_variables) -> np.ndarray:
@@ -511,6 +517,64 @@ class Eagle3SpecDecoder:
             steps=steps,
         )
 
+    def generate_fused(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+        topk: int = 1,
+    ) -> SpecDecodeResult:
+        """``generate`` with the whole decode loop fused into ONE jitted
+        ``lax.while_loop`` program (chain or tree): one device dispatch per
+        call instead of ~k+3 per round — the serving-speed path. Emits
+        exactly the same tokens and accept lengths as ``generate``
+        (parity-tested)."""
+        stop_ids = tuple(
+            sorted(set(int(s) for s in (stop_token_ids or ())))
+        )
+        prompt = np.asarray(prompt_ids, np.int64)[None]
+        p_len = prompt.shape[1]
+        budget = self.max_len
+        if topk > 1:
+            block_t = 1 + topk * self.k
+            if p_len + block_t >= budget:
+                raise ValueError(
+                    f"tree block (1 + topk*k = {block_t}) does not fit "
+                    f"max_len={budget} after a {p_len}-token prompt; lower "
+                    "topk/draft_tokens or raise max_len"
+                )
+
+        (output, _cur_token, t_state, d_state, last_hidden,
+         last_dlogits) = self._prefill(prompt_ids, prompt, budget)
+        cur = jnp.asarray(output[-1], jnp.int32)
+
+        loop = (
+            self._fused.chain(stop_ids) if topk <= 1
+            else self._fused.tree(topk, stop_ids)
+        )
+        out_buf = jnp.zeros((budget + self.k + 1,), jnp.int32)
+        out_buf = out_buf.at[0].set(cur)
+        acc_buf = jnp.zeros((budget,), jnp.int32)
+        buf, out_cnt, accs, n_rounds = loop(
+            self.target_params, self.draft_variables,
+            t_state.cache_k, t_state.cache_v,
+            jnp.asarray(t_state.length, jnp.int32),
+            d_state.cache_k, d_state.cache_v,
+            jnp.asarray(d_state.length, jnp.int32),
+            cur, last_hidden, jnp.asarray(last_dlogits),
+            out_buf, jnp.asarray(1, jnp.int32), acc_buf,
+            jnp.asarray(max_new_tokens, jnp.int32),
+        )
+        out_cnt, n_rounds = int(out_cnt), int(n_rounds)
+        output = np.concatenate([
+            np.asarray(prompt_ids, np.int64), np.asarray(buf)[:out_cnt],
+        ])
+        return SpecDecodeResult(
+            output_ids=output,
+            accept_lengths=[int(a) for a in np.asarray(accs)[:n_rounds]],
+            steps=n_rounds,
+        )
+
     def _generate_tree(
         self,
         prompt_ids: Sequence[int],
@@ -640,6 +704,348 @@ def _move_cache_rows(cache, src, dst, n: int):
     ``src`` to ``dst`` — tree-cache compaction onto the accepted path."""
     seg = jax.lax.dynamic_slice_in_dim(cache, src, n, axis=3)
     return jax.lax.dynamic_update_slice_in_dim(cache, seg, dst, axis=3)
+
+
+# --------------------------------------------------------------------------
+# fused decoding: the WHOLE decode loop as one jitted program
+# --------------------------------------------------------------------------
+#
+# The host-loop ``generate`` above dispatches ~k+3 device programs per
+# speculative round (and syncs the draft argmax to the host between chain
+# steps). On TPU the per-dispatch latency dominates at serving batch 1, so
+# the fused path lowers the ENTIRE generate — draft chain, target
+# verification, acceptance, cache bookkeeping, draft re-extension — into a
+# single ``lax.while_loop`` program: ONE dispatch per generate call, zero
+# host syncs inside the loop. Output/accept-length buffers are
+# fixed-capacity with counts (static shapes), and stale cache slots are
+# always overwritten before they become attendable (the same
+# masked-fixed-shape discipline as training). Greedy-equivalence and
+# host-loop parity are enforced by tests/test_spec_decode.py.
+
+
+def _fused_stop_hit(emitted, valid, stop_ids):
+    """Any ACCEPTED emitted token in the (static) stop set?"""
+    if not stop_ids:
+        return jnp.asarray(False)
+    hits = jnp.zeros(emitted.shape, bool)
+    for s in stop_ids:
+        hits = hits | (emitted == s)
+    return jnp.any(hits & valid)
+
+
+class _FusedEagleLoops:
+    """Compiled whole-generate loops for one Eagle3SpecDecoder.
+
+    One compilation per (k, topk, stop-set, buffer shapes); prompts of any
+    length reuse it (prefill is a separate per-length program, as in the
+    host path)."""
+
+    def __init__(self, decoder: "Eagle3SpecDecoder"):
+        self.decoder = decoder
+        self._cache: Dict[Any, Any] = {}
+
+    def chain(self, stop_ids: Tuple[int, ...]):
+        key = ("chain", stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(self._build_chain(stop_ids))
+        return self._cache[key]
+
+    def tree(self, topk: int, stop_ids: Tuple[int, ...]):
+        key = ("tree", topk, stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(self._build_tree(topk, stop_ids))
+        return self._cache[key]
+
+    # -- shared pieces (weights passed as arguments, not closure constants,
+    #    so the compiled loop doesn't bake multi-GB params into the jaxpr) --
+
+    def _draft(self, variables, ids, hidden, ck, cv, clen):
+        return _draft_step(variables, self.decoder.draft, ids, hidden, ck,
+                           cv, clen)
+
+    def _project(self, variables, aux):
+        draft = self.decoder.draft
+        return draft.apply(variables, aux,
+                           method=draft.project_hidden_states)
+
+    def _chain_propose(self, variables, first_dlogits, hidden, d_ck, d_cv,
+                       d_len, d2t):
+        """k greedy chain proposals, fully on device (the host version syncs
+        an argmax per step)."""
+        k = self.decoder.k
+        p = jnp.argmax(first_dlogits[0]).astype(jnp.int32)
+        toks = [p + d2t[p]]
+        h, ck, cv, clen = hidden, d_ck, d_cv, d_len
+        for _ in range(k - 1):
+            h, dlog, ck, cv = self._draft(
+                variables, toks[-1][None, None], h, ck, cv, clen
+            )
+            clen = clen + 1
+            dt = jnp.argmax(dlog[0, -1]).astype(jnp.int32)
+            toks.append(dt + d2t[dt])
+        return jnp.stack(toks)  # [k] target-vocab
+
+    # -- chain mode --------------------------------------------------------
+
+    def _build_chain(self, stop_ids: Tuple[int, ...]):
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        idx = jnp.arange(k + 1, dtype=jnp.int32)
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+
+            def cond(carry):
+                (_tck, _tcv, t_len, *_rest, out_cnt, _accb, n_rounds,
+                 done) = carry
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + k + 1 < budget)
+                )
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                 out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+                proposals = self._chain_propose(
+                    variables, last_dl, last_h, d_ck, d_cv, d_len, d2t
+                )
+                block = jnp.concatenate([cur[None], proposals])[None]
+                logits, aux, t_ck, t_cv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    t_len, d.capture_layers,
+                )
+                posterior = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                matches = (proposals == posterior[:k]).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(matches))
+                bonus = posterior[acc]
+                props_p = jnp.concatenate([proposals, bonus[None]])
+                emitted = jnp.where(idx < acc, props_p, bonus)  # [k+1]
+
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, emitted, (out_cnt,)
+                )
+                acc_buf = jax.lax.dynamic_update_slice(
+                    acc_buf, (acc + 1)[None], (n_rounds,)
+                )
+
+                # draft re-extension over the full block: positions beyond
+                # acc write garbage cache slots that are overwritten before
+                # they can be attended (see module comment)
+                hidden_full = self._project(variables, aux)
+                h_out, dlog_out, d_ck, d_cv = self._draft(
+                    variables, emitted[None], hidden_full, d_ck, d_cv, d_len
+                )
+                last_h = jax.lax.dynamic_slice(
+                    h_out, (0, acc, 0), (1, 1, h_out.shape[2])
+                )
+                last_dl = jax.lax.dynamic_slice(
+                    dlog_out, (0, acc, 0), (1, 1, dlog_out.shape[2])
+                )[:, 0]
+                done = _fused_stop_hit(emitted, idx <= acc, stop_ids)
+                return (
+                    t_ck, t_cv, t_len + acc + 1, d_ck, d_cv,
+                    d_len + acc + 1, bonus, last_h, last_dl, out_buf,
+                    out_cnt + acc + 1, acc_buf, n_rounds + 1, done,
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+    # -- tree mode ---------------------------------------------------------
+
+    def _build_tree(self, topk: int, stop_ids: Tuple[int, ...]):
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        block_allow, block_pos = d._tree_layout(topk)
+        block_t = 1 + topk * k
+        idx = jnp.arange(k + 1, dtype=jnp.int32)
+
+        def propose_chains(variables, first_dl, hidden, d_ck, d_cv, d_len):
+            _vals, first = jax.lax.top_k(first_dl[0], topk)
+            first = first.astype(jnp.int32)
+            cols = [first + jnp.take(d2t, first)]          # [topk]
+            h = jnp.broadcast_to(hidden, (topk,) + hidden.shape[1:])
+            ck = jnp.broadcast_to(d_ck, (topk,) + d_ck.shape[1:])
+            cv = jnp.broadcast_to(d_cv, (topk,) + d_cv.shape[1:])
+            clen = d_len
+            for _ in range(k - 1):
+                h, dlog, ck, cv = self._draft(variables, cols[-1][:, None],
+                                              h, ck, cv, clen)
+                clen = clen + 1
+                dts = jnp.argmax(dlog[:, -1], axis=-1).astype(jnp.int32)
+                cols.append(dts + jnp.take(d2t, dts))
+            return jnp.stack(cols, axis=1)                  # [topk, k]
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+
+            def cond(carry):
+                (_tck, _tcv, t_len, *_rest, out_cnt, _accb, n_rounds,
+                 done) = carry
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + block_t < budget)
+                )
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                 out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+                chains = propose_chains(variables, last_dl, last_h, d_ck,
+                                        d_cv, d_len)
+                block = jnp.concatenate(
+                    [cur[None], chains.reshape(-1)]
+                )[None]
+                base_len = t_len
+                logits, aux, t_ck, t_cv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    base_len, d.capture_layers,
+                    block_allow=block_allow, block_positions=block_pos,
+                )
+                post = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                # per-chain accepted length: chain token j must match the
+                # posterior of its predecessor node (slot 0 for j=0)
+                preds = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(post[0], (topk, 1)),
+                        post[1:].reshape(topk, k)[:, : k - 1],
+                    ],
+                    axis=1,
+                )                                           # [topk, k]
+                matches = (chains == preds).astype(jnp.int32)
+                accs = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)
+                best_c = jnp.argmax(accs).astype(jnp.int32)  # first max
+                acc = accs[best_c]
+                bonus = jnp.where(
+                    acc == 0, post[0], post[1 + best_c * k + acc - 1]
+                )
+                chain_p = jnp.concatenate(
+                    [chains[best_c], bonus[None]]
+                )
+                emitted = jnp.where(idx < acc, chain_p, bonus)
+
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, emitted, (out_cnt,)
+                )
+                acc_buf = jax.lax.dynamic_update_slice(
+                    acc_buf, (acc + 1)[None], (n_rounds,)
+                )
+
+                # compact the winner's slots onto the canonical positions —
+                # k rows moved unconditionally (dynamic start, static size);
+                # rows beyond acc land past the new length and are
+                # overwritten before they become attendable
+                src = base_len + 1 + best_c * k
+                dst = base_len + 1
+                t_ck = _move_cache_rows(t_ck, src, dst, k)
+                t_cv = _move_cache_rows(t_cv, src, dst, k)
+
+                # draft re-extension over slot 0 + the winner's k slots
+                slots = jnp.concatenate([
+                    jnp.zeros((1,), jnp.int32),
+                    1 + best_c * k + jnp.arange(k, dtype=jnp.int32),
+                ])
+                aux_sel = jnp.take(aux, slots, axis=1)
+                hidden_full = self._project(variables, aux_sel)
+                h_out, dlog_out, d_ck, d_cv = self._draft(
+                    variables, emitted[None], hidden_full, d_ck, d_cv, d_len
+                )
+                last_h = jax.lax.dynamic_slice(
+                    h_out, (0, acc, 0), (1, 1, h_out.shape[2])
+                )
+                last_dl = jax.lax.dynamic_slice(
+                    dlog_out, (0, acc, 0), (1, 1, dlog_out.shape[2])
+                )[:, 0]
+                done = _fused_stop_hit(emitted, idx <= acc, stop_ids)
+                return (
+                    t_ck, t_cv, base_len + acc + 1, d_ck, d_cv,
+                    d_len + acc + 1, bonus, last_h, last_dl, out_buf,
+                    out_cnt + acc + 1, acc_buf, n_rounds + 1, done,
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+
+def fused_plain_decode(
+    target_params, target_config: TargetConfig, prompt_ids,
+    max_new_tokens: int, max_len: int = 512,
+    stop_token_ids: Optional[Sequence[int]] = None,
+    _loop_cache: Dict[Any, Any] = {},
+) -> np.ndarray:
+    """Plain greedy decode with the whole token loop in ONE jitted program —
+    the wall-clock baseline speculative decoding must beat. Token-for-token
+    equal to ``greedy_target_decode`` (tested)."""
+    stop_ids = tuple(sorted(set(int(s) for s in (stop_token_ids or ()))))
+    ids = np.asarray(prompt_ids, np.int64)[None]
+    state = init_target_state(target_config, 1, max_len)
+    logits, _aux, ck, cv = target_cached_forward(
+        target_params, target_config, jnp.asarray(ids, jnp.int32),
+        state.cache_k, state.cache_v, jnp.asarray(0, jnp.int32), (),
+    )
+    first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+
+    key = (target_config, stop_ids)
+    loop = _loop_cache.get(key)
+    if loop is None:
+        def _loop(params, ck, cv, t_len, tok, out_buf, max_new):
+            def cond(carry):
+                _ck, _cv, _tl, _tok, _buf, cnt, done = carry
+                return (~done) & (cnt < max_new)
+
+            def body(carry):
+                ck, cv, t_len, tok, out_buf, cnt, done = carry
+                logits, _aux, ck, cv = target_cached_forward(
+                    params, target_config, tok[None, None], ck, cv,
+                    t_len, (),
+                )
+                nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, nxt[None], (cnt,)
+                )
+                done = _fused_stop_hit(
+                    nxt[None], jnp.ones((1,), bool), stop_ids
+                )
+                return ck, cv, t_len + 1, nxt, out_buf, cnt + 1, done
+
+            hit0 = _fused_stop_hit(tok[None], jnp.ones((1,), bool), stop_ids)
+            init = (ck, cv, t_len, tok, out_buf,
+                    jnp.asarray(1, jnp.int32), hit0)
+            final = jax.lax.while_loop(cond, body, init)
+            return final[4], final[5]
+
+        loop = jax.jit(_loop)
+        _loop_cache[key] = loop
+
+    out_buf = jnp.zeros((max_len + 1,), jnp.int32)
+    out_buf = out_buf.at[0].set(first)
+    buf, cnt = loop(
+        target_params, ck, cv, jnp.asarray(ids.shape[1], jnp.int32), first,
+        out_buf, jnp.asarray(max_new_tokens, jnp.int32),
+    )
+    cnt = int(cnt)
+    return np.concatenate([np.asarray(prompt_ids), np.asarray(buf)[:cnt]])
 
 
 def greedy_target_decode(
@@ -880,4 +1286,199 @@ class DFlashSpecDecoder:
             output_ids=np.asarray(output),
             accept_lengths=accept_lengths,
             steps=steps,
+        )
+
+    # -- fused whole-generate loop ------------------------------------------
+    #
+    # The host loop above slices ``ctx_features[:, :start]`` — a NEW shape
+    # every round, so XLA recompiles the draft forward per distinct context
+    # length, and the family heads sync bs-1 argmaxes to the host per block.
+    # The fused loop feeds the FULL fixed-size context buffer every round:
+    # the DFlash mask rule is index-based (``ctx_idx < anchor``,
+    # ops/masks.py:126), so slots at or beyond the anchor are exactly masked
+    # and garbage there is overwritten before any later anchor can expose it.
+    # One compilation, one dispatch per generate.
+
+    def _build_fused(self, stop_ids: Tuple[int, ...]):
+        bs = self.block_size
+        n_cap = len(self.capture_layers)
+        projector = self._projector
+        shift = bool(getattr(self.draft.config, "shift_label", False))
+        idx = jnp.arange(bs, dtype=jnp.int32)
+
+        def draft_fwd(variables, noise, ctx, ctx_pos, draft_pos, anchors,
+                      keep):
+            return self.draft.apply(
+                variables, noise, ctx, ctx_pos, draft_pos, anchors, keep
+            )
+
+        def head_fwd(variables, base4, hidden4, prev_emb, prev_ids):
+            return self.draft.apply(
+                variables, base4, prev_token_ids=prev_ids,
+                prev_token_embeddings=prev_emb, hidden_states=hidden4,
+                method="apply_logits_head",
+            )
+
+        def propose(variables, embed, lm_head, draft_hidden, cur):
+            base = jnp.einsum(
+                "bsh,vh->bsv", draft_hidden.astype(jnp.float32),
+                lm_head.astype(jnp.float32),
+            )                                               # [1, bs, V]
+            if projector == "dflash":
+                sel = base[0, :-1] if shift else base[0, 1:]
+                return jnp.argmax(sel, axis=-1).astype(jnp.int32)
+
+            hidden4 = draft_hidden[:, None]
+            base4 = base[:, None]
+            if projector == "domino":
+                completed = jnp.full((1, bs), self.mask_token_id, jnp.int32)
+                completed = completed.at[0, 0].set(cur)
+                for pos in range(1, bs):
+                    prev_emb = jnp.take(
+                        embed.astype(jnp.float32), completed, axis=0
+                    )[:, None]                              # [1, 1, bs, e]
+                    final = head_fwd(variables, base4, hidden4, prev_emb,
+                                     None)
+                    head_pos = pos - 1 if shift else pos
+                    completed = completed.at[0, pos].set(
+                        jnp.argmax(final[0, 0, head_pos]).astype(jnp.int32)
+                    )
+                return completed[0, 1:]
+
+            # dspark: markov head causal in prev sampled ids
+            prev_ids = jnp.zeros((1, 1, bs), jnp.int32)
+            prev_ids = prev_ids.at[0, 0, 0].set(cur)
+            out = []
+            for pos in range(1, bs):
+                prev_ids = prev_ids.at[0, 0, pos].set(
+                    out[-1] if out else cur
+                )
+                final = head_fwd(variables, base4, hidden4, None, prev_ids)
+                out.append(
+                    jnp.argmax(final[0, 0, pos]).astype(jnp.int32)
+                )
+            return jnp.stack(out)
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, ctx_feat,
+                 cur, out_buf, out_cnt, acc_buf, max_new):
+            budget = t_ck.shape[3]
+            embed = target_params["model.embed_tokens.weight"]
+            lm_head = target_params["lm_head.weight"]
+            ctx_pos = jnp.arange(budget, dtype=jnp.int32)[None]
+
+            def cond(carry):
+                (_tck, _tcv, t_len, _ctx, _cur, _buf, out_cnt, _accb,
+                 n_rounds, done) = carry
+                return (
+                    (~done) & (out_cnt < max_new) & (t_len + bs < budget)
+                )
+
+            def body(carry):
+                (t_ck, t_cv, t_len, ctx_feat, cur, out_buf, out_cnt,
+                 acc_buf, n_rounds, done) = carry
+                start = t_len
+                block0 = jnp.full((1, bs), self.mask_token_id, jnp.int32)
+                block0 = block0.at[0, 0].set(cur)
+                noise = jnp.take(embed, block0[0], axis=0)[None].astype(
+                    jnp.bfloat16
+                )
+                draft_pos = (start + idx)[None]
+                draft_hidden = draft_fwd(
+                    variables, noise, ctx_feat.astype(jnp.bfloat16),
+                    ctx_pos, draft_pos, start[None, None],
+                    jnp.ones((1, 1), bool),
+                )
+                proposals = propose(variables, embed, lm_head, draft_hidden,
+                                    cur)                    # [bs-1]
+
+                block = jnp.concatenate([cur[None], proposals])[None]
+                logits, aux2, t_ck, t_cv = target_cached_forward(
+                    target_params, self.target_config, block, t_ck, t_cv,
+                    t_len, self.capture_layers,
+                )
+                posterior = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                matches = (proposals == posterior[:bs - 1]).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(matches))
+                bonus = posterior[acc]
+                props_p = jnp.concatenate([proposals, bonus[None]])
+                emitted = jnp.where(idx < acc, props_p, bonus)  # [bs]
+
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, emitted, (out_cnt,)
+                )
+                acc_buf = jax.lax.dynamic_update_slice(
+                    acc_buf, (acc + 1)[None], (n_rounds,)
+                )
+                # the full block's features land in the buffer; slots past
+                # acc+1 sit at indices >= the next anchor and are overwritten
+                # before any anchor can expose them (see comment above)
+                ctx_feat = jax.lax.dynamic_update_slice(
+                    ctx_feat, aux2.astype(ctx_feat.dtype), (0, start, 0)
+                )
+                done = _fused_stop_hit(emitted, idx <= acc, stop_ids)
+                return (
+                    t_ck, t_cv, t_len + acc + 1, ctx_feat, bonus, out_buf,
+                    out_cnt + acc + 1, acc_buf, n_rounds + 1, done,
+                )
+
+            init = (t_ck, t_cv, t_len, ctx_feat, cur, out_buf, out_cnt,
+                    acc_buf, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+            final = jax.lax.while_loop(cond, body, init)
+            return final[5], final[6], final[7], final[8]
+
+        del n_cap  # shape comes in via ctx_feat
+        return loop
+
+    def generate_fused(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> SpecDecodeResult:
+        """``generate`` with the whole block-speculation loop in ONE jitted
+        program — same tokens and accept lengths (parity-tested)."""
+        stop_ids = tuple(
+            sorted(set(int(s) for s in (stop_token_ids or ())))
+        )
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        loop = self._fused_cache.get(stop_ids)
+        if loop is None:
+            loop = jax.jit(self._build_fused(stop_ids))
+            self._fused_cache[stop_ids] = loop
+
+        bs = self.block_size
+        prompt = np.asarray(prompt_ids, np.int64)[None]
+        p_len = prompt.shape[1]
+        n_capture = len(self.capture_layers)
+        h = self.target_config.hidden_size
+
+        t_state = init_target_state(self.target_config, 1, self.max_len)
+        logits, aux, t_state = self._target_forward(prompt, t_state)
+        cur = jnp.asarray(int(logits[0, -1].argmax()), jnp.int32)
+
+        ctx_feat = jnp.zeros(
+            (1, self.max_len, n_capture * h), jnp.float32
+        )
+        ctx_feat = jax.lax.dynamic_update_slice(
+            ctx_feat, jnp.asarray(aux, jnp.float32), (0, 0, 0)
+        )
+        out_buf = jnp.zeros((self.max_len + bs,), jnp.int32)
+        out_buf = out_buf.at[0].set(cur)
+        acc_buf = jnp.zeros((self.max_len,), jnp.int32)
+        buf, out_cnt, accs, n_rounds = loop(
+            self.target_params, self.draft_variables,
+            t_state.cache_k, t_state.cache_v,
+            jnp.asarray(t_state.length, jnp.int32),
+            ctx_feat, cur, out_buf, jnp.asarray(1, jnp.int32), acc_buf,
+            jnp.asarray(max_new_tokens, jnp.int32),
+        )
+        out_cnt, n_rounds = int(out_cnt), int(n_rounds)
+        output = np.concatenate([
+            np.asarray(prompt_ids, np.int64), np.asarray(buf)[:out_cnt],
+        ])
+        return SpecDecodeResult(
+            output_ids=output,
+            accept_lengths=[int(a) for a in np.asarray(accs)[:n_rounds]],
+            steps=n_rounds,
         )

@@ -398,3 +398,167 @@ def test_tree_verify_mask_matches_sequential(target):
     np.testing.assert_allclose(
         tree_logits[3:5], seq_logits[1][1:], rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# fused (single-dispatch lax.while_loop) decode paths
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_fused_chain_matches_host_loop(target, draft, k):
+    """generate_fused emits exactly the host loop's tokens AND accept
+    lengths (same rounds, same acceptance) — the fused program is the same
+    algorithm with zero host syncs."""
+    params, config = target
+    module, variables = draft
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, V, size=12).tolist()
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=k, max_len=256,
+    )
+    host = decoder.generate(prompt, max_new_tokens=24)
+    fused = decoder.generate_fused(prompt, max_new_tokens=24)
+    np.testing.assert_array_equal(fused.output_ids, host.output_ids)
+    assert fused.accept_lengths == host.accept_lengths
+    assert fused.steps == host.steps
+
+
+@pytest.mark.parametrize("topk", [2, 3])
+def test_fused_tree_matches_host_loop(target, draft, topk):
+    params, config = target
+    module, variables = draft
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, V, size=10).tolist()
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    host = decoder.generate(prompt, max_new_tokens=20, topk=topk)
+    fused = decoder.generate_fused(prompt, max_new_tokens=20, topk=topk)
+    np.testing.assert_array_equal(fused.output_ids, host.output_ids)
+    assert fused.accept_lengths == host.accept_lengths
+
+
+def test_fused_chain_stop_tokens(target, draft):
+    """Stop-token semantics match the host loop (stop mid-round included)."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=4, max_len=256,
+    )
+    prompt = list(range(10))
+    # pick a stop token the target actually emits so the branch is exercised
+    free = decoder.generate(prompt, max_new_tokens=24)
+    emitted = [int(t) for t in free.output_ids[len(prompt) + 1:]]
+    stop = emitted[len(emitted) // 2]
+    host = decoder.generate(prompt, max_new_tokens=24, stop_token_ids=[stop])
+    fused = decoder.generate_fused(
+        prompt, max_new_tokens=24, stop_token_ids=[stop]
+    )
+    np.testing.assert_array_equal(fused.output_ids, host.output_ids)
+    assert fused.accept_lengths == host.accept_lengths
+
+
+def test_fused_plain_decode_matches_greedy(target):
+    from specforge_tpu.inference.spec_decode import fused_plain_decode
+
+    params, config = target
+    prompt = list(range(3, 15))
+    oracle = greedy_target_decode(
+        params, config, prompt, max_new_tokens=24, capture_layers=(1,),
+        max_len=256,
+    )
+    fused = fused_plain_decode(
+        params, config, prompt, max_new_tokens=24, max_len=256,
+    )
+    np.testing.assert_array_equal(fused, oracle)
+    # stop-token parity
+    stop = int(oracle[len(prompt) + 5])
+    oracle_s = greedy_target_decode(
+        params, config, prompt, max_new_tokens=24, capture_layers=(1,),
+        max_len=256, stop_token_ids=[stop],
+    )
+    fused_s = fused_plain_decode(
+        params, config, prompt, max_new_tokens=24, max_len=256,
+        stop_token_ids=[stop],
+    )
+    np.testing.assert_array_equal(fused_s, oracle_s)
+
+
+@pytest.mark.parametrize("projector", ["dflash", "domino", "dspark"])
+def test_fused_dflash_matches_host_loop(target, projector):
+    """The fused single-dispatch block-speculation loop emits exactly the
+    host loop's tokens and accept lengths, for every family head (domino
+    GRU / dspark Markov applied causally inside the fused program)."""
+    from specforge_tpu.inference.spec_decode import DFlashSpecDecoder
+    from specforge_tpu.models.draft.dflash import DFlashConfig, DFlashDraftModel
+    from specforge_tpu.models.draft.domino import DominoDraftModel
+    from specforge_tpu.models.draft.dspark import DSparkDraftModel
+
+    params, config = target
+    head = {
+        "dflash": {},
+        "domino": {"pure_draft_prefix_len": 1, "emb_dim": 16,
+                   "gru_hidden_dim": 16, "shift_label": True,
+                   "projector_type": "domino"},
+        "dspark": {"markov_rank": 8, "markov_head_type": "gated",
+                   "enable_confidence_head": True,
+                   "projector_type": "dspark"},
+    }[projector]
+    cfg = DFlashConfig.from_dict({
+        "architectures": ["DFlashDraftModel"],
+        "vocab_size": V, "hidden_size": H, "intermediate_size": 64,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2, "num_target_layers": 6, "block_size": 4,
+        "max_position_embeddings": 512,
+        "dflash_config": {"mask_token_id": V - 1,
+                          "target_layer_ids": [1, 4], **head},
+    })
+    cls = {"dflash": DFlashDraftModel, "domino": DominoDraftModel,
+           "dspark": DSparkDraftModel}[projector]
+    module = cls(cfg, dtype=jnp.float32, attn_chunk_blocks=1)
+    n_capture = len(cfg.resolved_target_layer_ids)
+    bs = cfg.block_size
+
+    def init_all(mod, noise, ctx, ctx_pos, draft_pos, anchors, keep,
+                 prev_emb, prev_ids):
+        hidden = mod(noise, ctx, ctx_pos, draft_pos, anchors, keep)
+        hs = hidden[:, None]
+        base = jnp.zeros((1, 1, bs, V), jnp.float32)
+        mod.apply_logits_head(
+            base, prev_token_ids=prev_ids,
+            prev_token_embeddings=prev_emb, hidden_states=hs,
+        )
+        mod.predict_confidence(hs, prev_token_ids=prev_ids)
+        return hidden
+
+    variables = module.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, bs, H), jnp.float32),
+        jnp.zeros((1, 16, n_capture * H), jnp.float32),
+        jnp.zeros((1, 16), jnp.int32),
+        jnp.zeros((1, bs), jnp.int32),
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1, 1), bool),
+        jnp.zeros((1, 1, bs, H), jnp.float32),
+        jnp.zeros((1, 1, bs), jnp.int32),
+        method=init_all,
+    )
+    decoder = DFlashSpecDecoder(
+        params, config, module, variables, max_len=256,
+    )
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, V - 1, size=10).tolist()
+    host = decoder.generate(prompt, max_new_tokens=20)
+    fused = decoder.generate_fused(prompt, max_new_tokens=20)
+    np.testing.assert_array_equal(fused.output_ids, host.output_ids)
+    assert fused.accept_lengths == host.accept_lengths
+    # and both are greedy-equivalent
+    oracle = greedy_target_decode(
+        params, config, prompt, max_new_tokens=20,
+        capture_layers=(1, 4), max_len=256,
+    )
+    n = min(len(oracle), len(fused.output_ids))
+    np.testing.assert_array_equal(fused.output_ids[:n], oracle[:n])
