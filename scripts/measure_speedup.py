@@ -1,0 +1,369 @@
+#!/usr/bin/env python
+"""Serving-speedup measurement at REALISTIC target scale, self-contained.
+
+The product claim of a speculative-decoding framework is wall-clock serving
+gain (reference README.md:61 "up to 4x inference speedup";
+benchmarks/benchmarker/utils.py reports throughput per run). This script
+measures it end-to-end on one chip with no downloads:
+
+1. build the low-entropy Markov corpus (same construction as
+   scripts/gates/convergence_gate.py, scaled to the full vocab);
+2. train a REALISTIC-SIZE target (default 24L/2048h/32k vocab, ~1.5B params
+   — the capture-bench target shape) ON-CHIP with a small JAX+optax trainer
+   until its next-token loss approaches the corpus entropy;
+3. capture hidden states through the production OfflineCaptureRunner;
+4. train an EAGLE3 draft through build_training_run;
+5. export to the SGLang layout, reload through the serving path, and
+   measure tokens/s: plain greedy decode (fused baseline) vs speculative
+   decode (fused chain + tree), all single-dispatch whole-generate
+   programs — the speedup ratio is the headline.
+
+Usage:
+    python scripts/measure_speedup.py --workdir /tmp/speedup \
+        [--layers 24 --hidden 2048 --vocab 32000]
+Prints one JSON line per stage and a final {"bench": "serving_speedup", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+SEQ = 96
+
+
+def build_corpus(seed: int, n_sequences: int, vocab: int):
+    """Order-1 Markov chain over the full vocab: next token follows a fixed
+    permutation with p=0.9, else uniform (entropy ~0.88 nats + ~0.1*log(V);
+    a trained target's argmax is deterministic given one token)."""
+    rng = np.random.default_rng(seed)
+    perm = np.random.default_rng(12345).permutation(vocab)
+    seqs = []
+    for _ in range(n_sequences):
+        cur = int(rng.integers(0, vocab))
+        seq = [cur]
+        for _ in range(SEQ - 1):
+            cur = (
+                int(perm[cur]) if rng.random() < 0.9
+                else int(rng.integers(0, vocab))
+            )
+            seq.append(cur)
+        seqs.append(np.asarray(seq, np.int64))
+    return seqs
+
+
+def _target_config_dict(layers: int, hidden: int, vocab: int) -> dict:
+    return {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": vocab,
+        "hidden_size": hidden,
+        "intermediate_size": 4 * hidden,
+        "num_hidden_layers": layers,
+        "num_attention_heads": hidden // 128,
+        "num_key_value_heads": max(hidden // 512, 1),
+        "max_position_embeddings": 4096,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 1e6,
+        "tie_word_embeddings": False,
+    }
+
+
+def train_target_onchip(target_dir: str, corpus, *, layers: int,
+                        hidden: int, vocab: int, steps: int, batch: int,
+                        lr: float, seed: int = 0):
+    """Train the big target from scratch on-chip: fp32 params, Adafactor
+    (factored second moments — full Adam state would not fit HBM next to
+    the fp32 params at 1.5B scale), global-norm clipping."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        target_capture_forward,
+    )
+
+    cfg_dict = _target_config_dict(layers, hidden, vocab)
+    config = TargetConfig(
+        vocab_size=vocab, hidden_size=hidden,
+        intermediate_size=4 * hidden, num_hidden_layers=layers,
+        num_attention_heads=hidden // 128,
+        num_key_value_heads=max(hidden // 512, 1),
+        rope_theta=1e6, max_position_embeddings=4096,
+    )
+    rng = np.random.default_rng(seed)
+    d = config.resolved_head_dim
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(
+            (rng.standard_normal(shape) * scale).astype(np.float32)
+        )
+
+    params = {
+        "model.embed_tokens.weight": w(vocab, hidden),
+        "model.norm.weight": jnp.ones((hidden,), jnp.float32),
+        "lm_head.weight": w(vocab, hidden),
+    }
+    h_heads = config.num_attention_heads
+    kvh = config.num_key_value_heads
+    inter = config.intermediate_size
+    for i in range(layers):
+        p = f"model.layers.{i}."
+        params[p + "self_attn.q_proj.weight"] = w(h_heads * d, hidden)
+        params[p + "self_attn.k_proj.weight"] = w(kvh * d, hidden)
+        params[p + "self_attn.v_proj.weight"] = w(kvh * d, hidden)
+        params[p + "self_attn.o_proj.weight"] = w(hidden, h_heads * d)
+        params[p + "mlp.gate_proj.weight"] = w(inter, hidden)
+        params[p + "mlp.up_proj.weight"] = w(inter, hidden)
+        params[p + "mlp.down_proj.weight"] = w(hidden, inter)
+        params[p + "input_layernorm.weight"] = jnp.ones(
+            (hidden,), jnp.float32)
+        params[p + "post_attention_layernorm.weight"] = jnp.ones(
+            (hidden,), jnp.float32)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adafactor(learning_rate=lr, min_dim_size_to_factor=32),
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(params, ids):
+        _aux, last, _ = target_capture_forward(
+            params, config, ids, jnp.ones_like(ids), (1,),
+        )
+        logits = last[:, :-1] @ params["lm_head.weight"].T  # [B, S-1, V]
+        labels = ids[:, 1:]
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(
+            logits, labels[..., None], axis=-1
+        )[..., 0]
+        return jnp.mean(logz - gold)
+
+    @jax.jit
+    def step(params, opt_state, ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, ids)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    data = np.stack(corpus)
+    srng = np.random.default_rng(seed)
+    first = last_loss = None
+    t0 = time.monotonic()
+    for it in range(steps):
+        idx = srng.integers(0, len(data), size=batch)
+        ids = jnp.asarray(data[idx], jnp.int32)
+        params, opt_state, loss = step(params, opt_state, ids)
+        if it % 25 == 0 or it == steps - 1:
+            loss = float(loss)
+            first = loss if first is None else first
+            last_loss = loss
+            print(f"  target step {it}: loss={loss:.3f} "
+                  f"({time.monotonic() - t0:.0f}s)", file=sys.stderr)
+
+    # persist through the standard HF-layout path (sharded: safetensors has
+    # a 2^31-ish practical single-buffer comfort zone; shard per ~2GB)
+    os.makedirs(target_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    import ml_dtypes
+
+    items = [
+        (k, np.asarray(v).astype(ml_dtypes.bfloat16))
+        for k, v in params.items()
+    ]
+    shards, cur, cur_bytes = [], [], 0
+    for k, v in items:
+        if cur_bytes + v.nbytes > 2 << 30 and cur:
+            shards.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((k, v))
+        cur_bytes += v.nbytes
+    if cur:
+        shards.append(cur)
+    weight_map = {}
+    for si, shard in enumerate(shards):
+        name = f"model-{si + 1:05d}-of-{len(shards):05d}.safetensors"
+        save_file(dict(shard), os.path.join(target_dir, name))
+        for k, _ in shard:
+            weight_map[k] = name
+    with open(os.path.join(target_dir,
+                           "model.safetensors.index.json"), "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    with open(os.path.join(target_dir, "config.json"), "w") as f:
+        json.dump(cfg_dict, f, indent=2)
+    return first, last_loss
+
+
+def capture(target_dir: str, out_dir: str, seqs, capture_layers):
+    from specforge_tpu.offline_capture.capture import (
+        OfflineCaptureConfig,
+        OfflineCaptureRunner,
+    )
+
+    runner = OfflineCaptureRunner(OfflineCaptureConfig(
+        target_model_path=target_dir,
+        output_dir=out_dir,
+        capture_layers=tuple(capture_layers),
+        max_length=SEQ,
+        batch_size=16,
+        layout="eagle",
+        store_dtype="bfloat16",
+    ))
+    runner.run([
+        {"input_ids": s, "loss_mask": np.ones_like(s)} for s in seqs
+    ])
+
+
+def train_draft(workdir: str, *, target_dir: str, train_dir: str,
+                eval_dir: str, hidden: int, vocab: int, epochs: int,
+                lr: float):
+    from specforge_tpu.application.composition import build_training_run
+    from specforge_tpu.config.schema import Config
+
+    draft_config = {
+        "architectures": ["LlamaEagle3Draft"],
+        "vocab_size": vocab, "draft_vocab_size": vocab,
+        "hidden_size": hidden, "intermediate_size": 4 * hidden,
+        "num_attention_heads": hidden // 128,
+        "num_key_value_heads": max(hidden // 512, 1),
+        "max_position_embeddings": 4096,
+        "rope_theta": 1e6,
+    }
+    out_dir = os.path.join(workdir, "runs-speedup")
+    config = Config.model_validate({
+        "run_id": "speedup",
+        "output_dir": out_dir,
+        "model": {
+            "target_model_path": target_dir,
+            "draft_config": draft_config,
+        },
+        "data": {
+            "train_data_path": train_dir,
+            "eval_data_path": eval_dir,
+            "max_length": SEQ, "num_workers": 0,
+        },
+        "training": {
+            "strategy": "eagle3", "batch_size": 8,
+            "num_epochs": epochs, "learning_rate": lr,
+            "ttt_length": 3, "eval_interval": 40, "log_interval": 10,
+            "seed": 7,
+        },
+        "tracking": {"backend": "jsonl"},
+    })
+    build_training_run(config).fit()
+    return out_dir, draft_config
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--layers", type=int, default=24)
+    parser.add_argument("--hidden", type=int, default=2048)
+    parser.add_argument("--vocab", type=int, default=32000)
+    parser.add_argument("--target-steps", type=int, default=400)
+    parser.add_argument("--target-batch", type=int, default=8)
+    parser.add_argument("--target-lr", type=float, default=1e-2)
+    parser.add_argument("--train-sequences", type=int, default=320)
+    parser.add_argument("--eval-sequences", type=int, default=32)
+    parser.add_argument("--draft-epochs", type=int, default=6)
+    parser.add_argument("--draft-lr", type=float, default=1e-3)
+    parser.add_argument("--draft-tokens", default="3")
+    parser.add_argument("--topk", default="1,2")
+    parser.add_argument("--max-new-tokens", type=int, default=128)
+    parser.add_argument("--max-len", type=int, default=256)
+    parser.add_argument("--prompts", type=int, default=8)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    target_dir = os.path.join(args.workdir, "target")
+    train_dir = os.path.join(args.workdir, "features/train")
+    eval_dir = os.path.join(args.workdir, "features/eval")
+    corpus_train = build_corpus(0, args.train_sequences, args.vocab)
+    corpus_eval = build_corpus(1, args.eval_sequences, args.vocab)
+
+    n = args.layers
+    capture_layers = (1, n // 2 - 1, n - 4)
+
+    if not os.path.exists(os.path.join(target_dir, "config.json")):
+        print("training target on-chip...", file=sys.stderr)
+        first, last = train_target_onchip(
+            target_dir, corpus_train, layers=args.layers,
+            hidden=args.hidden, vocab=args.vocab,
+            steps=args.target_steps, batch=args.target_batch,
+            lr=args.target_lr,
+        )
+        print(json.dumps({"stage": "target", "loss_first": round(first, 3),
+                          "loss_last": round(last, 3)}))
+    if not os.path.exists(os.path.join(train_dir, "done")):
+        print("capturing features...", file=sys.stderr)
+        capture(target_dir, train_dir, corpus_train, capture_layers)
+        capture(target_dir, eval_dir, corpus_eval, capture_layers)
+        open(os.path.join(train_dir, "done"), "w").close()
+        print(json.dumps({"stage": "capture",
+                          "train": args.train_sequences,
+                          "eval": args.eval_sequences}))
+
+    run_root = os.path.join(args.workdir, "runs-speedup")
+    draft_config_path = os.path.join(args.workdir, "draft.json")
+    if not os.path.exists(os.path.join(
+            args.workdir, "export", "model.safetensors")):
+        print("training draft...", file=sys.stderr)
+        run_root, draft_config = train_draft(
+            args.workdir, target_dir=target_dir, train_dir=train_dir,
+            eval_dir=eval_dir, hidden=args.hidden, vocab=args.vocab,
+            epochs=args.draft_epochs, lr=args.draft_lr,
+        )
+        with open(draft_config_path, "w") as f:
+            json.dump(draft_config, f)
+        from specforge_tpu.export.exporter import export_checkpoint
+
+        export_checkpoint(
+            run_root, os.path.join(args.workdir, "export"), fmt="sglang",
+            draft_config_path=draft_config_path,
+        )
+        print(json.dumps({"stage": "export"}))
+
+    # serving measurement: plain vs chain vs tree, all fused
+    from specforge_tpu.benchmarks.accept_grid import run_grid
+
+    prompts_path = os.path.join(args.workdir, "prompts.jsonl")
+    with open(prompts_path, "w") as f:
+        for s in corpus_eval[: args.prompts]:
+            f.write(json.dumps(
+                {"input_ids": [int(x) for x in s[:24]]}) + "\n")
+    report = run_grid(
+        target_dir, os.path.join(args.workdir, "export"),
+        {"markov": prompts_path},
+        [int(x) for x in args.draft_tokens.split(",")],
+        args.max_new_tokens, args.prompts,
+        topks=[int(x) for x in args.topk.split(",")],
+        max_len=args.max_len,
+    )
+    best = max(
+        (c for c in report["grid"] if "speedup" in c),
+        key=lambda c: c["speedup"], default=None,
+    )
+    summary = {
+        "bench": "serving_speedup",
+        "target": f"{args.layers}L/{args.hidden}h/{args.vocab}v",
+        "grid": report["grid"],
+        "best_speedup": best["speedup"] if best else None,
+    }
+    print(json.dumps(summary))
+    out = args.out or os.path.join(args.workdir, "speedup.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,11 @@ Usage:
         --draft-tokens 2,4,8 --max-new-tokens 64 --out report.json
 
 Each prompts file is JSONL with {"input_ids": [...]} (already tokenized —
-produce with scripts/prepare_data.py + a tokenizer pass).
+produce with scripts/prepare_data.py + a tokenizer pass), OR a NAMED
+dataset's raw records (gsm8k/aime/math500/mmlu/gpqa/ceval/humaneval/mbpp/
+simpleqa/mt-bench — see benchmarks/datasets.py): named datasets run in text
+space through the per-dataset benchmarker and report task ACCURACY alongside
+accept length, throughput, and the speedup vs plain decode.
 """
 
 from __future__ import annotations
@@ -27,7 +31,9 @@ from typing import Dict, List
 def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              draft_tokens: List[int], max_new_tokens: int,
              max_prompts: int, topks: List[int] = (1,),
-             fused: bool = True, baseline: bool = True) -> Dict:
+             fused: bool = True, baseline: bool = True,
+             family: str = "eagle3", max_len: int = 2048,
+             tokenizer_path: str = None) -> Dict:
     from specforge_tpu.benchmarks.accept_length import (
         build_decoder,
         load_spec_models,
@@ -35,25 +41,110 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
         measure_with_decoder,
     )
 
-    # load the checkpoints ONCE; one decoder per draft-token budget; every
-    # (dataset, topk) cell reuses them (topk is a generate-time argument)
-    models = load_spec_models(target, export_dir)
-    target_params, target_config = models[0], models[1]
-    decoders = {k: build_decoder(models, num_draft_tokens=k)
-                for k in draft_tokens}
+    if family == "dflash":
+        # DFlash-family exports (dflash/domino/dspark) serve through block
+        # speculation: the block size is the draft's contract — one decoder,
+        # no (draft_tokens, topk) sweep
+        from specforge_tpu.benchmarks.accept_length import (
+            load_exported_dflash_draft,
+        )
+        from specforge_tpu.inference.spec_decode import DFlashSpecDecoder
+        from specforge_tpu.models.target.transformer import (
+            TargetConfig,
+            load_target_params,
+        )
+
+        target_config = TargetConfig.from_file(target)
+        target_params = load_target_params(target, target_config)
+        module, variables = load_exported_dflash_draft(export_dir)
+        decoder = DFlashSpecDecoder(
+            target_params, target_config, module, variables,
+            max_len=max_len,
+        )
+        decoders = {module.config.block_size - 1: decoder}
+        draft_tokens = list(decoders)
+        topks = [1]
+    else:
+        # load the checkpoints ONCE; one decoder per draft-token budget;
+        # every (dataset, topk) cell reuses them (topk is a generate-time
+        # argument)
+        models = load_spec_models(target, export_dir)
+        target_params, target_config = models[0], models[1]
+        decoders = {
+            k: build_decoder(models, num_draft_tokens=k, max_len=max_len)
+            for k in draft_tokens
+        }
+
+    tokenizer = None
+
+    def _tokenizer():
+        nonlocal tokenizer
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                tokenizer_path or target
+            )
+        return tokenizer
 
     cells = []
     for name, path in datasets.items():
-        prompts = []
+        rows = []
         with open(path) as f:
             for line in f:
                 if line.strip():
-                    prompts.append(json.loads(line)["input_ids"])
-                if len(prompts) >= max_prompts:
+                    rows.append(json.loads(line))
+                if len(rows) >= max_prompts:
                     break
-        if not prompts:
+        if not rows:
             print(f"dataset {name}: no prompts, skipping", file=sys.stderr)
             continue
+
+        if "input_ids" not in rows[0]:
+            # NAMED dataset with raw records: run in text space through the
+            # benchmarker (formatting + extraction + accuracy — reference
+            # benchmarks/benchmarker/base.py:16-50)
+            from specforge_tpu.benchmarks.datasets import (
+                get_benchmarker,
+                run_text_benchmark,
+            )
+
+            bench = get_benchmarker(name)
+            if bench is None:
+                raise ValueError(
+                    f"dataset file {path} has no 'input_ids' and {name!r} "
+                    "is not a registered benchmarker (see "
+                    "benchmarks/datasets.py)"
+                )
+            tok = _tokenizer()
+            records = bench.load(path, max_records=max_prompts)
+            prompt_ids = [tok.encode(bench.format(r)) for r in records]
+            plain = None
+            if baseline:
+                plain = measure_plain_decode(
+                    target_params, target_config, prompt_ids,
+                    max_new_tokens=max_new_tokens, max_len=max_len,
+                )
+                print(json.dumps({"dataset": name, "plain_decode": plain}),
+                      file=sys.stderr)
+            for k in draft_tokens:
+                for topk in topks:
+                    cell = run_text_benchmark(
+                        bench, records, decoders[k], tok, topk=topk,
+                        max_new_tokens=max_new_tokens, fused=fused,
+                    )
+                    cell["num_draft_tokens"] = k
+                    if plain and plain["output_throughput"] > 0:
+                        cell["plain_throughput"] = plain["output_throughput"]
+                        cell["speedup"] = round(
+                            cell["output_throughput"]
+                            / plain["output_throughput"], 3,
+                        )
+                    print(json.dumps(cell), file=sys.stderr)
+                    cells.append(cell)
+            continue
+
+        prompts = [row["input_ids"] for row in rows]
         # the no-speculation baseline: plain greedy tokens/s on the SAME
         # prompts — every cell's speedup is spec/plain throughput (the
         # reference's headline metric, README.md:61)
@@ -61,7 +152,7 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
         if baseline:
             plain = measure_plain_decode(
                 target_params, target_config, prompts,
-                max_new_tokens=max_new_tokens,
+                max_new_tokens=max_new_tokens, max_len=max_len,
             )
             print(json.dumps({"dataset": name, "plain_decode": plain}),
                   file=sys.stderr)
@@ -114,6 +205,14 @@ def main():
                              "fused single-dispatch program (debugging)")
     parser.add_argument("--no-baseline", action="store_true",
                         help="skip the plain-decode baseline/speedup")
+    parser.add_argument("--family", default="eagle3",
+                        choices=["eagle3", "dflash"],
+                        help="export family: eagle3 (chain/tree) or dflash "
+                             "(block speculation: dflash/domino/dspark)")
+    parser.add_argument("--max-len", type=int, default=2048)
+    parser.add_argument("--tokenizer", default=None,
+                        help="tokenizer dir for NAMED (raw-record) "
+                             "datasets; default: the target dir")
     args = parser.parse_args()
 
     datasets = dict(spec.split("=", 1) for spec in args.dataset)
@@ -123,6 +222,8 @@ def main():
         args.max_new_tokens, args.max_prompts,
         topks=[int(x) for x in args.topk.split(",")],
         fused=not args.host_loop, baseline=not args.no_baseline,
+        family=args.family, max_len=args.max_len,
+        tokenizer_path=args.tokenizer,
     )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -117,15 +117,18 @@ def measure_with_decoder(
     import time
 
     generate = decoder.generate_fused if fused else decoder.generate
+    # block decoders (DFlash family) take no topk; only pass it when it
+    # deviates from the chain default
+    kw = {"topk": topk} if topk != 1 else {}
     if warmup and prompts:
-        generate(list(prompts[0]), max_new_tokens=max_new_tokens, topk=topk)
+        generate(list(prompts[0]), max_new_tokens=max_new_tokens, **kw)
     per_prompt: List[float] = []
     all_lengths: List[int] = []
     wall = 0.0
     for i, prompt in enumerate(prompts):
         t0 = time.monotonic()
         result = generate(
-            list(prompt), max_new_tokens=max_new_tokens, topk=topk
+            list(prompt), max_new_tokens=max_new_tokens, **kw
         )
         wall += time.monotonic() - t0
         per_prompt.append(result.mean_accept_length)
@@ -136,7 +139,9 @@ def measure_with_decoder(
         )
     return AcceptLengthReport(
         per_prompt=per_prompt, accept_lengths=all_lengths,
-        num_draft_tokens=decoder.k, topk=topk, wall_seconds=wall,
+        num_draft_tokens=getattr(decoder, "k", None)
+        or decoder.block_size - 1,
+        topk=topk, wall_seconds=wall,
     )
 
 
