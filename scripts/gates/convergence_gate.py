@@ -481,12 +481,195 @@ def run_peagle(workdir: str, corpus_train, corpus_eval, target_dir: str):
     }
 
 
+def run_eagle3_online(workdir: str, corpus_eval, target_dir: str,
+                      *, n_prompts: int = 2048, total_steps: int = 256):
+    """The ONLINE counterpart of run_eagle3: drive the convergence corpus
+    through the REAL disaggregated stack — C++ feature store + JAX capture
+    server + producer + consumer (the measure_online_stack.py topology) —
+    and assert the same eval-acceptance climb + exported-draft serving gain.
+    The reference's flagship demonstration is exactly this: acceptance
+    climbing during a disaggregated online run
+    (docs/benchmarks/eagle3-disaggregated-parity.md:16-23)."""
+    import signal
+    import socket
+    import subprocess
+    import time
+
+    repo = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..")
+    )
+    capture_layers = (1, 3, 5)
+    batch_size = 8
+
+    # offline eval features (held-out) + offline 1-step baseline export —
+    # eval is offline by nature; the ONLINE part under test is the
+    # producer→store→consumer training path
+    eval_dir = os.path.join(workdir, "features-eagle/eval")
+    if not capture_complete(eval_dir):
+        print("capturing eagle eval features...", file=sys.stderr)
+        capture_features(target_dir, eval_dir, corpus_eval, layout="eagle",
+                         capture_layers=capture_layers)
+    draft_config = {
+        "architectures": ["LlamaEagle3Draft"],
+        "vocab_size": VOCAB, "draft_vocab_size": VOCAB,
+        "hidden_size": HIDDEN, "intermediate_size": 2 * HIDDEN,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "max_position_embeddings": 4 * SEQ,
+    }
+
+    # online prompt plan: fresh sequences of the SAME chain (the online
+    # analog of multiple offline epochs — each prompt is consumed once)
+    prompt_path = os.path.join(workdir, "online-prompts.jsonl")
+    corpus_online = build_corpus(2, n_prompts)
+    with open(prompt_path, "w") as f:
+        for seq in corpus_online:
+            f.write(json.dumps({
+                "input_ids": [int(x) for x in seq],
+                "loss_mask": [1] * len(seq),
+            }) + "\n")
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    store_port, server_port = free_port(), free_port()
+    out_dir = os.path.join(workdir, "runs-online")
+    config_path = os.path.join(workdir, "online.json")
+    with open(config_path, "w") as f:
+        json.dump({
+            "run_id": "convon",
+            "output_dir": out_dir,
+            "model": {"target_model_path": target_dir,
+                      "draft_config": draft_config},
+            "data": {"prompt_path": prompt_path,
+                     "eval_data_path": eval_dir,
+                     "max_length": SEQ, "num_workers": 0},
+            "training": {
+                "strategy": "eagle3", "batch_size": batch_size,
+                "total_steps": total_steps, "learning_rate": 1e-3,
+                "ttt_length": 3, "eval_interval": 32, "log_interval": 8,
+                "save_interval": total_steps, "seed": 7,
+            },
+            "tracking": {"backend": "jsonl"},
+            "runtime": {"store_backend": "network",
+                        "store_endpoint": f"127.0.0.1:{store_port}",
+                        "control_dir": os.path.join(workdir,
+                                                    "online-control")},
+            "deployment": {
+                "mode": "disaggregated",
+                "server_urls": [f"http://127.0.0.1:{server_port}"],
+                "num_producer_workers": 2,
+            },
+        }, f)
+
+    procs = []
+
+    def spawn(argv, name):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        p = subprocess.Popen(
+            argv, env=env,
+            stdout=open(os.path.join(workdir, f"online-{name}.log"), "w"),
+            stderr=subprocess.STDOUT,
+        )
+        procs.append(p)
+        return p
+
+    import urllib.request
+    try:
+        subprocess.run(["make", "-C", os.path.join(repo, "cpp")],
+                       check=True, capture_output=True)
+        spawn([os.path.join(repo, "cpp", "feature_store_server"),
+               "--port", str(store_port)], "store")
+        spawn([sys.executable, "-m",
+               "specforge_tpu.inference.capture_server_main",
+               "--target-model", target_dir, "--port", str(server_port),
+               "--capture-layers", *[str(c) for c in capture_layers],
+               "--max-length", str(SEQ)], "capture")
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{server_port}/health", timeout=1)
+                break
+            except OSError:
+                time.sleep(0.5)
+        else:
+            raise SystemExit("GATE FAILED: capture server never healthy")
+
+        print("online stack up; training consumer...", file=sys.stderr)
+        producer = spawn(
+            [sys.executable, "-m", "specforge_tpu.cli", "train",
+             "-c", config_path, "--set", "training.role=producer"],
+            "producer")
+        consumer = spawn(
+            [sys.executable, "-m", "specforge_tpu.cli", "train",
+             "-c", config_path, "--set", "training.role=consumer"],
+            "consumer")
+        rc_c = consumer.wait(timeout=3600)
+        rc_p = producer.wait(timeout=600)
+        if rc_c != 0 or rc_p != 0:
+            raise SystemExit(
+                f"GATE FAILED: online stack consumer rc={rc_c} producer "
+                f"rc={rc_p} (see {workdir}/online-consumer.log)"
+            )
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signal.SIGTERM)
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+    series = _read_metric_series(
+        os.path.join(out_dir, "convon.metrics.jsonl"),
+        "eval/simulated_acc_len",
+    )
+    if len(series) < 2:
+        raise SystemExit(f"GATE FAILED: too few eval points: {series}")
+
+    # serving comparison: online-trained export vs an offline 1-step
+    # baseline export (training amount ~0 — the untrained anchor)
+    base_run = _train_draft(
+        workdir, "convon-base", algorithm="eagle3", target_dir=target_dir,
+        train_dir=eval_dir, eval_dir=None, draft_config=draft_config,
+        total_steps=1, num_epochs=1, eval_interval=0,
+    )
+    base_export = _export(workdir, base_run, "convon-base", draft_config,
+                          "sglang")
+    export_dir = _export(workdir, out_dir, "convon", draft_config, "sglang")
+    prompts = [list(map(int, s[:24])) for s in corpus_eval[:4]]
+    accept_untrained = _measure_accept(target_dir, base_export, prompts,
+                                       capture_layers)
+    accept_trained = _measure_accept(target_dir, export_dir, prompts,
+                                     capture_layers)
+    return {
+        "climb_metric": "eval/simulated_acc_len",
+        "series": [(int(s), round(float(v), 4)) for s, v in series],
+        "first": round(float(series[0][1]), 4),
+        "last": round(float(series[-1][1]), 4),
+        "accept_untrained": round(float(accept_untrained), 4),
+        "accept_trained": round(float(accept_trained), 4),
+        "topology": "online-disaggregated (C++ store + capture server + "
+                    "producer + consumer)",
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--algorithm", default="eagle3",
                         choices=["eagle3", "domino", "dspark", "dflash",
                                  "peagle"])
+    parser.add_argument("--online", action="store_true",
+                        help="drive the corpus through the REAL online "
+                             "disaggregated stack (eagle3 only)")
     parser.add_argument("--target-steps", type=int, default=400)
     parser.add_argument("--train-sequences", type=int, default=512)
     parser.add_argument("--eval-sequences", type=int, default=32)
@@ -514,7 +697,11 @@ def main():
             f"(corpus entropy ~0.88)", file=sys.stderr,
         )
 
-    if args.algorithm == "eagle3":
+    if args.online:
+        if args.algorithm != "eagle3":
+            raise SystemExit("--online supports eagle3 only")
+        result = run_eagle3_online(args.workdir, corpus_eval, target_dir)
+    elif args.algorithm == "eagle3":
         result = run_eagle3(args.workdir, corpus_train, corpus_eval,
                             target_dir)
     elif args.algorithm == "peagle":
@@ -538,6 +725,7 @@ def main():
     verdict = {
         "gate": "convergence",
         "algorithm": args.algorithm,
+        "online": bool(args.online),
         "status": status,
         "climbed": climbed,
         "accept_ok": accept_ok,

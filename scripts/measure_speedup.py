@@ -39,20 +39,27 @@ import numpy as np  # noqa: E402
 SEQ = 96
 
 
-def build_corpus(seed: int, n_sequences: int, vocab: int):
-    """Order-1 Markov chain over the full vocab: next token follows a fixed
-    permutation with p=0.9, else uniform (entropy ~0.88 nats + ~0.1*log(V);
-    a trained target's argmax is deterministic given one token)."""
+def build_corpus(seed: int, n_sequences: int, chain_vocab: int):
+    """Order-1 Markov chain over a ``chain_vocab``-token subset of the full
+    vocab: next token follows a fixed permutation with p=0.9, else uniform.
+
+    The chain is deliberately NARROWER than the model vocab: the model
+    still pays the full-vocab softmax/head cost (the serving-cost-realistic
+    part), while the corpus gives each permutation entry
+    ~n_sequences*SEQ/chain_vocab training samples so the target GENERALIZES
+    the chain instead of memorizing sequences — a full-vocab chain at this
+    corpus size shows each transition ~once and the target's held-out
+    behavior becomes unpredictable, which caps any draft's acceptance."""
     rng = np.random.default_rng(seed)
-    perm = np.random.default_rng(12345).permutation(vocab)
+    perm = np.random.default_rng(12345).permutation(chain_vocab)
     seqs = []
     for _ in range(n_sequences):
-        cur = int(rng.integers(0, vocab))
+        cur = int(rng.integers(0, chain_vocab))
         seq = [cur]
         for _ in range(SEQ - 1):
             cur = (
                 int(perm[cur]) if rng.random() < 0.9
-                else int(rng.integers(0, vocab))
+                else int(rng.integers(0, chain_vocab))
             )
             seq.append(cur)
         seqs.append(np.asarray(seq, np.int64))
@@ -269,6 +276,9 @@ def main():
     parser.add_argument("--layers", type=int, default=24)
     parser.add_argument("--hidden", type=int, default=2048)
     parser.add_argument("--vocab", type=int, default=32000)
+    parser.add_argument("--chain-vocab", type=int, default=2000,
+                        help="token subset the Markov chain runs over "
+                             "(model vocab stays --vocab; see build_corpus)")
     parser.add_argument("--target-steps", type=int, default=400)
     parser.add_argument("--target-batch", type=int, default=8)
     parser.add_argument("--target-lr", type=float, default=1e-2)
@@ -288,8 +298,8 @@ def main():
     target_dir = os.path.join(args.workdir, "target")
     train_dir = os.path.join(args.workdir, "features/train")
     eval_dir = os.path.join(args.workdir, "features/eval")
-    corpus_train = build_corpus(0, args.train_sequences, args.vocab)
-    corpus_eval = build_corpus(1, args.eval_sequences, args.vocab)
+    corpus_train = build_corpus(0, args.train_sequences, args.chain_vocab)
+    corpus_eval = build_corpus(1, args.eval_sequences, args.chain_vocab)
 
     n = args.layers
     capture_layers = (1, n // 2 - 1, n - 4)

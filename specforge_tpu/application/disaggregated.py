@@ -393,6 +393,29 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         num_workers=config.data.num_workers, metadata=metadata,
     )
 
+    # optional OFFLINE eval set alongside the online stream: the reference's
+    # flagship online demonstration is eval acceptance climbing during a
+    # disaggregated run (docs/benchmarks/eagle3-disaggregated-parity.md:16-23)
+    eval_loader = None
+    if config.data.eval_data_path:
+        from specforge_tpu.parallel.multihost import shard_refs_for_process
+        from specforge_tpu.runtime.data_plane.feature_store import (
+            FileFeatureStore,
+        )
+        from specforge_tpu.runtime.data_plane.offline_reader import (
+            OfflineManifestReader,
+        )
+
+        eval_refs = OfflineManifestReader(
+            config.data.eval_data_path
+        ).read()
+        eval_refs = shard_refs_for_process(eval_refs, t.batch_size)
+        eval_loader = FeatureDataLoader(
+            FileFeatureStore(), collate, refs=eval_refs,
+            batch_size=local_batch,
+            num_workers=config.data.num_workers, metadata=metadata,
+        )
+
     ref_by_id: Dict[str, Any] = {}
 
     class _RecordingQueue:
@@ -502,10 +525,12 @@ def run_consumer(config: Config, frozen_override=None) -> Dict[str, float]:
         mesh=mesh,
         world_size=procs,
         train_loader=loader,
+        eval_loader=eval_loader,
         config=TrainerConfig(
             num_epochs=1,
             accum_steps=t.accumulation_steps,
             log_interval=t.log_interval,
+            eval_interval=t.eval_interval if eval_loader else 0,
             checkpoint_interval=t.save_interval,
             max_checkpoints=t.max_checkpoints,
             output_dir=config.output_dir,

@@ -1174,14 +1174,18 @@ class DFlashSpecDecoder:
                 completed[0, pos] = int(final[0, 0, head_pos].argmax())
             return completed[0, 1:].tolist()
 
-        # dspark: prev ids per block position (position j's prev = sampled
-        # j-1); heads are causal in prev ids, so iterative refill is exact
+        # dspark is ALWAYS shift-labeled (OnlineDSparkModel._labels_and_mask
+        # gathers offsets 1..block_size): block position p is trained to
+        # predict token anchor+1+p with prev id = the token at anchor+p. So
+        # proposal j (token anchor+j) reads position j-1 with prev = the
+        # previously sampled token; heads are causal in prev ids, so
+        # iterative refill is exact.
         prev_ids = np.zeros((1, 1, bs), np.int64)
-        prev_ids[0, 0, 0] = int(block_ids[0, 0])
         hidden4 = draft_hidden[:, None]
         base4 = jnp.asarray(base[:, None])
         out = []
-        for pos in range(1, bs):
+        for j in range(1, bs):
+            pos = j - 1
             prev_ids[0, 0, pos] = (
                 out[-1] if out else int(block_ids[0, 0])
             )
@@ -1345,11 +1349,13 @@ class DFlashSpecDecoder:
                     )
                 return completed[0, 1:]
 
-            # dspark: markov head causal in prev sampled ids
+            # dspark: shift-labeled (position p predicts token anchor+1+p
+            # given prev = token anchor+p) — proposal j reads position j-1;
+            # markov head causal in prev sampled ids
             prev_ids = jnp.zeros((1, 1, bs), jnp.int32)
-            prev_ids = prev_ids.at[0, 0, 0].set(cur)
             out = []
-            for pos in range(1, bs):
+            for j in range(1, bs):
+                pos = j - 1
                 prev_ids = prev_ids.at[0, 0, pos].set(
                     out[-1] if out else cur
                 )
