@@ -454,6 +454,76 @@ register(DatasetBenchmarker(
 
 
 # --------------------------------------------------------------------------
+# financeqa: context-grounded QA, unlabeled upstream → throughput-only
+# unless the dump carries an "answer" field (financeqa.py:38-52)
+# --------------------------------------------------------------------------
+
+register(DatasetBenchmarker(
+    name="financeqa",
+    format=lambda r: (
+        "Given the following context, can you answer the following "
+        f"question?\n\nContext:\n{r['context'].strip()}\n\nQuestion:\n"
+        f"{r['question'].strip()}"
+        if r.get("context")
+        else r["question"].strip()
+    ),
+    label=lambda r: str(r["answer"]).strip()
+    if r.get("answer") else None,
+    extract=lambda out: out.strip() or None,
+    score=_simpleqa_score,
+    max_new_tokens=512,
+))
+
+
+# --------------------------------------------------------------------------
+# livecodebench: code generation, unlabeled in the reference harness too
+# (livecodebench.py:38 labels.append(None)) → throughput/accept-length
+# --------------------------------------------------------------------------
+
+register(DatasetBenchmarker(
+    name="livecodebench",
+    format=lambda r: str(
+        r.get("question_content") or r.get("question", "")
+    ).strip(),
+    label=lambda r: None,
+    extract=extract_code,
+    score=lambda p, l: False,
+    max_new_tokens=2048,
+))
+
+
+# --------------------------------------------------------------------------
+# mmstar: multiple-choice over the text tower (options embedded in the
+# question text; option-count-aware letter extraction, mmstar.py:17-60)
+# --------------------------------------------------------------------------
+
+def _mmstar_extract(out: str) -> Optional[str]:
+    upper = out.strip().upper()
+    m = re.search(r"\b([A-D])\b", upper)
+    if m:
+        return m.group(1)
+    for pattern in (r"\(([A-D])\)", r"\[([A-D])\]", r"答案[：:]\s*([A-D])",
+                    r"ANSWER[：:]\s*([A-D])", r"选择[：:]\s*([A-D])"):
+        m = re.search(pattern, upper)
+        if m:
+            return m.group(1)
+    return None
+
+
+register(DatasetBenchmarker(
+    name="mmstar",
+    format=lambda r: (
+        r["question"].strip()
+        + "\n\nAnswer with the option letter (A, B, C or D)."
+    ),
+    label=lambda r: str(r.get("answer", "")).strip().upper() or None,
+    extract=_mmstar_extract,
+    score=_mc_score,
+    max_new_tokens=256,
+))
+
+
+# --------------------------------------------------------------------------
 # text-space serving run: format -> tokenize -> spec-decode -> extract/score
 # --------------------------------------------------------------------------
 

@@ -198,3 +198,39 @@ def test_run_text_benchmark_end_to_end_accuracy():
     assert cell["mean_accept_length"] == 2.5
     assert cell["output_tokens"] == 4
     assert cell["records"] == 2
+
+
+def test_financeqa_context_format_and_score():
+    bench = get_benchmarker("financeqa")
+    rec = {"context": "Revenue was $5M.", "question": "What was revenue?",
+           "answer": "$5M"}
+    prompt = bench.format(rec)
+    assert "Context:" in prompt and "Revenue was $5M." in prompt
+    assert bench.format({"context": None, "question": "Q?"}) == "Q?"
+    assert bench.score("Revenue was 5m", "$5M".replace("$", "5m") and "5m")
+    # unlabeled dumps -> no accuracy
+    assert bench.accuracy(["x"], [{"context": None, "question": "q"}]) is None
+
+
+def test_livecodebench_is_throughput_only():
+    bench = get_benchmarker("livecodebench")
+    assert bench.format({"question_content": " code this "}) == "code this"
+    assert bench.accuracy(["out"], [{"question_content": "q"}]) is None
+
+
+def test_mmstar_letter_extraction():
+    bench = get_benchmarker("mmstar")
+    assert bench.extract("The answer is (C)") == "C"
+    assert bench.extract("b") == "B"
+    assert bench.extract("答案：D") == "D"
+    assert bench.extract("nothing here 42") is None
+    rec = {"question": "Which? A. x B. y C. z D. w", "answer": "c"}
+    assert bench.label(rec) == "C"
+    assert bench.accuracy(["(C) because"], [rec]) == 1.0
+
+
+def test_registry_has_thirteen_datasets():
+    expected = {"gsm8k", "aime", "math500", "mmlu", "gpqa", "ceval",
+                "humaneval", "mbpp", "simpleqa", "mt-bench", "financeqa",
+                "livecodebench", "mmstar"}
+    assert expected <= set(DATASET_BENCHMARKERS)
