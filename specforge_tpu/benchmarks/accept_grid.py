@@ -33,7 +33,8 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              max_prompts: int, topks: List[int] = (1,),
              fused: bool = True, baseline: bool = True,
              family: str = "eagle3", max_len: int = 2048,
-             tokenizer_path: str = None) -> Dict:
+             tokenizer_path: str = None,
+             batch_sizes: List[int] = (1,)) -> Dict:
     from specforge_tpu.benchmarks.accept_length import (
         build_decoder,
         load_spec_models,
@@ -157,32 +158,50 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
             print(json.dumps({"dataset": name, "plain_decode": plain}),
                   file=sys.stderr)
         for k in draft_tokens:
-            for topk in topks:
-                report = measure_with_decoder(
-                    decoders[k], prompts, topk=topk,
-                    max_new_tokens=max_new_tokens, fused=fused,
-                )
-                cell = {
-                    "dataset": name,
-                    "num_draft_tokens": k,
-                    "topk": topk,
-                    "prompts": len(prompts),
-                    "mean_accept_length": round(
-                        report.mean_accept_length, 4
-                    ),
-                    # wall-clock serving throughput, as in the reference
-                    # grid (benchmarks/benchmarker/utils.py:55,116)
-                    "output_tokens": report.output_tokens,
-                    "output_throughput": round(report.output_throughput, 2),
-                }
-                if plain and plain["output_throughput"] > 0:
-                    cell["plain_throughput"] = plain["output_throughput"]
-                    cell["speedup"] = round(
-                        report.output_throughput
-                        / plain["output_throughput"], 3,
-                    )
-                print(json.dumps(cell), file=sys.stderr)
-                cells.append(cell)
+            for bs in batch_sizes:
+                for topk in topks:
+                    if bs > 1 and (topk != 1 or family == "dflash"):
+                        continue  # batched mode is eagle chain only
+                    if bs > 1:
+                        from specforge_tpu.benchmarks.accept_length import (
+                            measure_batched,
+                        )
+
+                        report = measure_batched(
+                            decoders[k], prompts, batch=bs,
+                            max_new_tokens=max_new_tokens,
+                        )
+                    else:
+                        report = measure_with_decoder(
+                            decoders[k], prompts, topk=topk,
+                            max_new_tokens=max_new_tokens, fused=fused,
+                        )
+                    cell = {
+                        "dataset": name,
+                        "num_draft_tokens": k,
+                        "topk": topk,
+                        "batch": bs,
+                        "prompts": len(report.per_prompt),
+                        "mean_accept_length": round(
+                            report.mean_accept_length, 4
+                        ),
+                        # wall-clock serving throughput, as in the reference
+                        # grid (benchmarks/benchmarker/utils.py:55,116)
+                        "output_tokens": report.output_tokens,
+                        "output_throughput": round(
+                            report.output_throughput, 2
+                        ),
+                    }
+                    if plain and plain["output_throughput"] > 0:
+                        cell["plain_throughput"] = (
+                            plain["output_throughput"]
+                        )
+                        cell["speedup"] = round(
+                            report.output_throughput
+                            / plain["output_throughput"], 3,
+                        )
+                    print(json.dumps(cell), file=sys.stderr)
+                    cells.append(cell)
     return {"grid": cells, "target": target, "export": export_dir}
 
 
@@ -213,6 +232,9 @@ def main():
     parser.add_argument("--tokenizer", default=None,
                         help="tokenizer dir for NAMED (raw-record) "
                              "datasets; default: the target dir")
+    parser.add_argument("--batch", default="1",
+                        help="comma list of serving batch sizes (bs>1 runs "
+                             "the single-program batched chain loop)")
     args = parser.parse_args()
 
     datasets = dict(spec.split("=", 1) for spec in args.dataset)
@@ -224,6 +246,7 @@ def main():
         fused=not args.host_loop, baseline=not args.no_baseline,
         family=args.family, max_len=args.max_len,
         tokenizer_path=args.tokenizer,
+        batch_sizes=[int(x) for x in args.batch.split(",")],
     )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -145,6 +145,46 @@ def measure_with_decoder(
     )
 
 
+def measure_batched(
+    decoder,
+    prompts: Sequence[Sequence[int]],
+    *,
+    batch: int,
+    max_new_tokens: int = 128,
+    warmup: bool = True,
+) -> AcceptLengthReport:
+    """Chain speculation over prompt groups of ``batch`` rows through the
+    single-program batched loop — serving throughput at bs > 1 (the
+    reference grid's batch dimension, benchmarks/README.md:11-67)."""
+    import time
+
+    groups = [
+        list(prompts[i: i + batch])
+        for i in range(0, len(prompts), batch)
+    ]
+    groups = [g for g in groups if len(g) == batch]  # static batch shape
+    if warmup and groups:
+        decoder.generate_batch_fused(
+            groups[0], max_new_tokens=max_new_tokens
+        )
+    per_prompt: List[float] = []
+    all_lengths: List[int] = []
+    wall = 0.0
+    for group in groups:
+        t0 = time.monotonic()
+        results = decoder.generate_batch_fused(
+            group, max_new_tokens=max_new_tokens
+        )
+        wall += time.monotonic() - t0
+        for result in results:
+            per_prompt.append(result.mean_accept_length)
+            all_lengths.extend(result.accept_lengths)
+    return AcceptLengthReport(
+        per_prompt=per_prompt, accept_lengths=all_lengths,
+        num_draft_tokens=decoder.k, topk=1, wall_seconds=wall,
+    )
+
+
 def measure_plain_decode(
     target_params,
     target_config,

@@ -56,6 +56,19 @@ def init_target_state(config: TargetConfig, batch: int, max_len: int,
     )
 
 
+def _scatter_cache_rows(cache, new, starts):
+    """Per-row cache write: ``cache[b, :, starts[b] + j] = new[b, :, j]``
+    for cache [B, KVH, M, D], new [B, KVH, T, D], starts [B] — the batched
+    counterpart of ``dynamic_update_slice`` when rows sit at DIFFERENT
+    lengths (per-row accept counts diverge after the first round)."""
+    b = cache.shape[0]
+    t = new.shape[2]
+    slots = starts[:, None] + jnp.arange(t, dtype=jnp.int32)     # [B, T]
+    return cache.at[jnp.arange(b)[:, None], :, slots].set(
+        new.transpose(0, 2, 1, 3).astype(cache.dtype), mode="drop"
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "capture_layers"),
@@ -66,10 +79,11 @@ def target_cached_forward(
     input_ids: jnp.ndarray,     # [B, T] block
     cache_k: jnp.ndarray,
     cache_v: jnp.ndarray,
-    cache_len: jnp.ndarray,     # scalar int32
+    cache_len: jnp.ndarray,     # scalar int32, or [B] per-row lengths
     capture_layers: Tuple[int, ...],
     block_allow: Optional[jnp.ndarray] = None,   # [T, T] bool tree mask
     block_positions: Optional[jnp.ndarray] = None,  # [T] logical depths
+    prefix_valid: Optional[jnp.ndarray] = None,  # [B, M] bool pad mask
 ):
     """Decode/prefill one block against the cache.
 
@@ -78,6 +92,11 @@ def target_cached_forward(
     block slots ``block_allow[i]`` (its ancestors), and its RoPE position is
     ``cache_len + block_positions[i]`` (its depth) rather than its slot
     index. Default (None) is plain causal decode.
+
+    Batched serving: ``cache_len`` may be a [B] vector (rows at different
+    lengths — K/V land via per-row scatter) and ``prefix_valid`` masks
+    left-pad slots out of attention. RoPE scores depend only on position
+    DIFFERENCES, so a left-padded row computes exactly its unpadded result.
 
     Returns (logits [B, T, V], aux [B, T, L*H], new_cache_k, new_cache_v).
     """
@@ -89,28 +108,45 @@ def target_cached_forward(
     m = cache_k.shape[3]
     rope_spec = RopeSpec.from_config(cfg)
     capture_set = set(int(c) for c in capture_layers)
+    cache_len = jnp.asarray(cache_len, jnp.int32)
+    per_row = cache_len.ndim == 1
+    len_col = cache_len[:, None] if per_row else cache_len  # [B,1] | scalar
 
     depths = (
         jnp.arange(t, dtype=jnp.int32) if block_positions is None
         else block_positions.astype(jnp.int32)
     )
-    positions = cache_len + depths[None]
+    positions = len_col + depths[None]
     positions = jnp.broadcast_to(positions, (b, t))
     cos, sin = rope_cos_sin(rope_spec, positions, m, dtype=jnp.bfloat16)
 
     x = jnp.take(params["model.embed_tokens.weight"], input_ids, axis=0)
     col = jnp.arange(m, dtype=jnp.int32)[None, :]
     if block_allow is None:
-        # causal: col slot < cache_len + row + 1
-        row_pos = (cache_len + jnp.arange(t, dtype=jnp.int32))[:, None]
-        allow = col <= row_pos  # [T, M]
+        # causal: col slot < cache_len + row + 1; [T, M] (scalar len) or
+        # [B, T, M] (per-row)
+        row_pos = jnp.arange(t, dtype=jnp.int32)[:, None]
+        if per_row:
+            allow = col[None] <= cache_len[:, None, None] + row_pos[None]
+        else:
+            allow = col <= cache_len + row_pos
     else:
+        if per_row:
+            raise NotImplementedError(
+                "tree verification with per-row cache lengths"
+            )
         # tree: full prefix + ancestor slots within the block
         prefix_vis = col < cache_len                      # [1, M]
         in_block = (col >= cache_len) & (col < cache_len + t)
         bidx = jnp.clip(col[0] - cache_len, 0, t - 1)     # [M]
         blk_vis = jnp.take(block_allow, bidx, axis=1)     # [T, M]
         allow = prefix_vis | (in_block & blk_vis)
+    if prefix_valid is not None:
+        # [B, M] pad mask joins on the batch axis
+        if allow.ndim == 2:
+            allow = allow[None] & prefix_valid[:, None, :]
+        else:
+            allow = allow & prefix_valid[:, None, :]
 
     captured = {}
     for i in range(cfg.num_hidden_layers):
@@ -140,12 +176,20 @@ def target_cached_forward(
         v = v.transpose(0, 2, 1, 3)
         q, k = apply_rope(q, k, cos, sin)
 
-        new_ck = jax.lax.dynamic_update_slice(
-            cache_k[i], k.astype(cache_k.dtype), (0, 0, cache_len, 0)
-        )
-        new_cv = jax.lax.dynamic_update_slice(
-            cache_v[i], v.astype(cache_v.dtype), (0, 0, cache_len, 0)
-        )
+        if per_row:
+            new_ck = _scatter_cache_rows(
+                cache_k[i], k.astype(cache_k.dtype), cache_len
+            )
+            new_cv = _scatter_cache_rows(
+                cache_v[i], v.astype(cache_v.dtype), cache_len
+            )
+        else:
+            new_ck = jax.lax.dynamic_update_slice(
+                cache_k[i], k.astype(cache_k.dtype), (0, 0, cache_len, 0)
+            )
+            new_cv = jax.lax.dynamic_update_slice(
+                cache_v[i], v.astype(cache_v.dtype), (0, 0, cache_len, 0)
+            )
         cache_k = cache_k.at[i].set(new_ck)
         cache_v = cache_v.at[i].set(new_cv)
 
@@ -154,7 +198,11 @@ def target_cached_forward(
             "bkgsd,bktd->bkgst", qg, new_ck.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) / (d ** 0.5)
-        w = jnp.where(allow[None, None, None], w, -1e30)
+        allow_b = (
+            allow[None, None, None] if allow.ndim == 2
+            else allow[:, None, None]
+        )
+        w = jnp.where(allow_b, w, -1e30)
         p = jax.nn.softmax(w, axis=-1).astype(x.dtype)
         attn = jnp.einsum("bkgst,bktd->bkgsd", p, new_cv.astype(x.dtype))
         attn = attn.reshape(b, h, t, d).transpose(0, 2, 1, 3).reshape(
@@ -209,13 +257,15 @@ def init_draft_state(draft_config, batch: int, max_len: int,
 
 
 def _draft_step(variables, draft_module, input_ids, hidden, cache_k, cache_v,
-                cache_len):
+                cache_len, prefix_valid=None):
     """One cached decoder step: [B, T] tokens + [B, T, h] hidden features →
     (next hidden [B, T, h], logits [B, T, Vd], caches).
 
     Serving-mode attention is plain causal over the accumulated cache (TTT
     branches are a training-time construct — reference serving drafts decode
-    with a standard KV cache).
+    with a standard KV cache). ``cache_len`` may be a [B] vector and
+    ``prefix_valid`` a [B, M] pad mask — the batched-serving contract of
+    ``target_cached_forward``.
     """
     def run(module):
         cfg = module.config
@@ -224,6 +274,9 @@ def _draft_step(variables, draft_module, input_ids, hidden, cache_k, cache_v,
         h_heads, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
         g = h_heads // kvh
         m = cache_k.shape[2]
+        clen = jnp.asarray(cache_len, jnp.int32)
+        per_row = clen.ndim == 1
+        len_col = clen[:, None] if per_row else clen
 
         embeds = module.embed_input_ids(input_ids).astype(hidden.dtype)
         layer = module.midlayer
@@ -238,27 +291,43 @@ def _draft_step(variables, draft_module, input_ids, hidden, cache_k, cache_v,
         q = qkv[..., :qc].reshape(b, t, h_heads, d).transpose(0, 2, 1, 3)
         k = qkv[..., qc:qc + kc].reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
         v = qkv[..., qc + kc:].reshape(b, t, kvh, d).transpose(0, 2, 1, 3)
-        positions = cache_len + jnp.arange(t, dtype=jnp.int32)[None]
+        positions = len_col + jnp.arange(t, dtype=jnp.int32)[None]
         positions = jnp.broadcast_to(positions, (b, t))
         cos, sin = rope_cos_sin(attn.rope_spec, positions, m, dtype=q.dtype)
         q, k = apply_rope(q, k, cos, sin)
 
-        ck = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, 0, cache_len, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, 0, cache_len, 0)
-        )
+        if per_row:
+            ck = _scatter_cache_rows(cache_k, k.astype(cache_k.dtype), clen)
+            cv = _scatter_cache_rows(cache_v, v.astype(cache_v.dtype), clen)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, 0, clen, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, 0, clen, 0)
+            )
         col = jnp.arange(m, dtype=jnp.int32)[None, :]
-        row_pos = (cache_len + jnp.arange(t, dtype=jnp.int32))[:, None]
-        allow = col <= row_pos
+        row_pos = jnp.arange(t, dtype=jnp.int32)[:, None]
+        if per_row:
+            allow = col[None] <= clen[:, None, None] + row_pos[None]
+        else:
+            allow = col <= clen + row_pos
+        if prefix_valid is not None:
+            if allow.ndim == 2:
+                allow = allow[None] & prefix_valid[:, None, :]
+            else:
+                allow = allow & prefix_valid[:, None, :]
 
         qg = q.reshape(b, kvh, g, t, d)
         w = jnp.einsum(
             "bkgsd,bktd->bkgst", qg, ck.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) / (d ** 0.5)
-        w = jnp.where(allow[None, None, None], w, -1e30)
+        allow_b = (
+            allow[None, None, None] if allow.ndim == 2
+            else allow[:, None, None]
+        )
+        w = jnp.where(allow_b, w, -1e30)
         p = jax.nn.softmax(w, axis=-1).astype(q.dtype)
         out = jnp.einsum("bkgst,bktd->bkgsd", p, cv.astype(q.dtype))
         out = out.reshape(b, h_heads, t, d).transpose(0, 2, 1, 3).reshape(
@@ -575,6 +644,85 @@ class Eagle3SpecDecoder:
             steps=n_rounds,
         )
 
+    def generate_batch_fused(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> List[SpecDecodeResult]:
+        """Chain speculation for a BATCH of prompts in one fused program:
+        rows are right-padded (slot == position — each row's numerics are
+        exactly its single-row numerics), caches carry per-row lengths, one
+        batched target verification serves all rows per round, and finished
+        rows freeze while the rest continue. Per-row outputs match
+        ``generate_fused`` row by row (parity-tested)."""
+        stop_ids = tuple(
+            sorted(set(int(s) for s in (stop_token_ids or ())))
+        )
+        batch = len(prompts)
+        lens = np.asarray([len(p) for p in prompts], np.int32)
+        p_max = int(lens.max())
+        budget = self.max_len
+        padded = np.zeros((batch, p_max), np.int64)
+        for i, p in enumerate(prompts):
+            padded[i, : len(p)] = p
+
+        t_state = init_target_state(self.target_config, batch, budget)
+        d_state = init_draft_state(self.draft.config, batch, budget)
+        logits, aux, t_ck, t_cv = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(padded, jnp.int32),
+            t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
+            self.capture_layers,
+        )
+        rows = np.arange(batch)
+        cur = jnp.asarray(
+            np.asarray(logits)[rows, lens - 1].argmax(axis=-1), jnp.int32
+        )
+        # draft bootstrap: slot j pairs (token_{j+1}, feature_j); the last
+        # REAL slot of each row pairs its first generated token
+        shifted = np.concatenate(
+            [padded[:, 1:], np.zeros((batch, 1), np.int64)], axis=1
+        )
+        shifted[rows, lens - 1] = np.asarray(cur)
+        draft_hidden = self._project(self.draft_variables, aux)
+        h_out, dlog, d_ck, d_cv = self._draft_step(
+            self.draft_variables, jnp.asarray(shifted, jnp.int32),
+            draft_hidden, d_state.cache_k, d_state.cache_v,
+            jnp.asarray(0, jnp.int32),
+        )
+        last_h = jnp.take_along_axis(
+            h_out, jnp.asarray(lens - 1)[:, None, None], axis=1
+        )
+        last_dl = jnp.take_along_axis(
+            dlog, jnp.asarray(lens - 1)[:, None, None], axis=1
+        )[:, 0]
+
+        out_buf = jnp.zeros((batch, budget + self.k + 1), jnp.int32)
+        out_buf = out_buf.at[:, 0].set(cur)
+        acc_buf = jnp.zeros((batch, budget), jnp.int32)
+        loop = self._fused.batch_chain(batch, stop_ids)
+        buf, out_cnt, accs, n_rounds = loop(
+            self.target_params, self.draft_variables, t_ck, t_cv,
+            jnp.asarray(lens), d_ck, d_cv, jnp.asarray(lens), cur,
+            last_h, last_dl, out_buf, jnp.ones((batch,), jnp.int32),
+            acc_buf, jnp.asarray(max_new_tokens, jnp.int32),
+        )
+        buf = np.asarray(buf)
+        out_cnt = np.asarray(out_cnt)
+        accs = np.asarray(accs)
+        n_rounds = np.asarray(n_rounds)
+        results = []
+        for i, p in enumerate(prompts):
+            results.append(SpecDecodeResult(
+                output_ids=np.concatenate(
+                    [np.asarray(p, np.int64), buf[i, : out_cnt[i]]]
+                ),
+                accept_lengths=[int(a) for a in accs[i, : n_rounds[i]]],
+                steps=int(n_rounds[i]),
+            ))
+        return results
+
     def _generate_tree(
         self,
         prompt_ids: Sequence[int],
@@ -733,6 +881,16 @@ def _fused_stop_hit(emitted, valid, stop_ids):
     return jnp.any(hits & valid)
 
 
+def _fused_stop_hit_rows(emitted, valid, stop_ids):
+    """Per-row stop check for batched decoding: [B, T] -> [B]."""
+    if not stop_ids:
+        return jnp.zeros(emitted.shape[:1], bool)
+    hits = jnp.zeros(emitted.shape, bool)
+    for s in stop_ids:
+        hits = hits | (emitted == s)
+    return jnp.any(hits & valid, axis=1)
+
+
 class _FusedEagleLoops:
     """Compiled whole-generate loops for one Eagle3SpecDecoder.
 
@@ -856,6 +1014,143 @@ class _FusedEagleLoops:
                 t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
                 out_buf, out_cnt, acc_buf, jnp.asarray(0, jnp.int32),
                 jnp.asarray(False),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+    # -- batched chain mode ------------------------------------------------
+
+    def batch_chain(self, batch: int, stop_ids: Tuple[int, ...]):
+        key = ("batch_chain", batch, stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                self._build_batch_chain(batch, stop_ids)
+            )
+        return self._cache[key]
+
+    def _build_batch_chain(self, batch: int, stop_ids: Tuple[int, ...]):
+        """B prompts decoded together: rows are RIGHT-padded (slot ==
+        position, so each row's math is exactly its unpadded math — stale
+        pad slots are overwritten before they become attendable, the same
+        discipline as stale verify slots), caches carry PER-ROW lengths
+        (scatter writes), one batched target verify serves the whole batch
+        per round, and finished rows are frozen by where-selecting the old
+        carry. The reference grid's batch dimension
+        (benchmarks/README.md:11-67), served natively."""
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        idx = jnp.arange(k + 1, dtype=jnp.int32)
+        rows = jnp.arange(batch, dtype=jnp.int32)
+
+        def propose(variables, last_dl, hidden, d_ck, d_cv, d_len):
+            p = jnp.argmax(last_dl, axis=-1).astype(jnp.int32)   # [B]
+            toks = [p + jnp.take(d2t, p)]
+            h, ck, cv, clen = hidden, d_ck, d_cv, d_len
+            for _ in range(k - 1):
+                h, dlog, ck, cv = self._draft(
+                    variables, toks[-1][:, None], h, ck, cv, clen
+                )
+                clen = clen + 1
+                dt = jnp.argmax(dlog[:, -1], axis=-1).astype(jnp.int32)
+                toks.append(dt + jnp.take(d2t, dt))
+            return jnp.stack(toks, axis=1)                       # [B, k]
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+
+            def active_rows(t_len, out_cnt, done):
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + k + 1 < budget)
+                )
+
+            def cond(carry):
+                t_len, out_cnt, done = carry[2], carry[10], carry[13]
+                return jnp.any(active_rows(t_len, out_cnt, done))
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+                active = active_rows(t_len, out_cnt, done)       # [B]
+
+                proposals = propose(
+                    variables, last_dl, last_h, d_ck, d_cv, d_len
+                )                                                # [B, k]
+                block = jnp.concatenate([cur[:, None], proposals], axis=1)
+                logits, aux, n_tck, n_tcv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    t_len, d.capture_layers,
+                )
+                posterior = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                matches = (proposals == posterior[:, :k]).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)  # [B]
+                bonus = jnp.take_along_axis(
+                    posterior, acc[:, None], axis=1
+                )[:, 0]
+                props_p = jnp.concatenate(
+                    [proposals, bonus[:, None]], axis=1
+                )
+                emitted = jnp.where(
+                    idx[None] < acc[:, None], props_p, bonus[:, None]
+                )                                                # [B, k+1]
+
+                pos = out_cnt[:, None] + idx[None]               # [B, k+1]
+                old_out = out_buf[rows[:, None], pos]
+                out_buf = out_buf.at[rows[:, None], pos].set(
+                    jnp.where(active[:, None], emitted, old_out),
+                    mode="drop",
+                )
+                old_acc = acc_buf[rows, n_rounds]
+                acc_buf = acc_buf.at[rows, n_rounds].set(
+                    jnp.where(active, acc + 1, old_acc), mode="drop"
+                )
+
+                hidden_full = self._project(variables, aux)
+                h_out, dlog_out, n_dck, n_dcv = self._draft(
+                    variables, emitted, hidden_full, d_ck, d_cv, d_len
+                )
+                n_last_h = jnp.take_along_axis(
+                    h_out, acc[:, None, None], axis=1
+                )                                                # [B, 1, H]
+                n_last_dl = jnp.take_along_axis(
+                    dlog_out, acc[:, None, None], axis=1
+                )[:, 0]
+                hit = _fused_stop_hit_rows(
+                    emitted, idx[None] <= acc[:, None], stop_ids
+                )
+
+                # freeze finished rows: keep their old carry wholesale
+                a1 = active[:, None]
+                t_ck = jnp.where(
+                    active[None, :, None, None, None], n_tck, t_ck
+                )
+                t_cv = jnp.where(
+                    active[None, :, None, None, None], n_tcv, t_cv
+                )
+                d_ck = jnp.where(active[:, None, None, None], n_dck, d_ck)
+                d_cv = jnp.where(active[:, None, None, None], n_dcv, d_cv)
+                last_h = jnp.where(active[:, None, None], n_last_h, last_h)
+                last_dl = jnp.where(a1, n_last_dl, last_dl)
+                step = jnp.where(active, acc + 1, 0)
+                return (
+                    t_ck, t_cv, t_len + step, d_ck, d_cv, d_len + step,
+                    jnp.where(active, bonus, cur), last_h, last_dl,
+                    out_buf, out_cnt + step, acc_buf,
+                    n_rounds + active.astype(jnp.int32),
+                    done | (active & hit),
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf,
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch,), bool),
             )
             final = jax.lax.while_loop(cond, body, init)
             return final[9], final[10], final[11], final[12]

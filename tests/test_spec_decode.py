@@ -562,3 +562,52 @@ def test_fused_dflash_matches_host_loop(target, projector):
     )
     n = min(len(oracle), len(fused.output_ids))
     np.testing.assert_array_equal(fused.output_ids[:n], oracle[:n])
+
+
+def test_batched_fused_matches_per_row(target, draft):
+    """generate_batch_fused (right-padded rows, per-row cache lengths, one
+    batched verify per round) emits exactly each row's single-row
+    generate_fused output and accept lengths."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, V, size=n).tolist() for n in (12, 7, 15, 9)
+    ]
+    singles = [
+        decoder.generate_fused(p, max_new_tokens=20) for p in prompts
+    ]
+    batched = decoder.generate_batch_fused(prompts, max_new_tokens=20)
+    assert len(batched) == len(prompts)
+    for single, row in zip(singles, batched):
+        np.testing.assert_array_equal(row.output_ids, single.output_ids)
+        assert row.accept_lengths == single.accept_lengths
+
+
+def test_batched_fused_stop_tokens_freeze_rows(target, draft):
+    """A row hitting its stop token freezes while others continue."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    prompts = [list(range(10)), list(range(20, 32))]
+    free = decoder.generate_batch_fused(prompts, max_new_tokens=20)
+    # a stop token only row 0 emits early
+    row0 = [int(t) for t in free[0].output_ids[len(prompts[0]) + 1:]]
+    stop = row0[2]
+    singles = [
+        decoder.generate_fused(p, max_new_tokens=20, stop_token_ids=[stop])
+        for p in prompts
+    ]
+    batched = decoder.generate_batch_fused(
+        prompts, max_new_tokens=20, stop_token_ids=[stop]
+    )
+    for single, row in zip(singles, batched):
+        np.testing.assert_array_equal(row.output_ids, single.output_ids)
+        assert row.accept_lengths == single.accept_lengths
