@@ -210,24 +210,36 @@ def train_target_onchip(target_dir: str, corpus, *, layers: int,
     return first, last_loss
 
 
-def capture(target_dir: str, out_dir: str, seqs, capture_layers):
+def capture_splits(target_dir: str, splits, capture_layers):
+    """Capture several (out_dir, seqs) splits with ONE runner — the target
+    params upload to the device once (multi-GB over a debug tunnel makes a
+    second per-split upload the dominant cost)."""
+    import dataclasses
+
     from specforge_tpu.offline_capture.capture import (
         OfflineCaptureConfig,
         OfflineCaptureRunner,
     )
 
-    runner = OfflineCaptureRunner(OfflineCaptureConfig(
+    config = OfflineCaptureConfig(
         target_model_path=target_dir,
-        output_dir=out_dir,
+        output_dir=splits[0][0],
         capture_layers=tuple(capture_layers),
         max_length=SEQ,
         batch_size=16,
         layout="eagle",
         store_dtype="bfloat16",
-    ))
-    runner.run([
-        {"input_ids": s, "loss_mask": np.ones_like(s)} for s in seqs
-    ])
+    )
+    runner = OfflineCaptureRunner(config)
+    for out_dir, seqs in splits:
+        marker = os.path.join(out_dir, ".split_done")
+        if os.path.exists(marker):
+            continue
+        runner.config = dataclasses.replace(config, output_dir=out_dir)
+        runner.run([
+            {"input_ids": s, "loss_mask": np.ones_like(s)} for s in seqs
+        ])
+        open(marker, "w").close()
 
 
 def train_draft(workdir: str, *, target_dir: str, train_dir: str,
@@ -316,8 +328,11 @@ def main():
                           "loss_last": round(last, 3)}))
     if not os.path.exists(os.path.join(train_dir, "done")):
         print("capturing features...", file=sys.stderr)
-        capture(target_dir, train_dir, corpus_train, capture_layers)
-        capture(target_dir, eval_dir, corpus_eval, capture_layers)
+        capture_splits(
+            target_dir,
+            [(train_dir, corpus_train), (eval_dir, corpus_eval)],
+            capture_layers,
+        )
         open(os.path.join(train_dir, "done"), "w").close()
         print(json.dumps({"stage": "capture",
                           "train": args.train_sequences,
