@@ -592,12 +592,18 @@ class Eagle3SpecDecoder:
         max_new_tokens: int,
         stop_token_ids: Optional[Sequence[int]] = None,
         topk: int = 1,
+        tree_style: str = "root",
     ) -> SpecDecodeResult:
         """``generate`` with the whole decode loop fused into ONE jitted
         ``lax.while_loop`` program (chain or tree): one device dispatch per
         call instead of ~k+3 per round — the serving-speed path. Emits
         exactly the same tokens and accept lengths as ``generate``
-        (parity-tested)."""
+        (parity-tested).
+
+        ``tree_style`` (topk > 1 only): "root" = the host loop's layout
+        (topk greedy chains branching at the round's first token);
+        "beam" = dynamic per-round tree with branching at EVERY depth by
+        cumulative draft log-prob (EAGLE-2 style, fused-only)."""
         stop_ids = tuple(
             sorted(set(int(s) for s in (stop_token_ids or ())))
         )
@@ -617,10 +623,12 @@ class Eagle3SpecDecoder:
          last_dlogits) = self._prefill(prompt_ids, prompt, budget)
         cur = jnp.asarray(output[-1], jnp.int32)
 
-        loop = (
-            self._fused.chain(stop_ids) if topk <= 1
-            else self._fused.tree(topk, stop_ids)
-        )
+        if topk <= 1:
+            loop = self._fused.chain(stop_ids)
+        elif tree_style == "beam":
+            loop = self._fused.beam_tree(topk, stop_ids)
+        else:
+            loop = self._fused.tree(topk, stop_ids)
         out_buf = jnp.zeros((budget + self.k + 1,), jnp.int32)
         out_buf = out_buf.at[0].set(cur)
         acc_buf = jnp.zeros((budget,), jnp.int32)
@@ -914,6 +922,12 @@ class _FusedEagleLoops:
             self._cache[key] = jax.jit(self._build_tree(topk, stop_ids))
         return self._cache[key]
 
+    def beam_tree(self, m: int, stop_ids: Tuple[int, ...]):
+        key = ("beam", m, stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(self._build_beam_tree(m, stop_ids))
+        return self._cache[key]
+
     # -- shared pieces (weights passed as arguments, not closure constants,
     #    so the compiled loop doesn't bake multi-GB params into the jaxpr) --
 
@@ -1006,6 +1020,210 @@ class _FusedEagleLoops:
                 done = _fused_stop_hit(emitted, idx <= acc, stop_ids)
                 return (
                     t_ck, t_cv, t_len + acc + 1, d_ck, d_cv,
+                    d_len + acc + 1, bonus, last_h, last_dl, out_buf,
+                    out_cnt + acc + 1, acc_buf, n_rounds + 1, done,
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+    # -- beam tree mode (dynamic per-round tree, EAGLE-2 style) ------------
+
+    def _build_beam_tree(self, m: int, stop_ids: Tuple[int, ...]):
+        """Tree speculation with branching at EVERY depth: level d keeps the
+        top-m nodes by CUMULATIVE draft log-prob among its m*m candidate
+        children (beam search over the draft), so high-uncertainty positions
+        spread the verification budget across alternatives instead of
+        committing to one chain per root token (the root-branching ``tree``
+        mode). The tree shape is DYNAMIC per round — the attention mask is
+        built on device from parent pointers, and the target verifies the
+        whole 1 + k*m block in one forward. Greedy-equivalent like every
+        mode (acceptance walks posterior-matching edges only).
+
+        Note: unlike root-branching, the pure greedy chain is not guaranteed
+        to survive the beam (its cumulative log-prob can fall out of the
+        top-m at a later level), so per-round acceptance is not a superset
+        of chain mode — it wins on average, not pointwise (EAGLE-2 has the
+        same property)."""
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        block_t = 1 + k * m
+        kidx = jnp.arange(k + 1, dtype=jnp.int32)
+
+        def expand(variables, last_dl, hidden, d_ck, d_cv, d_len):
+            """Beam expansion: returns (tokens [k, m] target-vocab,
+            parent_idx [k, m] in 0..m-1 (level-local; level 0 parents are
+            the committed slot), and per-level draft state)."""
+            logp = jax.nn.log_softmax(
+                last_dl[0].astype(jnp.float32)
+            )                                           # [Vd]
+            val, tok_d = jax.lax.top_k(logp, m)         # level 0
+            tokens = [tok_d + jnp.take(d2t, tok_d)]     # target vocab [m]
+            parents = [jnp.zeros((m,), jnp.int32)]      # sentinel: root
+            cum = val                                    # [m]
+            h = jnp.broadcast_to(hidden, (m,) + hidden.shape[1:])
+            ck = jnp.broadcast_to(d_ck, (m,) + d_ck.shape[1:])
+            cv = jnp.broadcast_to(d_cv, (m,) + d_cv.shape[1:])
+            clen = d_len
+            for _depth in range(1, k):
+                h, dlog, ck, cv = self._draft(
+                    variables, tokens[-1][:, None], h, ck, cv, clen
+                )
+                clen = clen + 1
+                lp = jax.nn.log_softmax(
+                    dlog[:, -1].astype(jnp.float32), axis=-1
+                )                                        # [m, Vd]
+                child_val, child_tok = jax.lax.top_k(lp, m)   # [m, m]
+                cand = (cum[:, None] + child_val).reshape(-1)  # [m*m]
+                top_val, top_idx = jax.lax.top_k(cand, m)
+                parent = (top_idx // m).astype(jnp.int32)      # [m]
+                tok_d = child_tok.reshape(-1)[top_idx].astype(jnp.int32)
+                cum = top_val
+                # reorder the beam state onto the selected parents
+                h = h[parent]
+                ck = ck[parent]
+                cv = cv[parent]
+                tokens.append(tok_d + jnp.take(d2t, tok_d))
+                parents.append(parent)
+            return jnp.stack(tokens), jnp.stack(parents)   # [k, m] each
+
+        def build_allow(parents):
+            """[T, T] ancestor mask from level-local parent pointers: row =
+            a node's visible block slots (slot 0 + its ancestors + itself)."""
+            allow = jnp.zeros((block_t, block_t), bool)
+            allow = allow.at[:, 0].set(True)
+            # rows built level by level: row(d, i) = row(d-1, parent) | self
+            prev_rows = jnp.zeros((m, block_t), bool)      # level -1 = root
+            for depth in range(k):
+                slots = 1 + depth * m + jnp.arange(m)      # [m]
+                base = (
+                    prev_rows[parents[depth]] if depth > 0
+                    else jnp.zeros((m, block_t), bool)
+                )
+                rows = base.at[jnp.arange(m), slots].set(True)
+                rows = rows.at[:, 0].set(True)
+                allow = jax.lax.dynamic_update_slice(
+                    allow, rows, (1 + depth * m, 0)
+                )
+                prev_rows = rows
+            return allow
+
+        def accept_walk(tokens, parents, post):
+            """Walk posterior-matching edges down the tree: returns
+            (acc, path_slots [k] int32, path_tokens [k], bonus)."""
+            cur_slot = jnp.asarray(0, jnp.int32)
+            alive = jnp.asarray(True)
+            acc = jnp.asarray(0, jnp.int32)
+            path_slots = jnp.zeros((k,), jnp.int32)
+            path_tokens = jnp.zeros((k,), jnp.int32)
+            for depth in range(k):
+                want = post[cur_slot]
+                if depth == 0:
+                    ok = tokens[0] == want                 # [m]
+                else:
+                    parent_local = (cur_slot - 1) - (depth - 1) * m
+                    ok = (
+                        (parents[depth] == parent_local)
+                        & (tokens[depth] == want)
+                    )
+                hit = alive & jnp.any(ok)
+                child = jnp.argmax(ok).astype(jnp.int32)
+                slot = 1 + depth * m + child
+                cur_slot = jnp.where(hit, slot, cur_slot)
+                acc = acc + hit.astype(jnp.int32)
+                path_slots = path_slots.at[depth].set(
+                    jnp.where(hit, slot, 0)
+                )
+                path_tokens = path_tokens.at[depth].set(
+                    jnp.where(hit, want, 0)
+                )
+                alive = hit
+            bonus = post[cur_slot]
+            return acc, path_slots, path_tokens, bonus
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+            depth_pos = jnp.concatenate([
+                jnp.zeros((1,), jnp.int32),
+                1 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), m),
+            ])                                             # [T] rope depths
+
+            def cond(carry):
+                (_tck, _tcv, t_len, *_rest, out_cnt, _accb, n_rounds,
+                 done) = carry
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + block_t < budget)
+                )
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                 out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+                tokens, parents = expand(
+                    variables, last_dl, last_h, d_ck, d_cv, d_len
+                )
+                allow = build_allow(parents)
+                block = jnp.concatenate(
+                    [cur[None], tokens.reshape(-1)]
+                )[None]
+                base_len = t_len
+                logits, aux, t_ck, t_cv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    base_len, d.capture_layers,
+                    block_allow=allow, block_positions=depth_pos,
+                )
+                post = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                acc, path_slots, path_tokens, bonus = accept_walk(
+                    tokens, parents, post
+                )
+                path_p = jnp.concatenate([path_tokens, bonus[None]])
+                emitted = jnp.where(kidx < acc, path_p, bonus)   # [k+1]
+
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, emitted, (out_cnt,)
+                )
+                acc_buf = jax.lax.dynamic_update_slice(
+                    acc_buf, (acc + 1)[None], (n_rounds,)
+                )
+
+                # compact the accepted path onto canonical cache slots (one
+                # row per depth; rejected-depth moves land past the new
+                # length and are overwritten before becoming attendable)
+                for depth in range(k):
+                    src = base_len + path_slots[depth]
+                    dst = base_len + 1 + depth
+                    t_ck = _move_cache_rows(t_ck, src, dst, 1)
+                    t_cv = _move_cache_rows(t_cv, src, dst, 1)
+
+                # draft re-extension over slot 0 + the accepted path slots
+                slots = jnp.concatenate([
+                    jnp.zeros((1,), jnp.int32), path_slots,
+                ])
+                aux_sel = jnp.take(aux, slots, axis=1)
+                hidden_full = self._project(variables, aux_sel)
+                h_out, dlog_out, d_ck, d_cv = self._draft(
+                    variables, emitted[None], hidden_full, d_ck, d_cv, d_len
+                )
+                last_h = jax.lax.dynamic_slice(
+                    h_out, (0, acc, 0), (1, 1, h_out.shape[2])
+                )
+                last_dl = jax.lax.dynamic_slice(
+                    dlog_out, (0, acc, 0), (1, 1, dlog_out.shape[2])
+                )[:, 0]
+                done = _fused_stop_hit(emitted, kidx <= acc, stop_ids)
+                return (
+                    t_ck, t_cv, base_len + acc + 1, d_ck, d_cv,
                     d_len + acc + 1, bonus, last_h, last_dl, out_buf,
                     out_cnt + acc + 1, acc_buf, n_rounds + 1, done,
                 )
