@@ -373,6 +373,9 @@ def main():
         args.max_new_tokens, args.prompts,
         topks=[int(x) for x in args.topk.split(",")],
         max_len=args.max_len,
+        # the strongest tree mode for the headline (root-tree numbers are
+        # in the accept-length comparison table, docs/benchmarks.md)
+        tree_style="beam",
     )
     best = max(
         (c for c in report["grid"] if "speedup" in c),

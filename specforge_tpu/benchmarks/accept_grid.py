@@ -34,7 +34,8 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              fused: bool = True, baseline: bool = True,
              family: str = "eagle3", max_len: int = 2048,
              tokenizer_path: str = None,
-             batch_sizes: List[int] = (1,)) -> Dict:
+             batch_sizes: List[int] = (1,),
+             tree_style: str = "root") -> Dict:
     from specforge_tpu.benchmarks.accept_length import (
         build_decoder,
         load_spec_models,
@@ -175,11 +176,13 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
                         report = measure_with_decoder(
                             decoders[k], prompts, topk=topk,
                             max_new_tokens=max_new_tokens, fused=fused,
+                            tree_style=tree_style,
                         )
                     cell = {
                         "dataset": name,
                         "num_draft_tokens": k,
                         "topk": topk,
+                        "tree_style": tree_style if topk > 1 else "chain",
                         "batch": bs,
                         "prompts": len(report.per_prompt),
                         "mean_accept_length": round(
@@ -232,6 +235,10 @@ def main():
     parser.add_argument("--tokenizer", default=None,
                         help="tokenizer dir for NAMED (raw-record) "
                              "datasets; default: the target dir")
+    parser.add_argument("--tree-style", default="root",
+                        choices=["root", "beam"],
+                        help="tree layout for topk>1 cells (beam = "
+                             "every-depth branching, fused only)")
     parser.add_argument("--batch", default="1",
                         help="comma list of serving batch sizes (bs>1 runs "
                              "the single-program batched chain loop)")
@@ -247,6 +254,7 @@ def main():
         family=args.family, max_len=args.max_len,
         tokenizer_path=args.tokenizer,
         batch_sizes=[int(x) for x in args.batch.split(",")],
+        tree_style=args.tree_style,
     )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -108,18 +108,22 @@ def measure_with_decoder(
     max_new_tokens: int = 128,
     fused: bool = True,
     warmup: bool = True,
+    tree_style: str = "root",
 ) -> AcceptLengthReport:
     """``fused=True`` (default) times the single-dispatch whole-generate
     program (the serving-speed path); ``warmup=True`` runs the first prompt
     once untimed so compilation is excluded from throughput — the reference
     benchmark also measures steady-state serving throughput
-    (benchmarks/benchmarker/utils.py:17,55,116)."""
+    (benchmarks/benchmarker/utils.py:17,55,116). ``tree_style="beam"``
+    (fused, topk>1) uses the every-depth-branching dynamic tree."""
     import time
 
     generate = decoder.generate_fused if fused else decoder.generate
     # block decoders (DFlash family) take no topk; only pass it when it
     # deviates from the chain default
     kw = {"topk": topk} if topk != 1 else {}
+    if topk != 1 and tree_style != "root":
+        kw["tree_style"] = tree_style
     if warmup and prompts:
         generate(list(prompts[0]), max_new_tokens=max_new_tokens, **kw)
     per_prompt: List[float] = []

@@ -478,6 +478,35 @@ class Eagle3SpecDecoder:
                 c.append(int(dt) + int(self._d2t[int(dt)]))
         return chains
 
+    def _prefill_device(self, prompt, budget: int):
+        """Prefill for the fused paths: everything stays ON DEVICE — the
+        host-loop ``_prefill`` materializes the [1, P, V] prefill logits on
+        the host, which is pure transfer waste for a fused generate (over a
+        debug tunnel it can dominate the whole call)."""
+        p_len = prompt.shape[1]
+        t_state = init_target_state(self.target_config, 1, budget)
+        d_state = init_draft_state(self.draft.config, 1, budget)
+        logits, aux, t_ck, t_cv = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(prompt, jnp.int32),
+            t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
+            self.capture_layers,
+        )
+        cur = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        draft_hidden = self._project(self.draft_variables, aux)
+        shifted = jnp.concatenate(
+            [jnp.asarray(prompt[0, 1:], jnp.int32), cur[None]]
+        )[None]
+        next_hidden, dlogits, d_ck, d_cv = self._draft_step(
+            self.draft_variables, shifted, draft_hidden,
+            d_state.cache_k, d_state.cache_v, jnp.asarray(0, jnp.int32),
+        )
+        return (
+            cur, TargetState(t_ck, t_cv, p_len),
+            DraftState(d_ck, d_cv, p_len),
+            next_hidden[:, -1:], dlogits[:, -1],
+        )
+
     def _prefill(self, prompt_ids, prompt, budget: int):
         """Target prefill + the EAGLE draft bootstrap shared by the chain
         and tree paths: the draft consumes teacher-shifted pairs
@@ -619,9 +648,8 @@ class Eagle3SpecDecoder:
                     "topk/draft_tokens or raise max_len"
                 )
 
-        (output, _cur_token, t_state, d_state, last_hidden,
-         last_dlogits) = self._prefill(prompt_ids, prompt, budget)
-        cur = jnp.asarray(output[-1], jnp.int32)
+        (cur, t_state, d_state, last_hidden,
+         last_dlogits) = self._prefill_device(prompt, budget)
 
         if topk <= 1:
             loop = self._fused.chain(stop_ids)
@@ -638,7 +666,7 @@ class Eagle3SpecDecoder:
             jnp.asarray(t_state.length, jnp.int32),
             d_state.cache_k, d_state.cache_v,
             jnp.asarray(d_state.length, jnp.int32),
-            cur, last_hidden, jnp.asarray(last_dlogits),
+            cur, last_hidden, last_dlogits,
             out_buf, jnp.asarray(1, jnp.int32), acc_buf,
             jnp.asarray(max_new_tokens, jnp.int32),
         )
@@ -683,19 +711,24 @@ class Eagle3SpecDecoder:
             t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
             self.capture_layers,
         )
-        rows = np.arange(batch)
-        cur = jnp.asarray(
-            np.asarray(logits)[rows, lens - 1].argmax(axis=-1), jnp.int32
-        )
+        rows = jnp.arange(batch)
+        lens_d = jnp.asarray(lens)
+        # per-row last REAL position's argmax, computed on device (pulling
+        # [B, P, V] prefill logits to the host is pure transfer waste)
+        cur = jnp.take_along_axis(
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            lens_d[:, None] - 1, axis=1,
+        )[:, 0]
         # draft bootstrap: slot j pairs (token_{j+1}, feature_j); the last
         # REAL slot of each row pairs its first generated token
-        shifted = np.concatenate(
-            [padded[:, 1:], np.zeros((batch, 1), np.int64)], axis=1
+        shifted = jnp.concatenate(
+            [jnp.asarray(padded[:, 1:], jnp.int32),
+             jnp.zeros((batch, 1), jnp.int32)], axis=1
         )
-        shifted[rows, lens - 1] = np.asarray(cur)
+        shifted = shifted.at[rows, lens_d - 1].set(cur)
         draft_hidden = self._project(self.draft_variables, aux)
         h_out, dlog, d_ck, d_cv = self._draft_step(
-            self.draft_variables, jnp.asarray(shifted, jnp.int32),
+            self.draft_variables, shifted,
             draft_hidden, d_state.cache_k, d_state.cache_v,
             jnp.asarray(0, jnp.int32),
         )
@@ -1973,14 +2006,22 @@ class DFlashSpecDecoder:
         h = self.target_config.hidden_size
 
         t_state = init_target_state(self.target_config, 1, self.max_len)
-        logits, aux, t_state = self._target_forward(prompt, t_state)
-        cur = jnp.asarray(int(logits[0, -1].argmax()), jnp.int32)
+        # device-resident prefill (the host helper D2Hs [1, P, V] logits
+        # plus the full aux — pure transfer waste for a fused generate)
+        logits, aux, t_ck0, t_cv0 = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(prompt, jnp.int32),
+            t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
+            self.capture_layers,
+        )
+        t_state = TargetState(t_ck0, t_cv0, p_len)
+        cur = jnp.argmax(logits[0, -1]).astype(jnp.int32)
 
         ctx_feat = jnp.zeros(
             (1, self.max_len, n_capture * h), jnp.float32
         )
         ctx_feat = jax.lax.dynamic_update_slice(
-            ctx_feat, jnp.asarray(aux, jnp.float32), (0, 0, 0)
+            ctx_feat, aux.astype(jnp.float32), (0, 0, 0)
         )
         out_buf = jnp.zeros((self.max_len + bs,), jnp.int32)
         out_buf = out_buf.at[0].set(cur)
