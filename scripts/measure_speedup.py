@@ -210,10 +210,13 @@ def train_target_onchip(target_dir: str, corpus, *, layers: int,
     return first, last_loss
 
 
-def capture_splits(target_dir: str, splits, capture_layers):
-    """Capture several (out_dir, seqs) splits with ONE runner — the target
-    params upload to the device once (multi-GB over a debug tunnel makes a
-    second per-split upload the dominant cost)."""
+def capture_splits(target_dir: str, splits):
+    """Capture several (out_dir, seqs, layout, capture_layers) splits with
+    device-resident target params shared across runners — the params upload
+    once (multi-GB over a debug tunnel makes a second per-split upload the
+    dominant cost). ``capture_layers`` is baked into each runner's jitted
+    forward, so distinct (layout, layers) combos get their own runner built
+    on the already-uploaded params."""
     import dataclasses
 
     from specforge_tpu.offline_capture.capture import (
@@ -221,21 +224,30 @@ def capture_splits(target_dir: str, splits, capture_layers):
         OfflineCaptureRunner,
     )
 
-    config = OfflineCaptureConfig(
-        target_model_path=target_dir,
-        output_dir=splits[0][0],
-        capture_layers=tuple(capture_layers),
-        max_length=SEQ,
-        batch_size=16,
-        layout="eagle",
-        store_dtype="bfloat16",
-    )
-    runner = OfflineCaptureRunner(config)
-    for out_dir, seqs in splits:
+    runners = {}
+    shared_params = None
+    for out_dir, seqs, layout, capture_layers in splits:
         marker = os.path.join(out_dir, ".split_done")
         if os.path.exists(marker):
             continue
-        runner.config = dataclasses.replace(config, output_dir=out_dir)
+        key = (layout, tuple(capture_layers))
+        if key not in runners:
+            config = OfflineCaptureConfig(
+                target_model_path=target_dir,
+                output_dir=out_dir,
+                capture_layers=tuple(capture_layers),
+                max_length=SEQ,
+                batch_size=16,
+                layout=layout,
+                store_dtype="bfloat16",
+            )
+            runners[key] = OfflineCaptureRunner(
+                config, target_params=shared_params,
+            )
+            shared_params = runners[key].params
+        runner = runners[key]
+        runner.config = dataclasses.replace(
+            runner.config, output_dir=out_dir)
         runner.run([
             {"input_ids": s, "loss_mask": np.ones_like(s)} for s in seqs
         ])
@@ -282,6 +294,61 @@ def train_draft(workdir: str, *, target_dir: str, train_dir: str,
     return out_dir, draft_config
 
 
+def train_domino_draft(workdir: str, *, target_dir: str, train_dir: str,
+                       layers: int, hidden: int, vocab: int, epochs: int,
+                       lr: float, dflash_layers):
+    """Train a realistic-scale Domino block-speculation draft on the SAME
+    trained target (strategy/draft contract as the convergence gate,
+    scaled: 2-layer DFlash backbone + GRU correction head, block_size 4)."""
+    from specforge_tpu.application.composition import build_training_run
+    from specforge_tpu.config.schema import Config
+
+    draft_config = {
+        "architectures": ["DominoDraftModel"],
+        "vocab_size": vocab, "hidden_size": hidden,
+        "intermediate_size": 4 * hidden,
+        "num_attention_heads": hidden // 128,
+        "num_key_value_heads": max(hidden // 512, 1),
+        "head_dim": 128,
+        "num_hidden_layers": 2, "num_target_layers": layers,
+        "block_size": 4,
+        "max_position_embeddings": 4096,
+        "rope_theta": 1e6,
+        "dflash_config": {
+            "mask_token_id": vocab - 1,
+            "target_layer_ids": list(dflash_layers),
+            "projector_type": "domino",
+            "pure_draft_prefix_len": 1,
+            "emb_dim": 32,
+            "gru_hidden_dim": 64,
+            "shift_label": True,
+        },
+    }
+    out_dir = os.path.join(workdir, "runs-speedup-domino")
+    config = Config.model_validate({
+        "run_id": "speedup-domino",
+        "output_dir": out_dir,
+        "model": {
+            "target_model_path": target_dir,
+            "draft_config": draft_config,
+        },
+        "data": {
+            "train_data_path": train_dir,
+            "max_length": SEQ, "num_workers": 0,
+        },
+        "training": {
+            "strategy": "domino", "batch_size": 8,
+            "num_epochs": epochs, "learning_rate": lr,
+            "num_anchors": 16, "mask_token_id": vocab - 1,
+            "objective_chunk_blocks": 8,
+            "log_interval": 10, "seed": 7,
+        },
+        "tracking": {"backend": "jsonl"},
+    })
+    build_training_run(config).fit()
+    return out_dir, draft_config
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", required=True)
@@ -303,18 +370,25 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--max-len", type=int, default=256)
     parser.add_argument("--prompts", type=int, default=8)
+    parser.add_argument("--algorithms", default="eagle3,domino",
+                        help="comma list: eagle3 (chain/tree spec) and/or "
+                             "domino (block speculation) — both reuse the "
+                             "same trained target + device-resident params")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
+    algorithms = [a.strip() for a in args.algorithms.split(",") if a.strip()]
 
     os.makedirs(args.workdir, exist_ok=True)
     target_dir = os.path.join(args.workdir, "target")
     train_dir = os.path.join(args.workdir, "features/train")
     eval_dir = os.path.join(args.workdir, "features/eval")
+    domino_train_dir = os.path.join(args.workdir, "features-domino/train")
     corpus_train = build_corpus(0, args.train_sequences, args.chain_vocab)
     corpus_eval = build_corpus(1, args.eval_sequences, args.chain_vocab)
 
     n = args.layers
     capture_layers = (1, n // 2 - 1, n - 4)
+    dflash_layers = (1, n // 2)
 
     if not os.path.exists(os.path.join(target_dir, "config.json")):
         print("training target on-chip...", file=sys.stderr)
@@ -326,39 +400,71 @@ def main():
         )
         print(json.dumps({"stage": "target", "loss_first": round(first, 3),
                           "loss_last": round(last, 3)}))
-    if not os.path.exists(os.path.join(train_dir, "done")):
+
+    splits = []
+    if "eagle3" in algorithms:
+        splits += [(train_dir, corpus_train, "eagle", capture_layers),
+                   (eval_dir, corpus_eval, "eagle", capture_layers)]
+    if "domino" in algorithms:
+        splits += [(domino_train_dir, corpus_train, "dflash",
+                    dflash_layers)]
+    if any(not os.path.exists(os.path.join(d, ".split_done"))
+           for d, *_ in splits):
         print("capturing features...", file=sys.stderr)
-        capture_splits(
-            target_dir,
-            [(train_dir, corpus_train), (eval_dir, corpus_eval)],
-            capture_layers,
-        )
-        open(os.path.join(train_dir, "done"), "w").close()
+        capture_splits(target_dir, splits)
         print(json.dumps({"stage": "capture",
                           "train": args.train_sequences,
                           "eval": args.eval_sequences}))
 
-    run_root = os.path.join(args.workdir, "runs-speedup")
-    draft_config_path = os.path.join(args.workdir, "draft.json")
-    if not os.path.exists(os.path.join(
-            args.workdir, "export", "model.safetensors")):
-        print("training draft...", file=sys.stderr)
-        run_root, draft_config = train_draft(
-            args.workdir, target_dir=target_dir, train_dir=train_dir,
-            eval_dir=eval_dir, hidden=args.hidden, vocab=args.vocab,
-            epochs=args.draft_epochs, lr=args.draft_lr,
-        )
-        with open(draft_config_path, "w") as f:
-            json.dump(draft_config, f)
-        from specforge_tpu.export.exporter import export_checkpoint
+    exports = {}  # algorithm -> export dir
+    if "eagle3" in algorithms:
+        export_dir = os.path.join(args.workdir, "export")
+        if not os.path.exists(os.path.join(
+                export_dir, "model.safetensors")):
+            print("training draft...", file=sys.stderr)
+            run_root, draft_config = train_draft(
+                args.workdir, target_dir=target_dir, train_dir=train_dir,
+                eval_dir=eval_dir, hidden=args.hidden, vocab=args.vocab,
+                epochs=args.draft_epochs, lr=args.draft_lr,
+            )
+            draft_config_path = os.path.join(args.workdir, "draft.json")
+            with open(draft_config_path, "w") as f:
+                json.dump(draft_config, f)
+            from specforge_tpu.export.exporter import export_checkpoint
 
-        export_checkpoint(
-            run_root, os.path.join(args.workdir, "export"), fmt="sglang",
-            draft_config_path=draft_config_path,
-        )
-        print(json.dumps({"stage": "export"}))
+            export_checkpoint(
+                run_root, export_dir, fmt="sglang",
+                draft_config_path=draft_config_path,
+            )
+            print(json.dumps({"stage": "export"}))
+        exports["eagle3"] = export_dir
+    if "domino" in algorithms:
+        export_dir = os.path.join(args.workdir, "export-domino")
+        if not os.path.exists(os.path.join(
+                export_dir, "model.safetensors")):
+            print("training domino draft...", file=sys.stderr)
+            run_root, draft_config = train_domino_draft(
+                args.workdir, target_dir=target_dir,
+                train_dir=domino_train_dir, layers=args.layers,
+                hidden=args.hidden, vocab=args.vocab,
+                epochs=args.draft_epochs, lr=args.draft_lr,
+                dflash_layers=dflash_layers,
+            )
+            draft_config_path = os.path.join(
+                args.workdir, "draft-domino.json")
+            with open(draft_config_path, "w") as f:
+                json.dump(draft_config, f)
+            from specforge_tpu.export.exporter import export_checkpoint
 
-    # serving measurement: plain vs chain vs tree, all fused
+            export_checkpoint(
+                run_root, export_dir, fmt="sglang",
+                draft_config_path=draft_config_path,
+            )
+            print(json.dumps({"stage": "export-domino"}))
+        exports["domino"] = export_dir
+
+    # serving measurement: plain vs chain vs tree (eagle3) / block (domino),
+    # all fused single-dispatch programs
     from specforge_tpu.benchmarks.accept_grid import run_grid
 
     prompts_path = os.path.join(args.workdir, "prompts.jsonl")
@@ -366,26 +472,38 @@ def main():
         for s in corpus_eval[: args.prompts]:
             f.write(json.dumps(
                 {"input_ids": [int(x) for x in s[:24]]}) + "\n")
-    report = run_grid(
-        target_dir, os.path.join(args.workdir, "export"),
-        {"markov": prompts_path},
-        [int(x) for x in args.draft_tokens.split(",")],
-        args.max_new_tokens, args.prompts,
-        topks=[int(x) for x in args.topk.split(",")],
-        max_len=args.max_len,
-        # the strongest tree mode for the headline (root-tree numbers are
-        # in the accept-length comparison table, docs/benchmarks.md)
-        tree_style="beam",
-    )
+    grid = []
+    for algorithm, export_dir in exports.items():
+        report = run_grid(
+            target_dir, export_dir,
+            {"markov": prompts_path},
+            [int(x) for x in args.draft_tokens.split(",")],
+            args.max_new_tokens, args.prompts,
+            topks=[int(x) for x in args.topk.split(",")],
+            max_len=args.max_len,
+            family="dflash" if algorithm == "domino" else "eagle3",
+            # the strongest tree mode for the headline (root-tree numbers
+            # are in the accept-length comparison table, docs/benchmarks.md)
+            tree_style="beam",
+        )
+        for cell in report["grid"]:
+            cell["algorithm"] = algorithm
+        grid += report["grid"]
     best = max(
-        (c for c in report["grid"] if "speedup" in c),
+        (c for c in grid if "speedup" in c),
         key=lambda c: c["speedup"], default=None,
     )
     summary = {
         "bench": "serving_speedup",
         "target": f"{args.layers}L/{args.hidden}h/{args.vocab}v",
-        "grid": report["grid"],
+        "grid": grid,
         "best_speedup": best["speedup"] if best else None,
+        "best_speedup_per_algorithm": {
+            a: max((c["speedup"] for c in grid
+                    if c["algorithm"] == a and "speedup" in c),
+                   default=None)
+            for a in exports
+        },
     }
     print(json.dumps(summary))
     out = args.out or os.path.join(args.workdir, "speedup.json")
