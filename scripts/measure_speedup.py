@@ -370,6 +370,9 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--max-len", type=int, default=256)
     parser.add_argument("--prompts", type=int, default=8)
+    parser.add_argument("--batch-sizes", default="1",
+                        help="comma list; >1 adds batched eagle-chain "
+                             "serving cells (plain baseline stays bs1)")
     parser.add_argument("--algorithms", default="eagle3,domino",
                         help="comma list: eagle3 (chain/tree spec) and/or "
                              "domino (block speculation) — both reuse the "
@@ -481,6 +484,7 @@ def main():
             args.max_new_tokens, args.prompts,
             topks=[int(x) for x in args.topk.split(",")],
             max_len=args.max_len,
+            batch_sizes=[int(x) for x in args.batch_sizes.split(",")],
             family="dflash" if algorithm == "domino" else "eagle3",
             # the strongest tree mode for the headline (root-tree numbers
             # are in the accept-length comparison table, docs/benchmarks.md)

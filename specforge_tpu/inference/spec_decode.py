@@ -374,10 +374,16 @@ class Eagle3SpecDecoder:
         num_draft_tokens: int = 4,
         max_len: int = 512,
     ) -> None:
-        self.target_params = target_params
+        # Pin weights to the device ONCE: exported drafts load as host
+        # numpy trees, and numpy jit arguments re-upload on EVERY dispatch
+        # — at a 2048h/32k-vocab draft that is ~700 MB per generate, which
+        # over a slow host<->device link dwarfs the decode itself (measured
+        # 14.6 s per fused prefill before this pin). device_put is a no-op
+        # for leaves already on device.
+        self.target_params = jax.device_put(target_params)
         self.target_config = target_config
         self.draft = draft_module
-        self.draft_variables = draft_variables
+        self.draft_variables = jax.device_put(draft_variables)
         self.capture_layers = tuple(capture_layers)
         self.k = num_draft_tokens
         self.max_len = max_len
@@ -1651,18 +1657,20 @@ class DFlashSpecDecoder:
         *,
         max_len: int = 512,
     ) -> None:
-        self.target_params = target_params
+        # pin to device once — see Eagle3SpecDecoder.__init__ (host-numpy
+        # jit arguments re-upload per dispatch)
+        self.target_params = jax.device_put(target_params)
         self.target_config = target_config
         self.draft = draft_module
-        self.draft_variables = draft_variables
+        self.draft_variables = jax.device_put(draft_variables)
         self.capture_layers = tuple(
             draft_module.config.resolved_target_layer_ids
         )
         self.block_size = draft_module.config.block_size
         self.mask_token_id = draft_module.config.mask_token_id or 0
         self.max_len = max_len
-        self._embed = target_params["model.embed_tokens.weight"]
-        self._lm_head = target_params["lm_head.weight"]
+        self._embed = self.target_params["model.embed_tokens.weight"]
+        self._lm_head = self.target_params["lm_head.weight"]
 
         def draft_forward(variables, noise_emb, ctx, ctx_pos, draft_pos,
                           anchors, keep):

@@ -677,3 +677,22 @@ def test_beam_tree_trained_draft_accept(target, tmp_path):
     )
     n = min(len(oracle), len(result.output_ids))
     np.testing.assert_array_equal(result.output_ids[:n], oracle[:n])
+
+
+def test_decoder_pins_weights_to_device(target, draft):
+    """Exported drafts load as host-numpy trees; the decoders must pin them
+    to the device at construction — numpy jit arguments re-upload on every
+    dispatch (measured ~15 s per fused generate for a 2048h/32k-vocab draft
+    over a slow host<->device link)."""
+    params, config = target
+    module, variables = draft
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    np_vars = jax.tree_util.tree_map(np.asarray, variables)
+    decoder = Eagle3SpecDecoder(
+        np_params, config, module, np_vars, capture_layers=(1, 2, 3),
+        num_draft_tokens=2, max_len=128,
+    )
+    for leaf in jax.tree_util.tree_leaves(decoder.target_params):
+        assert isinstance(leaf, jax.Array)
+    for leaf in jax.tree_util.tree_leaves(decoder.draft_variables):
+        assert isinstance(leaf, jax.Array)
