@@ -307,6 +307,16 @@ def load_exported_draft(export_dir: str, fallback_embedding=None):
             "t2d": jnp.asarray(tensors["t2d"].astype(bool)),
             "d2t": jnp.asarray(tensors["d2t"].astype(np.int32)),
         }
+    # store float weights in the module's compute dtype (bf16): exports are
+    # bf16, the torch->flax mapper upcasts to the fp32 param template, and
+    # apply() casts back to bf16 anyway — bf16 storage is bit-identical at
+    # compute while halving serving HBM traffic and skipping the per-apply
+    # full-table casts (262 MB embed at 32k vocab / 2048h)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+        params,
+    )
     return module, {"params": params, "buffers": buffers}
 
 
@@ -377,5 +387,11 @@ def load_exported_dflash_draft(export_dir: str):
     buffers = dict(variables.get("buffers", {}))
     params, buffers = _load_from_safetensors(
         os.path.join(export_dir, "model.safetensors"), params, buffers
+    )
+    # bf16 storage for float weights — same rationale as load_exported_draft
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+        params,
     )
     return module, {"params": params, "buffers": buffers}
