@@ -256,7 +256,7 @@ def capture_splits(target_dir: str, splits):
 
 def train_draft(workdir: str, *, target_dir: str, train_dir: str,
                 eval_dir: str, hidden: int, vocab: int, epochs: int,
-                lr: float):
+                lr: float, ttt_length: int = 3):
     from specforge_tpu.application.composition import build_training_run
     from specforge_tpu.config.schema import Config
 
@@ -269,9 +269,10 @@ def train_draft(workdir: str, *, target_dir: str, train_dir: str,
         "max_position_embeddings": 4096,
         "rope_theta": 1e6,
     }
-    out_dir = os.path.join(workdir, "runs-speedup")
+    tag = "" if ttt_length == 3 else f"-ttt{ttt_length}"
+    out_dir = os.path.join(workdir, f"runs-speedup{tag}")
     config = Config.model_validate({
-        "run_id": "speedup",
+        "run_id": f"speedup{tag}",
         "output_dir": out_dir,
         "model": {
             "target_model_path": target_dir,
@@ -285,7 +286,8 @@ def train_draft(workdir: str, *, target_dir: str, train_dir: str,
         "training": {
             "strategy": "eagle3", "batch_size": 8,
             "num_epochs": epochs, "learning_rate": lr,
-            "ttt_length": 3, "eval_interval": 40, "log_interval": 10,
+            "ttt_length": ttt_length, "eval_interval": 40,
+            "log_interval": 10,
             "seed": 7,
         },
         "tracking": {"backend": "jsonl"},
@@ -364,6 +366,9 @@ def main():
     parser.add_argument("--train-sequences", type=int, default=320)
     parser.add_argument("--eval-sequences", type=int, default=32)
     parser.add_argument("--draft-epochs", type=int, default=6)
+    parser.add_argument("--draft-ttt", type=int, default=3,
+                        help="eagle3 TTT unroll length — the training "
+                             "horizon bounds the serving accept plateau")
     parser.add_argument("--draft-lr", type=float, default=1e-3)
     parser.add_argument("--draft-tokens", default="3")
     parser.add_argument("--topk", default="1,2")
@@ -421,7 +426,8 @@ def main():
 
     exports = {}  # algorithm -> export dir
     if "eagle3" in algorithms:
-        export_dir = os.path.join(args.workdir, "export")
+        ttt_tag = "" if args.draft_ttt == 3 else f"-ttt{args.draft_ttt}"
+        export_dir = os.path.join(args.workdir, f"export{ttt_tag}")
         if not os.path.exists(os.path.join(
                 export_dir, "model.safetensors")):
             print("training draft...", file=sys.stderr)
@@ -429,8 +435,10 @@ def main():
                 args.workdir, target_dir=target_dir, train_dir=train_dir,
                 eval_dir=eval_dir, hidden=args.hidden, vocab=args.vocab,
                 epochs=args.draft_epochs, lr=args.draft_lr,
+                ttt_length=args.draft_ttt,
             )
-            draft_config_path = os.path.join(args.workdir, "draft.json")
+            draft_config_path = os.path.join(
+                args.workdir, f"draft{ttt_tag}.json")
             with open(draft_config_path, "w") as f:
                 json.dump(draft_config, f)
             from specforge_tpu.export.exporter import export_checkpoint
