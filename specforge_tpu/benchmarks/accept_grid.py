@@ -149,8 +149,11 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
         prompts = [row["input_ids"] for row in rows]
         # the no-speculation baseline: plain greedy tokens/s on the SAME
         # prompts — every cell's speedup is spec/plain throughput (the
-        # reference's headline metric, README.md:61)
+        # reference's headline metric, README.md:61). bs>1 cells get a
+        # BATCHED plain baseline at the same bs (a bs1 denominator would
+        # conflate batching with speculation).
         plain = None
+        plain_batched = {}
         if baseline:
             plain = measure_plain_decode(
                 target_params, target_config, prompts,
@@ -158,6 +161,20 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
             )
             print(json.dumps({"dataset": name, "plain_decode": plain}),
                   file=sys.stderr)
+            from specforge_tpu.benchmarks.accept_length import (
+                measure_plain_decode_batched,
+            )
+
+            for bs in batch_sizes:
+                if bs > 1:
+                    plain_batched[bs] = measure_plain_decode_batched(
+                        target_params, target_config, prompts, batch=bs,
+                        max_new_tokens=max_new_tokens, max_len=max_len,
+                    )
+                    print(json.dumps({
+                        "dataset": name,
+                        "plain_decode_batched": plain_batched[bs],
+                    }), file=sys.stderr)
         for k in draft_tokens:
             for bs in batch_sizes:
                 for topk in topks:
@@ -195,13 +212,14 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
                             report.output_throughput, 2
                         ),
                     }
-                    if plain and plain["output_throughput"] > 0:
+                    base = plain_batched.get(bs) if bs > 1 else plain
+                    if base and base["output_throughput"] > 0:
                         cell["plain_throughput"] = (
-                            plain["output_throughput"]
+                            base["output_throughput"]
                         )
                         cell["speedup"] = round(
                             report.output_throughput
-                            / plain["output_throughput"], 3,
+                            / base["output_throughput"], 3,
                         )
                     print(json.dumps(cell), file=sys.stderr)
                     cells.append(cell)

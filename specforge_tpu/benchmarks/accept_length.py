@@ -228,6 +228,54 @@ def measure_plain_decode(
     }
 
 
+def measure_plain_decode_batched(
+    target_params,
+    target_config,
+    prompts: Sequence[Sequence[int]],
+    *,
+    batch: int,
+    max_new_tokens: int = 128,
+    max_len: int = 2048,
+    warmup: bool = True,
+) -> Dict[str, Any]:
+    """Batched no-speculation baseline: tokens/s of the batched fused plain
+    loop over ``batch``-row groups — the like-for-like denominator for
+    bs > 1 speculative cells (a bs1 plain baseline would conflate batching
+    with speculation in the ratio)."""
+    import time
+
+    from specforge_tpu.inference.spec_decode import (
+        fused_plain_decode_batched,
+    )
+
+    groups = [
+        list(prompts[i: i + batch])
+        for i in range(0, len(prompts), batch)
+    ]
+    groups = [g for g in groups if len(g) == batch]  # static batch shape
+    if warmup and groups:
+        fused_plain_decode_batched(
+            target_params, target_config, groups[0],
+            max_new_tokens=max_new_tokens, max_len=max_len,
+        )
+    wall = 0.0
+    tokens = 0
+    for group in groups:
+        t0 = time.monotonic()
+        outs = fused_plain_decode_batched(
+            target_params, target_config, group,
+            max_new_tokens=max_new_tokens, max_len=max_len,
+        )
+        wall += time.monotonic() - t0
+        tokens += sum(len(o) - len(p) for o, p in zip(outs, group))
+    return {
+        "output_tokens": tokens,
+        "wall_seconds": round(wall, 4),
+        "batch": batch,
+        "output_throughput": round(tokens / wall, 2) if wall > 0 else 0.0,
+    }
+
+
 def measure_accept_length(
     *,
     target_model_path: str,

@@ -1600,6 +1600,96 @@ def fused_plain_decode(
     return np.concatenate([np.asarray(prompt_ids), np.asarray(buf)[:cnt]])
 
 
+def fused_plain_decode_batched(
+    target_params, target_config: TargetConfig, prompts,
+    max_new_tokens: int, max_len: int = 512,
+    stop_token_ids: Optional[Sequence[int]] = None,
+    _loop_cache: Dict[Any, Any] = {},
+) -> List[np.ndarray]:
+    """Plain greedy decode for a BATCH of prompts in one fused program —
+    the like-for-like baseline for ``generate_batch_fused`` (bs > 1
+    speculative cells must be compared against batched plain decoding, not
+    the bs1 baseline, or the ratio conflates batching with speculation).
+
+    Rows are right-padded (slot == position); each row decodes from its own
+    length with per-row cache lengths, finished rows freeze. Row i's output
+    equals ``fused_plain_decode`` on prompt i (parity-tested)."""
+    stop_ids = tuple(sorted(set(int(s) for s in (stop_token_ids or ()))))
+    batch = len(prompts)
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    p_max = int(lens.max())
+    padded = np.zeros((batch, p_max), np.int64)
+    for i, p in enumerate(prompts):
+        padded[i, : len(p)] = p
+
+    state = init_target_state(target_config, batch, max_len)
+    logits, _aux, ck, cv = target_cached_forward(
+        target_params, target_config, jnp.asarray(padded, jnp.int32),
+        state.cache_k, state.cache_v, jnp.asarray(0, jnp.int32), (),
+    )
+    lens_d = jnp.asarray(lens)
+    first = jnp.take_along_axis(
+        jnp.argmax(logits, axis=-1).astype(jnp.int32),
+        lens_d[:, None] - 1, axis=1,
+    )[:, 0]                                              # [B]
+
+    key = (target_config, stop_ids, batch)
+    loop = _loop_cache.get(key)
+    if loop is None:
+        def _loop(params, ck, cv, t_len, tok, out_buf, out_cnt, max_new):
+            budget = ck.shape[3]
+
+            def cond(carry):
+                _ck, _cv, t_len, _tok, _buf, cnt, done = carry
+                live = (~done) & (cnt < max_new) & (t_len + 1 < budget)
+                return jnp.any(live)
+
+            def body(carry):
+                ck, cv, t_len, tok, out_buf, cnt, done = carry
+                logits, _aux, ck, cv = target_cached_forward(
+                    params, target_config, tok[:, None], ck, cv,
+                    t_len, (),
+                )
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                live = (~done) & (cnt < max_new) & (t_len + 1 < budget)
+                nxt = jnp.where(live, nxt, tok)
+                out_buf = jnp.where(
+                    live[:, None]
+                    & (jnp.arange(out_buf.shape[1])[None] == cnt[:, None]),
+                    nxt[:, None], out_buf,
+                )
+                hit = _fused_stop_hit_rows(
+                    nxt[:, None], live[:, None], stop_ids
+                )
+                return (ck, cv, t_len + live.astype(jnp.int32), nxt,
+                        out_buf, cnt + live.astype(jnp.int32), done | hit)
+
+            hit0 = _fused_stop_hit_rows(
+                tok[:, None], jnp.ones((tok.shape[0], 1), bool), stop_ids
+            )
+            final = jax.lax.while_loop(
+                cond, body, (ck, cv, t_len, tok, out_buf, out_cnt, hit0)
+            )
+            return final[4], final[5]
+
+        loop = jax.jit(_loop)
+        _loop_cache[key] = loop
+
+    out_buf = jnp.zeros((batch, max_len + 1), jnp.int32)
+    out_buf = out_buf.at[:, 0].set(first)
+    buf, cnt = loop(
+        target_params, ck, cv, lens_d, first, out_buf,
+        jnp.ones((batch,), jnp.int32),
+        jnp.asarray(max_new_tokens, jnp.int32),
+    )
+    buf = np.asarray(buf)
+    cnt = np.asarray(cnt)
+    return [
+        np.concatenate([np.asarray(p, np.int64), buf[i, : cnt[i]]])
+        for i, p in enumerate(prompts)
+    ]
+
+
 def greedy_target_decode(
     target_params, target_config: TargetConfig, prompt_ids, max_new_tokens,
     capture_layers=(0,), max_len: int = 512,

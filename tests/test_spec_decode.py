@@ -696,3 +696,24 @@ def test_decoder_pins_weights_to_device(target, draft):
         assert isinstance(leaf, jax.Array)
     for leaf in jax.tree_util.tree_leaves(decoder.draft_variables):
         assert isinstance(leaf, jax.Array)
+
+
+def test_fused_plain_batched_matches_single(target):
+    """Batched plain decode (the bs>1 baseline) row-matches the single-row
+    fused plain decode for rows of different lengths."""
+    from specforge_tpu.inference.spec_decode import (
+        fused_plain_decode,
+        fused_plain_decode_batched,
+    )
+
+    params, config = target
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, V, size=n).tolist() for n in (9, 12, 7, 12)]
+    outs = fused_plain_decode_batched(
+        params, config, prompts, max_new_tokens=16, max_len=128,
+    )
+    for p, o in zip(prompts, outs):
+        single = fused_plain_decode(
+            params, config, p, max_new_tokens=16, max_len=128,
+        )
+        np.testing.assert_array_equal(o, single)
