@@ -43,11 +43,16 @@ def _env_tiles(tq, tk, seq_len: int = 0):
     fills them. Measured on v5e (eagle3 ttt7 fwd+bwd MFU vs 256×256):
     s1024 63.8→65.5% with 512×512; s2048 57.9→60.9% with 512×512 and
     →62.3% with 1024×512 (512×1024 and 1024×512-at-s1024 fail to
-    compile); s768 is a wash, so short contexts keep 256."""
+    compile); s768 is a wash, so short contexts keep 256. At s≥4096 the
+    1024-row q tiles exceed the 16M scoped-vmem limit (17.2M measured:
+    stack buffers scale with both tile rows and the kv context), so long
+    context drops back to 512×512 — 59.5% MFU at b1/s4096/ttt7."""
     import os
 
     def_q, def_k = DEF_TQ, DEF_TK
-    if seq_len >= 2048:
+    if seq_len >= 4096:
+        def_q = def_k = 512
+    elif seq_len >= 2048:
         def_q, def_k = 1024, 512
     elif seq_len >= 1024:
         def_q = def_k = 512

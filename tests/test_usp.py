@@ -149,3 +149,25 @@ def test_usp_full_ttt_model_matches_dense():
         np.asarray(out_usp.metric_corrects),
         np.asarray(out_dense.metric_corrects),
     )
+
+
+def test_usp_long_context_s4096():
+    """s4096 USP composition executes on the 8-virtual-device mesh (the
+    long-context seq-sharded path behind the single-chip s4096 bench row;
+    real multi-chip MFU is hardware-blocked — benchmarks/scaling.py)."""
+    u, r = 2, 4
+    mesh = build_mesh(
+        MeshConfig(sp_ulysses=u, sp_ring=r), devices=jax.devices()[: u * r]
+    )
+    s = 4096
+    h, d = 2, 8
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, h, s, d)).astype(np.float32))
+    keys = [jnp.asarray(rng.normal(size=(B, h, s, d)).astype(np.float32))]
+    values = [jnp.asarray(rng.normal(size=(B, h, s, d)).astype(np.float32))]
+    bias = make_causal_bias(None, B, s)
+    expected = ttt_branch_attention_reference(q, keys, values, bias)
+    got = usp_ttt_attention(mesh, q, keys, values, impl="dense")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
