@@ -86,7 +86,7 @@ def load_spec_models(target_model_path: str, draft_export_dir: str):
 
 
 def build_decoder(models, capture_layers=None, num_draft_tokens: int = 4,
-                  max_len: int = 2048):
+                  max_len: int = 2048, mesh=None):
     from specforge_tpu.inference.spec_decode import Eagle3SpecDecoder
 
     target_params, target_config, module, variables = models
@@ -96,7 +96,7 @@ def build_decoder(models, capture_layers=None, num_draft_tokens: int = 4,
     return Eagle3SpecDecoder(
         target_params, target_config, module, variables,
         capture_layers=tuple(capture_layers),
-        num_draft_tokens=num_draft_tokens, max_len=max_len,
+        num_draft_tokens=num_draft_tokens, max_len=max_len, mesh=mesh,
     )
 
 

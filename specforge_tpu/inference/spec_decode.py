@@ -373,6 +373,7 @@ class Eagle3SpecDecoder:
         *,
         num_draft_tokens: int = 4,
         max_len: int = 512,
+        mesh=None,
     ) -> None:
         # Pin weights to the device ONCE: exported drafts load as host
         # numpy trees, and numpy jit arguments re-upload on EVERY dispatch
@@ -380,7 +381,22 @@ class Eagle3SpecDecoder:
         # over a slow host<->device link dwarfs the decode itself (measured
         # 14.6 s per fused prefill before this pin). device_put is a no-op
         # for leaves already on device.
-        self.target_params = jax.device_put(target_params)
+        #
+        # ``mesh``: optional device mesh for SHARDED serving — target params
+        # spread over the fsdp axis (largest divisible dim per tensor, the
+        # same rule the capture runner uses) so targets larger than one
+        # chip's HBM can serve; XLA's SPMD partitioner inserts the ICI
+        # collectives inside the fused loops. The draft stays replicated
+        # (it is small by construction).
+        if mesh is not None:
+            from specforge_tpu.parallel.mesh import shard_pytree_like_params
+
+            self.target_params = shard_pytree_like_params(
+                target_params, mesh
+            )
+        else:
+            self.target_params = jax.device_put(target_params)
+        self.mesh = mesh
         self.target_config = target_config
         self.draft = draft_module
         self.draft_variables = jax.device_put(draft_variables)
@@ -1746,10 +1762,20 @@ class DFlashSpecDecoder:
         draft_variables,
         *,
         max_len: int = 512,
+        mesh=None,
     ) -> None:
         # pin to device once — see Eagle3SpecDecoder.__init__ (host-numpy
-        # jit arguments re-upload per dispatch)
-        self.target_params = jax.device_put(target_params)
+        # jit arguments re-upload per dispatch); ``mesh`` shards the target
+        # over the fsdp axis for bigger-than-HBM serving
+        if mesh is not None:
+            from specforge_tpu.parallel.mesh import shard_pytree_like_params
+
+            self.target_params = shard_pytree_like_params(
+                target_params, mesh
+            )
+        else:
+            self.target_params = jax.device_put(target_params)
+        self.mesh = mesh
         self.target_config = target_config
         self.draft = draft_module
         self.draft_variables = jax.device_put(draft_variables)

@@ -717,3 +717,29 @@ def test_fused_plain_batched_matches_single(target):
             params, config, p, max_new_tokens=16, max_len=128,
         )
         np.testing.assert_array_equal(o, single)
+
+
+def test_sharded_target_serving_matches_unsharded(target, draft):
+    """mesh-sharded serving (target params spread over the fsdp axis, XLA
+    SPMD collectives inside the fused loop) emits exactly the unsharded
+    decoder's tokens — the bigger-than-HBM serving path."""
+    from specforge_tpu.parallel.mesh import MeshConfig, build_mesh
+
+    params, config = target
+    module, variables = draft
+    mesh = build_mesh(MeshConfig(fsdp=4), devices=jax.devices()[:4])
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, V, size=12).tolist()
+
+    base = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=128,
+    )
+    sharded = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=128, mesh=mesh,
+    )
+    want = base.generate_fused(prompt, max_new_tokens=20)
+    got = sharded.generate_fused(prompt, max_new_tokens=20)
+    np.testing.assert_array_equal(got.output_ids, want.output_ids)
+    assert got.accept_lengths == want.accept_lengths
