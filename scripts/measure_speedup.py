@@ -11,12 +11,21 @@ measures it end-to-end on one chip with no downloads:
 2. train a REALISTIC-SIZE target (default 24L/2048h/32k vocab, ~1.5B params
    — the capture-bench target shape) ON-CHIP with a small JAX+optax trainer
    until its next-token loss approaches the corpus entropy;
-3. capture hidden states through the production OfflineCaptureRunner;
-4. train an EAGLE3 draft through build_training_run;
+3. capture hidden states through the production OfflineCaptureRunner
+   (eagle + dflash layouts share the device-resident target params);
+4. train drafts through build_training_run — an EAGLE3 draft
+   (``--draft-ttt`` sets the TTT unroll: the training horizon bounds the
+   serving accept plateau) and/or a Domino block-speculation draft
+   (``--algorithms eagle3,domino``);
 5. export to the SGLang layout, reload through the serving path, and
-   measure tokens/s: plain greedy decode (fused baseline) vs speculative
-   decode (fused chain + tree), all single-dispatch whole-generate
+   measure tokens/s: plain greedy decode (fused baseline; batched plain
+   baselines for ``--batch-sizes`` > 1) vs speculative decode (fused
+   chain + root/beam tree + block), all single-dispatch whole-generate
    programs — the speedup ratio is the headline.
+
+All stages keep completion markers in --workdir, so re-invocations with
+different measurement flags (draft-tokens/topk/batch-sizes/ttt) reuse the
+trained target, captures, and exports.
 
 Usage:
     python scripts/measure_speedup.py --workdir /tmp/speedup \
