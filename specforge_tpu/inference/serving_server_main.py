@@ -6,7 +6,7 @@
         [--port 8400] [--shard-over-devices N]
 
 Loads the target + exported draft through the serving loaders
-(benchmarks/accept_length.py), builds the fused decoder (optionally
+(inference/serving_loaders.py), builds the fused decoder (optionally
 mesh-sharded over N devices for bigger-than-HBM targets), and serves
 /generate, /generate_batch, /health (see serving_server.py).
 """
@@ -50,7 +50,7 @@ def main() -> int:
         )
 
     if args.family == "eagle3":
-        from specforge_tpu.benchmarks.accept_length import (
+        from specforge_tpu.inference.serving_loaders import (
             build_decoder,
             load_spec_models,
         )
@@ -61,7 +61,7 @@ def main() -> int:
             max_len=args.max_len, mesh=mesh,
         )
     else:
-        from specforge_tpu.benchmarks.accept_length import (
+        from specforge_tpu.inference.serving_loaders import (
             load_exported_dflash_draft,
         )
         from specforge_tpu.inference.spec_decode import DFlashSpecDecoder

@@ -68,6 +68,9 @@ LAYER_RULES = {
         "inference.", "runtime.", "models.", "ops.", "offline_capture.",
         # composition-root entry points may reach up to application wiring
         "application.", "config.",
+        # mesh-sharded capture/serving (decoders and servers shard targets
+        # over the fsdp axis, like offline_capture)
+        "parallel.",
     ),
 }
 

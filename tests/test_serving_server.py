@@ -127,11 +127,13 @@ def test_generate_batch_and_health(server):
     for w, g in zip(want, got["results"]):
         np.testing.assert_array_equal(g["output_ids"], w.output_ids)
 
+    # counters are cumulative per server instance; under xdist each worker
+    # may build its own fixture, so assert only this test's contribution
     status, health = _get(srv.port, "/health")
     assert status == 200
     assert health["status"] == "ok"
     assert health["num_draft_tokens"] == 2
-    assert health["counters"]["requests"] >= 4
+    assert health["counters"]["requests"] >= 1
     assert health["counters"]["output_tokens"] > 0
     assert health["counters"]["output_throughput"] > 0
 
