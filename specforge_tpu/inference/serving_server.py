@@ -90,10 +90,20 @@ class SpecServingServer:
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(length))
+                except (ValueError, KeyError, TypeError):
+                    self._reply(400, {"error": "malformed JSON body"})
+                    return
+                try:
                     self._reply(200, handler(body))
-                except Exception as exc:  # noqa: BLE001 — report to client
+                except (KeyError, ValueError, TypeError) as exc:
+                    # client-input faults (missing input_ids, unsupported
+                    # mode for this decoder family, bad types) are 4xx —
+                    # and the message stays sanitized (no traceback text)
+                    logger.warning("bad request on %s: %s", self.path, exc)
+                    self._reply(400, {"error": f"bad request: {exc}"})
+                except Exception:  # noqa: BLE001 — unexpected server fault
                     logger.exception("generate failed")
-                    self._reply(500, {"error": str(exc)})
+                    self._reply(500, {"error": "internal server error"})
 
             def _reply(self, code, obj):
                 payload = json.dumps(obj).encode()

@@ -1578,9 +1578,15 @@ def fused_plain_decode(
     loop = _loop_cache.get(key)
     if loop is None:
         def _loop(params, ck, cv, t_len, tok, out_buf, max_new):
+            budget = ck.shape[3]
+
             def cond(carry):
-                _ck, _cv, _tl, _tok, _buf, cnt, done = carry
-                return (~done) & (cnt < max_new)
+                _ck, _cv, t_len, _tok, _buf, cnt, done = carry
+                # same cache-budget guard as the batched loop: without it,
+                # prompt_len + max_new_tokens > max_len silently overwrites
+                # the cache tail (clamped dynamic_update_slice) instead of
+                # stopping, breaking row parity with the batched path
+                return (~done) & (cnt < max_new) & (t_len + 1 < budget)
 
             def body(carry):
                 ck, cv, t_len, tok, out_buf, cnt, done = carry
@@ -1787,6 +1793,11 @@ class DFlashSpecDecoder:
         self.max_len = max_len
         self._embed = self.target_params["model.embed_tokens.weight"]
         self._lm_head = self.target_params["lm_head.weight"]
+        # host copies for the eager (host-loop) paths, fetched lazily and
+        # ONCE: np.asarray on the pinned device tree inside the per-round
+        # loop would re-transfer the full embedding table every speculation
+        # round (~262 MB at 32k x 2048; a cross-device gather under mesh=)
+        self._embed_host: Optional[np.ndarray] = None
 
         def draft_forward(variables, noise_emb, ctx, ctx_pos, draft_pos,
                           anchors, keep):
@@ -1807,6 +1818,11 @@ class DFlashSpecDecoder:
             )
 
         self._head_forward = jax.jit(head_forward)
+
+    def _embed_np(self) -> np.ndarray:
+        if self._embed_host is None:
+            self._embed_host = np.asarray(self._embed, np.float32)
+        return self._embed_host
 
     def _propose(self, draft_hidden, block_ids: np.ndarray) -> list:
         """Greedy block proposals (bs-1 tokens) with the family's auxiliary
@@ -1832,7 +1848,7 @@ class DFlashSpecDecoder:
             completed = np.asarray(block_ids, np.int64).copy()  # [1, bs]
             hidden4 = draft_hidden[:, None]                     # [1,1,bs,h]
             base4 = jnp.asarray(base[:, None])
-            embed = np.asarray(self._embed, np.float32)
+            embed = self._embed_np()
             for pos in range(1, bs):
                 prev_emb = jnp.asarray(
                     embed[completed][:, None], jnp.float32
@@ -1914,7 +1930,7 @@ class DFlashSpecDecoder:
             # --- draft: one block forward ---
             block_ids = np.full((1, bs), self.mask_token_id, np.int64)
             block_ids[0, 0] = cur_token
-            noise_emb = np.asarray(self._embed, np.float32)[block_ids[0]][None]
+            noise_emb = self._embed_np()[block_ids[0]][None]
             ctx = ctx_features[:, :start]
             ctx_pos = np.arange(start, dtype=np.int32)[None]
             draft_pos = (start + np.arange(bs, dtype=np.int32))[None]

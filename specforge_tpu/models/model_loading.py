@@ -8,6 +8,8 @@ reload (export/exporter.py), and the serving loaders
 
 from __future__ import annotations
 
+from typing import Any, Dict
+
 import numpy as np
 
 #: torch dotted segment pairs → flax module names (reverse of the exporter's

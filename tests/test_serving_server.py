@@ -140,8 +140,9 @@ def test_generate_batch_and_health(server):
 
 def test_error_reporting(server):
     srv, _ = server
+    # malformed client input (missing input_ids) is a 4xx, not a 500
     status, out = _post(srv.port, "/generate", {"max_new_tokens": 4})
-    assert status == 500
+    assert status == 400
     assert "error" in out
     status, _ = _post(srv.port, "/nope", {})
     assert status == 404
