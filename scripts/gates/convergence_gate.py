@@ -52,6 +52,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# honor JAX_PLATFORMS=cpu even where a sitecustomize pins another platform
+# via jax.config (the conftest does the same for tests) — without this the
+# "CPU" gate silently runs on the device with per-shape remote compiles
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 VOCAB = 256
@@ -245,7 +253,7 @@ def _measure_accept(target_dir: str, export_dir: str, prompts,
 
 
 def run_eagle3(workdir: str, corpus_train, corpus_eval, target_dir: str,
-               total_steps_baseline: int = 1):
+               total_steps_baseline: int = 1, smoke: bool = False):
     capture_layers = (1, 3, 5)  # 6-layer target; same layers at serving
     train_dir = os.path.join(workdir, "features-eagle/train")
     eval_dir = os.path.join(workdir, "features-eagle/eval")
@@ -262,6 +270,29 @@ def run_eagle3(workdir: str, corpus_train, corpus_eval, target_dir: str,
         "num_attention_heads": 4, "num_key_value_heads": 2,
         "max_position_embeddings": 4 * SEQ,
     }
+
+    if smoke:
+        # always-on CI variant: prove the math still LEARNS in ~2 min —
+        # climb-metric only (the export/serving-accept leg stays in the
+        # full opt-in gate). 2 epochs over the shrunken corpus, dense
+        # eval points so the first one lands early.
+        run_dir = _train_draft(
+            workdir, "conv-smoke", algorithm="eagle3",
+            target_dir=target_dir, train_dir=train_dir, eval_dir=eval_dir,
+            draft_config=draft_config, num_epochs=2, eval_interval=8,
+        )
+        series = _read_metric_series(
+            os.path.join(run_dir, "conv-smoke.metrics.jsonl"),
+            "eval/simulated_acc_len",
+        )
+        if len(series) < 2:
+            raise SystemExit(f"GATE FAILED: too few eval points: {series}")
+        return {
+            "climb_metric": "eval/simulated_acc_len",
+            "series": [(int(s), round(float(v), 4)) for s, v in series],
+            "first": round(float(series[0][1]), 4),
+            "last": round(float(series[-1][1]), 4),
+        }
 
     print("training baseline (1 step)...", file=sys.stderr)
     base_run = _train_draft(
@@ -670,6 +701,10 @@ def main():
     parser.add_argument("--online", action="store_true",
                         help="drive the corpus through the REAL online "
                              "disaggregated stack (eagle3 only)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="scaled-down always-on CI variant (eagle3 "
+                             "only): climb-metric assertion in ~2 min, no "
+                             "export/serving leg")
     parser.add_argument("--target-steps", type=int, default=400)
     parser.add_argument("--train-sequences", type=int, default=512)
     parser.add_argument("--eval-sequences", type=int, default=32)
@@ -678,6 +713,13 @@ def main():
     parser.add_argument("--min-accept-gain", type=float, default=0.2,
                         help="required accept_trained - accept_untrained")
     args = parser.parse_args()
+
+    if args.smoke:
+        if args.algorithm != "eagle3" or args.online:
+            raise SystemExit("--smoke supports offline eagle3 only")
+        args.target_steps = min(args.target_steps, 200)
+        args.train_sequences = min(args.train_sequences, 192)
+        args.eval_sequences = min(args.eval_sequences, 16)
 
     os.makedirs(args.workdir, exist_ok=True)
     corpus_train = build_corpus(0, args.train_sequences)
@@ -703,7 +745,7 @@ def main():
         result = run_eagle3_online(args.workdir, corpus_eval, target_dir)
     elif args.algorithm == "eagle3":
         result = run_eagle3(args.workdir, corpus_train, corpus_eval,
-                            target_dir)
+                            target_dir, smoke=args.smoke)
     elif args.algorithm == "peagle":
         result = run_peagle(args.workdir, corpus_train, corpus_eval,
                             target_dir)
@@ -726,6 +768,7 @@ def main():
         "gate": "convergence",
         "algorithm": args.algorithm,
         "online": bool(args.online),
+        "smoke": bool(args.smoke),
         "status": status,
         "climbed": climbed,
         "accept_ok": accept_ok,

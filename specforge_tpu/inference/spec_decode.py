@@ -130,11 +130,25 @@ def target_cached_forward(
             allow = col[None] <= cache_len[:, None, None] + row_pos[None]
         else:
             allow = col <= cache_len + row_pos
+    elif per_row:
+        # tree with PER-ROW cache lengths (batched tree/beam serving):
+        # row b's block occupies slots cache_len[b] .. cache_len[b]+t-1,
+        # so the ancestor mask is looked up at a per-row slot offset
+        prefix_vis = col < cache_len[:, None]             # [B, M]
+        in_block = (col >= cache_len[:, None]) & (
+            col < cache_len[:, None] + t
+        )
+        bidx = jnp.clip(col - cache_len[:, None], 0, t - 1)  # [B, M]
+        if block_allow.ndim == 3:
+            # per-row tree shapes (batched beam): block_allow [B, T, T]
+            blk_vis = jnp.take_along_axis(
+                block_allow, bidx[:, None, :], axis=2
+            )                                             # [B, T, M]
+        else:
+            blk_vis = jnp.take(block_allow, bidx, axis=1)  # [T, B, M]
+            blk_vis = blk_vis.transpose(1, 0, 2)           # [B, T, M]
+        allow = prefix_vis[:, None, :] | (in_block[:, None, :] & blk_vis)
     else:
-        if per_row:
-            raise NotImplementedError(
-                "tree verification with per-row cache lengths"
-            )
         # tree: full prefix + ancestor slots within the block
         prefix_vis = col < cache_len                      # [1, M]
         in_block = (col >= cache_len) & (col < cache_len + t)
