@@ -743,3 +743,65 @@ def test_sharded_target_serving_matches_unsharded(target, draft):
     got = sharded.generate_fused(prompt, max_new_tokens=20)
     np.testing.assert_array_equal(got.output_ids, want.output_ids)
     assert got.accept_lengths == want.accept_lengths
+
+
+def test_tree_verify_per_row_lengths_matches_scalar(target):
+    """Per-row tree verification (the batched tree/beam contract): rows at
+    DIFFERENT cache lengths tree-verified in one [B, T] forward must
+    reproduce each row's scalar-length tree forward — for both the shared
+    [T, T] mask (root trees) and per-row [B, T, T] masks (beam trees)."""
+    from specforge_tpu.inference.spec_decode import (
+        init_target_state,
+        target_cached_forward,
+    )
+
+    params, config = target
+    rng = np.random.default_rng(3)
+    lens = [9, 13]
+    k, n_chains = 2, 2
+    t = 1 + n_chains * k
+    allow = np.zeros((t, t), bool)
+    allow[:, 0] = True
+    pos = np.zeros((t,), np.int32)
+    for c in range(n_chains):
+        for j in range(k):
+            s = 1 + c * k + j
+            allow[s, 1 + c * k: s + 1] = True
+            pos[s] = j + 1
+
+    blocks = rng.integers(0, V, size=(2, t))
+    prompts = [rng.integers(0, V, size=(1, n)) for n in lens]
+
+    # scalar-length oracle per row (each on its own cache)
+    want = []
+    caches = []
+    for prompt, block in zip(prompts, blocks):
+        state = init_target_state(config, 1, 64, dtype=jnp.float32)
+        _l, _a, ck, cv = target_cached_forward(
+            params, config, jnp.asarray(prompt, jnp.int32),
+            state.cache_k, state.cache_v, jnp.asarray(0, jnp.int32), (1,),
+        )
+        lg, _, _, _ = target_cached_forward(
+            params, config, jnp.asarray(block[None], jnp.int32), ck, cv,
+            jnp.asarray(prompt.shape[1], jnp.int32), (1,),
+            block_allow=jnp.asarray(allow), block_positions=jnp.asarray(pos),
+        )
+        want.append(np.asarray(lg[0]))
+        caches.append((ck, cv))
+
+    # batched per-row forward: right-padded rows share one cache tensor
+    ck_b = jnp.concatenate([c[0] for c in caches], axis=1)
+    cv_b = jnp.concatenate([c[1] for c in caches], axis=1)
+    for block_allow_b in (
+        jnp.asarray(allow),                                  # shared [T, T]
+        jnp.broadcast_to(jnp.asarray(allow), (2, t, t)),     # per-row
+    ):
+        lg_b, _, _, _ = target_cached_forward(
+            params, config, jnp.asarray(blocks, jnp.int32), ck_b, cv_b,
+            jnp.asarray(lens, jnp.int32), (1,),
+            block_allow=block_allow_b, block_positions=jnp.asarray(pos),
+        )
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(lg_b[b]), want[b], rtol=2e-4, atol=2e-4
+            )
