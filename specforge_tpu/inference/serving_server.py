@@ -182,11 +182,19 @@ class SpecServingServer:
             raise ValueError(
                 "generate_batch is only available for the eagle3 decoder"
             )
+        kwargs: Dict[str, Any] = {}
+        topk = int(body.get("topk", 1))
+        if topk > 1:
+            kwargs["topk"] = topk
+            if body.get("tree_style"):
+                kwargs["tree_style"] = body["tree_style"]
+        if body.get("adaptive"):
+            kwargs["adaptive"] = True
         t0 = time.monotonic()
         with self._device_lock:
             results = self.decoder.generate_batch_fused(
                 [list(p) for p in prompts], max_new_tokens=max_new,
-                stop_token_ids=stop,
+                stop_token_ids=stop, **kwargs,
             )
         wall = time.monotonic() - t0
         new = sum(len(r.output_ids) - len(p)

@@ -721,13 +721,24 @@ class Eagle3SpecDecoder:
         prompts: Sequence[Sequence[int]],
         max_new_tokens: int,
         stop_token_ids: Optional[Sequence[int]] = None,
+        topk: int = 1,
+        tree_style: str = "root",
+        adaptive: bool = False,
     ) -> List[SpecDecodeResult]:
-        """Chain speculation for a BATCH of prompts in one fused program:
-        rows are right-padded (slot == position — each row's numerics are
+        """Speculation for a BATCH of prompts in one fused program: rows
+        are right-padded (slot == position — each row's numerics are
         exactly its single-row numerics), caches carry per-row lengths, one
         batched target verification serves all rows per round, and finished
         rows freeze while the rest continue. Per-row outputs match
-        ``generate_fused`` row by row (parity-tested)."""
+        ``generate_fused`` row by row (parity-tested).
+
+        ``topk > 1`` verifies per-row TREES in the one batched forward:
+        ``tree_style="root"`` drafts topk greedy chains per row branching
+        at the round's first token; ``"beam"`` branches at EVERY depth by
+        cumulative draft log-prob (EAGLE-2 style). ``adaptive`` (chain
+        mode) shrinks the per-round draft depth from an accept EMA so
+        speculation never falls behind batched plain decoding when the
+        draft stops paying."""
         stop_ids = tuple(
             sorted(set(int(s) for s in (stop_token_ids or ())))
         )
@@ -735,6 +746,14 @@ class Eagle3SpecDecoder:
         lens = np.asarray([len(p) for p in prompts], np.int32)
         p_max = int(lens.max())
         budget = self.max_len
+        if topk > 1:
+            block_t = 1 + topk * self.k
+            if p_max + block_t >= budget:
+                raise ValueError(
+                    f"tree block (1 + topk*k = {block_t}) does not fit "
+                    f"max_len={budget} after a {p_max}-token prompt; lower "
+                    "topk/draft_tokens or raise max_len"
+                )
         padded = np.zeros((batch, p_max), np.int64)
         for i, p in enumerate(prompts):
             padded[i, : len(p)] = p
@@ -778,7 +797,14 @@ class Eagle3SpecDecoder:
         out_buf = jnp.zeros((batch, budget + self.k + 1), jnp.int32)
         out_buf = out_buf.at[:, 0].set(cur)
         acc_buf = jnp.zeros((batch, budget), jnp.int32)
-        loop = self._fused.batch_chain(batch, stop_ids)
+        if topk > 1 and tree_style == "beam":
+            loop = self._fused.batch_beam(batch, topk, stop_ids)
+        elif topk > 1:
+            loop = self._fused.batch_tree(batch, topk, stop_ids)
+        elif adaptive:
+            loop = self._fused.batch_chain_adaptive(batch, stop_ids)
+        else:
+            loop = self._fused.batch_chain(batch, stop_ids)
         buf, out_cnt, accs, n_rounds = loop(
             self.target_params, self.draft_variables, t_ck, t_cv,
             jnp.asarray(lens), d_ck, d_cv, jnp.asarray(lens), cur,
@@ -929,6 +955,26 @@ def _move_cache_rows(cache, src, dst, n: int):
     ``src`` to ``dst`` — tree-cache compaction onto the accepted path."""
     seg = jax.lax.dynamic_slice_in_dim(cache, src, n, axis=3)
     return jax.lax.dynamic_update_slice_in_dim(cache, seg, dst, axis=3)
+
+
+def _move_cache_rows_batched(cache, src, dst, n: int):
+    """Per-row tree-cache compaction: move ``n`` slots of row ``b`` from
+    ``src[b]`` to ``dst[b]`` (axis 3 of [L, B, KVH, M, D]) — the batched
+    counterpart of ``_move_cache_rows`` when rows pick different winning
+    chains at different lengths."""
+    b = cache.shape[1]
+    steps = jnp.arange(n, dtype=jnp.int32)
+    sidx = src[:, None] + steps                              # [B, n]
+    seg = jnp.take_along_axis(
+        cache, sidx[None, :, None, :, None], axis=3
+    )                                                        # [L,B,KVH,n,D]
+    didx = dst[:, None] + steps
+    rows = jnp.arange(b)
+    # advanced index arrays at axes (1, 3) are separated by a slice, so the
+    # broadcast [B, n] axes move to the FRONT of the updated view
+    return cache.at[:, rows[:, None], :, didx].set(
+        seg.transpose(1, 3, 0, 2, 4), mode="drop"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1413,6 +1459,661 @@ class _FusedEagleLoops:
                 )
 
                 # freeze finished rows: keep their old carry wholesale
+                a1 = active[:, None]
+                t_ck = jnp.where(
+                    active[None, :, None, None, None], n_tck, t_ck
+                )
+                t_cv = jnp.where(
+                    active[None, :, None, None, None], n_tcv, t_cv
+                )
+                d_ck = jnp.where(active[:, None, None, None], n_dck, d_ck)
+                d_cv = jnp.where(active[:, None, None, None], n_dcv, d_cv)
+                last_h = jnp.where(active[:, None, None], n_last_h, last_h)
+                last_dl = jnp.where(a1, n_last_dl, last_dl)
+                step = jnp.where(active, acc + 1, 0)
+                return (
+                    t_ck, t_cv, t_len + step, d_ck, d_cv, d_len + step,
+                    jnp.where(active, bonus, cur), last_h, last_dl,
+                    out_buf, out_cnt + step, acc_buf,
+                    n_rounds + active.astype(jnp.int32),
+                    done | (active & hit),
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf,
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch,), bool),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+    # -- adaptive batched chain mode ---------------------------------------
+
+    def batch_chain_adaptive(self, batch: int, stop_ids: Tuple[int, ...]):
+        key = ("batch_chain_adaptive", batch, stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                self._build_batch_chain_adaptive(batch, stop_ids)
+            )
+        return self._cache[key]
+
+    # adaptive-policy constants: EMA smoothing, the depth rule, and the
+    # one-way plain fallback threshold. accept EMA ~e means the draft is
+    # matching ~e tokens per round, so drafting to depth floor(e+0.5)+1
+    # keeps one exploratory token past the expected accept; an EMA under
+    # OFF_THRESH (matching barely beyond chance) means each spec round's
+    # draft+capture overhead outweighs the extra tokens — fall back to
+    # plain decoding permanently (the draft state goes stale, which is why
+    # the fallback is one-way).
+    ADAPT_ALPHA = 0.125
+    ADAPT_OFF_THRESH = 0.35
+    ADAPT_WARMUP_ROUNDS = 8
+
+    def _build_batch_chain_adaptive(self, batch: int,
+                                    stop_ids: Tuple[int, ...]):
+        """``_build_batch_chain`` with a DYNAMIC per-round draft depth
+        ``k_eff`` driven by an accept-length EMA, and a one-way fallback to
+        plain decoding when the draft stops paying — the reference serves
+        fixed grids (benchmarks/README.md:11-67); this makes speculation
+        safe to leave on at every batch size. Greedy-equivalent: emitted
+        tokens always come from the target posterior, so output matches
+        the fixed-depth loop token for token; only accept pacing differs.
+
+        Mechanics: drafting runs an INNER ``lax.while_loop`` over chain
+        substeps bounded by ``k_eff`` (real compute savings, not masking);
+        proposals at slots >= k_eff are force-rejected in the match mask;
+        once the EMA drops below the off threshold after warmup, every
+        later round is a bare t=1 target forward (no draft, no capture) —
+        asymptotically exactly batched plain decoding."""
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        idx = jnp.arange(k + 1, dtype=jnp.int32)
+        rows = jnp.arange(batch, dtype=jnp.int32)
+        alpha = self.ADAPT_ALPHA
+        off_thresh = self.ADAPT_OFF_THRESH
+        warmup = self.ADAPT_WARMUP_ROUNDS
+
+        def propose_dyn(variables, last_dl, hidden, d_ck, d_cv, d_len,
+                        k_eff):
+            p = jnp.argmax(last_dl, axis=-1).astype(jnp.int32)   # [B]
+            toks = jnp.zeros((batch, k), jnp.int32)
+            toks = toks.at[:, 0].set(p + jnp.take(d2t, p))
+
+            def cond(st):
+                return st[0] < k_eff
+
+            def body(st):
+                i, h, ck, cv, clen, toks = st
+                prev = jnp.take_along_axis(
+                    toks, (i - 1)[None, None].repeat(batch, 0), axis=1
+                )                                                # [B, 1]
+                h, dlog, ck, cv = self._draft(
+                    variables, prev, h, ck, cv, clen
+                )
+                clen = clen + 1
+                dt = jnp.argmax(dlog[:, -1], axis=-1).astype(jnp.int32)
+                nxt = dt + jnp.take(d2t, dt)
+                toks = jnp.where(
+                    jnp.arange(k)[None] == i, nxt[:, None], toks
+                )
+                return i + 1, h, ck, cv, clen, toks
+
+            st = (
+                jnp.asarray(1, jnp.int32), hidden, d_ck, d_cv, d_len, toks,
+            )
+            st = jax.lax.while_loop(cond, body, st)
+            return st[5]                                         # [B, k]
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+
+            def active_rows(t_len, out_cnt, done):
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + k + 1 < budget)
+                )
+
+            def cond(carry):
+                t_len, out_cnt, done = carry[2], carry[10], carry[13]
+                return jnp.any(active_rows(t_len, out_cnt, done))
+
+            def spec_round(op):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, active, k_eff) = op
+                proposals = propose_dyn(
+                    variables, last_dl, last_h, d_ck, d_cv, d_len, k_eff
+                )
+                block = jnp.concatenate(
+                    [cur[:, None], proposals], axis=1
+                )
+                logits, aux, n_tck, n_tcv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    t_len, d.capture_layers,
+                )
+                posterior = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                matches = (
+                    (proposals == posterior[:, :k])
+                    & (jnp.arange(k)[None] < k_eff)
+                ).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)
+                bonus = jnp.take_along_axis(
+                    posterior, acc[:, None], axis=1
+                )[:, 0]
+                props_p = jnp.concatenate(
+                    [proposals, bonus[:, None]], axis=1
+                )
+                emitted = jnp.where(
+                    idx[None] < acc[:, None], props_p, bonus[:, None]
+                )
+
+                hidden_full = self._project(variables, aux)
+                h_out, dlog_out, n_dck, n_dcv = self._draft(
+                    variables, emitted, hidden_full, d_ck, d_cv, d_len
+                )
+                n_last_h = jnp.take_along_axis(
+                    h_out, acc[:, None, None], axis=1
+                )
+                n_last_dl = jnp.take_along_axis(
+                    dlog_out, acc[:, None, None], axis=1
+                )[:, 0]
+                return (n_tck, n_tcv, n_dck, n_dcv, n_last_h, n_last_dl,
+                        acc, bonus, emitted)
+
+            def plain_round(op):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, active, k_eff) = op
+                logits, _aux, n_tck, n_tcv = target_cached_forward(
+                    target_params, d.target_config, cur[:, None], t_ck,
+                    t_cv, t_len, (),
+                )
+                bonus = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                acc = jnp.zeros((batch,), jnp.int32)
+                emitted = jnp.concatenate([
+                    bonus[:, None],
+                    jnp.broadcast_to(bonus[:, None], (batch, k)),
+                ], axis=1)
+                return (n_tck, n_tcv, d_ck, d_cv, last_h, last_dl,
+                        acc, bonus, emitted)
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, out_buf, out_cnt, acc_buf, n_rounds, done,
+                 k_eff, ema, spec_off) = carry
+                active = active_rows(t_len, out_cnt, done)
+
+                op = (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                      last_dl, active, k_eff)
+                (n_tck, n_tcv, n_dck, n_dcv, n_last_h, n_last_dl, acc,
+                 bonus, emitted) = jax.lax.cond(
+                    spec_off, plain_round, spec_round, op
+                )
+
+                pos = out_cnt[:, None] + idx[None]
+                old_out = out_buf[rows[:, None], pos]
+                out_buf = out_buf.at[rows[:, None], pos].set(
+                    jnp.where(active[:, None], emitted, old_out),
+                    mode="drop",
+                )
+                old_acc = acc_buf[rows, n_rounds]
+                acc_buf = acc_buf.at[rows, n_rounds].set(
+                    jnp.where(active, acc + 1, old_acc), mode="drop"
+                )
+                hit = _fused_stop_hit_rows(
+                    emitted, idx[None] <= acc[:, None], stop_ids
+                )
+
+                a1 = active[:, None]
+                t_ck = jnp.where(
+                    active[None, :, None, None, None], n_tck, t_ck
+                )
+                t_cv = jnp.where(
+                    active[None, :, None, None, None], n_tcv, t_cv
+                )
+                d_ck = jnp.where(active[:, None, None, None], n_dck, d_ck)
+                d_cv = jnp.where(active[:, None, None, None], n_dcv, d_cv)
+                last_h = jnp.where(active[:, None, None], n_last_h, last_h)
+                last_dl = jnp.where(a1, n_last_dl, last_dl)
+                step = jnp.where(active, acc + 1, 0)
+
+                # policy update (spec rounds only): EMA over active rows
+                n_active = jnp.maximum(jnp.sum(active.astype(jnp.int32)), 1)
+                mean_acc = (
+                    jnp.sum(jnp.where(active, acc, 0)).astype(jnp.float32)
+                    / n_active
+                )
+                round_idx = jnp.max(n_rounds)
+                was_plain = spec_off      # THIS round's mode (pre-update)
+                ema = jnp.where(
+                    spec_off, ema, (1 - alpha) * ema + alpha * mean_acc
+                )
+                k_eff = jnp.clip(
+                    jnp.floor(ema + 0.5).astype(jnp.int32) + 1, 1, k
+                )
+                spec_off = spec_off | (
+                    (round_idx >= warmup) & (ema < off_thresh)
+                )
+                return (
+                    t_ck, t_cv, t_len + step, d_ck, d_cv,
+                    d_len + jnp.where(was_plain, 0, step),
+                    jnp.where(active, bonus, cur), last_h, last_dl,
+                    out_buf, out_cnt + step, acc_buf,
+                    n_rounds + active.astype(jnp.int32),
+                    done | (active & hit), k_eff, ema, spec_off,
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf,
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch,), bool),
+                jnp.asarray(k, jnp.int32),
+                jnp.asarray(float(k), jnp.float32),
+                jnp.asarray(False),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+    # -- batched beam tree mode --------------------------------------------
+
+    def batch_beam(self, batch: int, m: int, stop_ids: Tuple[int, ...]):
+        key = ("batch_beam", batch, m, stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                self._build_batch_beam(batch, m, stop_ids)
+            )
+        return self._cache[key]
+
+    def _build_batch_beam(self, batch: int, m: int,
+                          stop_ids: Tuple[int, ...]):
+        """EAGLE-2-style beam trees for B rows at once: every row expands
+        its own dynamic tree (branching at every depth by cumulative draft
+        log-prob on a [B*m] beam axis), the per-row [B, T, T] ancestor
+        masks verify all trees in ONE target forward, and each row walks
+        its own posterior-matching path. Freezing and per-row cache
+        bookkeeping follow ``_build_batch_chain``."""
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        block_t = 1 + k * m
+        kidx = jnp.arange(k + 1, dtype=jnp.int32)
+        rows = jnp.arange(batch, dtype=jnp.int32)
+        depth_pos = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            1 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), m),
+        ])
+
+        def expand(variables, last_dl, hidden, d_ck, d_cv, d_len):
+            logp = jax.nn.log_softmax(
+                last_dl.astype(jnp.float32), axis=-1
+            )                                             # [B, Vd]
+            val, tok_d = jax.lax.top_k(logp, m)           # [B, m]
+            tok_d = tok_d.astype(jnp.int32)
+            tokens = [tok_d + jnp.take(d2t, tok_d)]
+            parents = [jnp.zeros((batch, m), jnp.int32)]
+            cum = val
+            h = jnp.repeat(hidden, m, axis=0)             # [B*m, 1, H]
+            ck = jnp.repeat(d_ck, m, axis=0)
+            cv = jnp.repeat(d_cv, m, axis=0)
+            clen = jnp.repeat(d_len, m)
+            for _depth in range(1, k):
+                h, dlog, ck, cv = self._draft(
+                    variables, tokens[-1].reshape(-1)[:, None], h, ck, cv,
+                    clen,
+                )
+                clen = clen + 1
+                lp = jax.nn.log_softmax(
+                    dlog[:, -1].astype(jnp.float32), axis=-1
+                ).reshape(batch, m, -1)
+                child_val, child_tok = jax.lax.top_k(lp, m)   # [B, m, m]
+                cand = (cum[:, :, None] + child_val).reshape(batch, -1)
+                top_val, top_idx = jax.lax.top_k(cand, m)     # [B, m]
+                parent = (top_idx // m).astype(jnp.int32)
+                tok_d = jnp.take_along_axis(
+                    child_tok.reshape(batch, -1), top_idx, axis=1
+                ).astype(jnp.int32)
+                cum = top_val
+                # reorder each row's beam state onto its selected parents
+                h = jnp.take_along_axis(
+                    h.reshape(batch, m, *h.shape[1:]),
+                    parent[:, :, None, None], axis=1,
+                ).reshape(batch * m, *h.shape[1:])
+                ck = jnp.take_along_axis(
+                    ck.reshape(batch, m, *ck.shape[1:]),
+                    parent[:, :, None, None, None], axis=1,
+                ).reshape(batch * m, *ck.shape[1:])
+                cv = jnp.take_along_axis(
+                    cv.reshape(batch, m, *cv.shape[1:]),
+                    parent[:, :, None, None, None], axis=1,
+                ).reshape(batch * m, *cv.shape[1:])
+                tokens.append(tok_d + jnp.take(d2t, tok_d))
+                parents.append(parent)
+            return jnp.stack(tokens, 1), jnp.stack(parents, 1)  # [B, k, m]
+
+        def build_allow_one(parents):
+            """[k, m] level-local parent pointers → [T, T] ancestor mask
+            (same construction as the bs1 beam loop)."""
+            allow = jnp.zeros((block_t, block_t), bool)
+            allow = allow.at[:, 0].set(True)
+            prev_rows = jnp.zeros((m, block_t), bool)
+            for depth in range(k):
+                slots = 1 + depth * m + jnp.arange(m)
+                base = (
+                    prev_rows[parents[depth]] if depth > 0
+                    else jnp.zeros((m, block_t), bool)
+                )
+                rws = base.at[jnp.arange(m), slots].set(True)
+                rws = rws.at[:, 0].set(True)
+                allow = jax.lax.dynamic_update_slice(
+                    allow, rws, (1 + depth * m, 0)
+                )
+                prev_rows = rws
+            return allow
+
+        def accept_walk_one(tokens, parents, post):
+            """([k, m], [k, m], [T]) → (acc, path_slots [k], path_tokens
+            [k], bonus) — same walk as the bs1 beam loop."""
+            cur_slot = jnp.asarray(0, jnp.int32)
+            alive = jnp.asarray(True)
+            acc = jnp.asarray(0, jnp.int32)
+            path_slots = jnp.zeros((k,), jnp.int32)
+            path_tokens = jnp.zeros((k,), jnp.int32)
+            for depth in range(k):
+                want = post[cur_slot]
+                if depth == 0:
+                    ok = tokens[0] == want
+                else:
+                    parent_local = (cur_slot - 1) - (depth - 1) * m
+                    ok = (
+                        (parents[depth] == parent_local)
+                        & (tokens[depth] == want)
+                    )
+                hit = alive & jnp.any(ok)
+                child = jnp.argmax(ok).astype(jnp.int32)
+                slot = 1 + depth * m + child
+                cur_slot = jnp.where(hit, slot, cur_slot)
+                acc = acc + hit.astype(jnp.int32)
+                path_slots = path_slots.at[depth].set(
+                    jnp.where(hit, slot, 0)
+                )
+                path_tokens = path_tokens.at[depth].set(
+                    jnp.where(hit, want, 0)
+                )
+                alive = hit
+            bonus = post[cur_slot]
+            return acc, path_slots, path_tokens, bonus
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+
+            def active_rows(t_len, out_cnt, done):
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + block_t < budget)
+                )
+
+            def cond(carry):
+                t_len, out_cnt, done = carry[2], carry[10], carry[13]
+                return jnp.any(active_rows(t_len, out_cnt, done))
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+                active = active_rows(t_len, out_cnt, done)
+
+                tokens, parents = expand(
+                    variables, last_dl, last_h, d_ck, d_cv, d_len
+                )                                            # [B, k, m]
+                allow = jax.vmap(build_allow_one)(parents)   # [B, T, T]
+                block = jnp.concatenate(
+                    [cur[:, None], tokens.reshape(batch, -1)], axis=1
+                )
+                logits, aux, n_tck, n_tcv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    t_len, d.capture_layers,
+                    block_allow=allow, block_positions=depth_pos,
+                )
+                post = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                acc, path_slots, path_tokens, bonus = jax.vmap(
+                    accept_walk_one
+                )(tokens, parents, post)
+                path_p = jnp.concatenate(
+                    [path_tokens, bonus[:, None]], axis=1
+                )
+                emitted = jnp.where(
+                    kidx[None] < acc[:, None], path_p, bonus[:, None]
+                )                                            # [B, k+1]
+
+                pos = out_cnt[:, None] + kidx[None]
+                old_out = out_buf[rows[:, None], pos]
+                out_buf = out_buf.at[rows[:, None], pos].set(
+                    jnp.where(active[:, None], emitted, old_out),
+                    mode="drop",
+                )
+                old_acc = acc_buf[rows, n_rounds]
+                acc_buf = acc_buf.at[rows, n_rounds].set(
+                    jnp.where(active, acc + 1, old_acc), mode="drop"
+                )
+
+                # per-row compaction of the accepted path (one slot per
+                # depth; rejected depths land past the new length)
+                for depth in range(k):
+                    src = t_len + path_slots[:, depth]
+                    dst = t_len + 1 + depth
+                    n_tck = _move_cache_rows_batched(n_tck, src, dst, 1)
+                    n_tcv = _move_cache_rows_batched(n_tcv, src, dst, 1)
+
+                slots = jnp.concatenate(
+                    [jnp.zeros((batch, 1), jnp.int32), path_slots], axis=1
+                )
+                aux_sel = jnp.take_along_axis(
+                    aux, slots[:, :, None], axis=1
+                )
+                hidden_full = self._project(variables, aux_sel)
+                h_out, dlog_out, n_dck, n_dcv = self._draft(
+                    variables, emitted, hidden_full, d_ck, d_cv, d_len
+                )
+                n_last_h = jnp.take_along_axis(
+                    h_out, acc[:, None, None], axis=1
+                )
+                n_last_dl = jnp.take_along_axis(
+                    dlog_out, acc[:, None, None], axis=1
+                )[:, 0]
+                hit = _fused_stop_hit_rows(
+                    emitted, kidx[None] <= acc[:, None], stop_ids
+                )
+
+                a1 = active[:, None]
+                t_ck = jnp.where(
+                    active[None, :, None, None, None], n_tck, t_ck
+                )
+                t_cv = jnp.where(
+                    active[None, :, None, None, None], n_tcv, t_cv
+                )
+                d_ck = jnp.where(active[:, None, None, None], n_dck, d_ck)
+                d_cv = jnp.where(active[:, None, None, None], n_dcv, d_cv)
+                last_h = jnp.where(active[:, None, None], n_last_h, last_h)
+                last_dl = jnp.where(a1, n_last_dl, last_dl)
+                step = jnp.where(active, acc + 1, 0)
+                return (
+                    t_ck, t_cv, t_len + step, d_ck, d_cv, d_len + step,
+                    jnp.where(active, bonus, cur), last_h, last_dl,
+                    out_buf, out_cnt + step, acc_buf,
+                    n_rounds + active.astype(jnp.int32),
+                    done | (active & hit),
+                )
+
+            init = (
+                t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+                out_buf, out_cnt, acc_buf,
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch,), bool),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return final[9], final[10], final[11], final[12]
+
+        return loop
+
+    # -- batched tree mode -------------------------------------------------
+
+    def batch_tree(self, batch: int, topk: int, stop_ids: Tuple[int, ...]):
+        key = ("batch_tree", batch, topk, stop_ids)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                self._build_batch_tree(batch, topk, stop_ids)
+            )
+        return self._cache[key]
+
+    def _build_batch_tree(self, batch: int, topk: int,
+                          stop_ids: Tuple[int, ...]):
+        """Root-branching tree speculation for B rows at once: each row
+        drafts ``topk`` greedy chains (drafted together on a [B*topk] batch
+        axis), ONE per-row tree-masked target forward verifies every row's
+        whole tree, each row keeps its own winning chain, and per-row
+        compaction moves the winner onto canonical cache slots. Rows
+        freeze independently, exactly like ``_build_batch_chain``."""
+        d = self.decoder
+        k = d.k
+        d2t = jnp.asarray(d._d2t, jnp.int32)
+        block_allow, block_pos = d._tree_layout(topk)
+        block_t = 1 + topk * k
+        idx = jnp.arange(k + 1, dtype=jnp.int32)
+        rows = jnp.arange(batch, dtype=jnp.int32)
+
+        def propose(variables, last_dl, hidden, d_ck, d_cv, d_len):
+            _v, first = jax.lax.top_k(last_dl, topk)        # [B, topk]
+            first = first.astype(jnp.int32)
+            cols = [first + jnp.take(d2t, first)]
+            h = jnp.repeat(hidden, topk, axis=0)            # [B*topk, 1, H]
+            ck = jnp.repeat(d_ck, topk, axis=0)
+            cv = jnp.repeat(d_cv, topk, axis=0)
+            clen = jnp.repeat(d_len, topk)                  # [B*topk]
+            for _ in range(k - 1):
+                ids = cols[-1].reshape(-1)[:, None]
+                h, dlog, ck, cv = self._draft(
+                    variables, ids, h, ck, cv, clen
+                )
+                clen = clen + 1
+                dts = jnp.argmax(dlog[:, -1], axis=-1).astype(jnp.int32)
+                dts = dts.reshape(batch, topk)
+                cols.append(dts + jnp.take(d2t, dts))
+            return jnp.stack(cols, axis=2)                  # [B, topk, k]
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
+                 d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
+                 max_new):
+            budget = t_ck.shape[3]
+
+            def active_rows(t_len, out_cnt, done):
+                return (
+                    (~done)
+                    & (out_cnt < max_new)
+                    & (t_len + block_t < budget)
+                )
+
+            def cond(carry):
+                t_len, out_cnt, done = carry[2], carry[10], carry[13]
+                return jnp.any(active_rows(t_len, out_cnt, done))
+
+            def body(carry):
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+                active = active_rows(t_len, out_cnt, done)   # [B]
+
+                chains = propose(
+                    variables, last_dl, last_h, d_ck, d_cv, d_len
+                )                                            # [B, topk, k]
+                block = jnp.concatenate(
+                    [cur[:, None], chains.reshape(batch, -1)], axis=1
+                )
+                logits, aux, n_tck, n_tcv = target_cached_forward(
+                    target_params, d.target_config, block, t_ck, t_cv,
+                    t_len, d.capture_layers,
+                    block_allow=block_allow, block_positions=block_pos,
+                )
+                post = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                preds = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            post[:, :1, None], (batch, topk, 1)
+                        ),
+                        post[:, 1:].reshape(batch, topk, k)[:, :, : k - 1],
+                    ],
+                    axis=2,
+                )                                            # [B, topk, k]
+                matches = (chains == preds).astype(jnp.int32)
+                accs = jnp.sum(jnp.cumprod(matches, axis=2), axis=2)
+                best_c = jnp.argmax(accs, axis=1).astype(jnp.int32)  # [B]
+                acc = jnp.take_along_axis(
+                    accs, best_c[:, None], axis=1
+                )[:, 0]
+                bonus_slot = jnp.where(
+                    acc == 0, 0, 1 + best_c * k + acc - 1
+                )
+                bonus = jnp.take_along_axis(
+                    post, bonus_slot[:, None], axis=1
+                )[:, 0]
+                chain_best = jnp.take_along_axis(
+                    chains, best_c[:, None, None], axis=1
+                )[:, 0]                                      # [B, k]
+                chain_p = jnp.concatenate(
+                    [chain_best, bonus[:, None]], axis=1
+                )
+                emitted = jnp.where(
+                    idx[None] < acc[:, None], chain_p, bonus[:, None]
+                )                                            # [B, k+1]
+
+                pos = out_cnt[:, None] + idx[None]
+                old_out = out_buf[rows[:, None], pos]
+                out_buf = out_buf.at[rows[:, None], pos].set(
+                    jnp.where(active[:, None], emitted, old_out),
+                    mode="drop",
+                )
+                old_acc = acc_buf[rows, n_rounds]
+                acc_buf = acc_buf.at[rows, n_rounds].set(
+                    jnp.where(active, acc + 1, old_acc), mode="drop"
+                )
+
+                # per-row compaction of the winner's k slots onto the
+                # canonical positions (identity when best_c == 0)
+                src = t_len + 1 + best_c * k
+                dst = t_len + 1
+                n_tck = _move_cache_rows_batched(n_tck, src, dst, k)
+                n_tcv = _move_cache_rows_batched(n_tcv, src, dst, k)
+
+                # draft re-extension over slot 0 + the winner's k slots
+                slots = jnp.concatenate([
+                    jnp.zeros((batch, 1), jnp.int32),
+                    1 + best_c[:, None] * k + jnp.arange(k)[None],
+                ], axis=1)                                   # [B, k+1]
+                aux_sel = jnp.take_along_axis(
+                    aux, slots[:, :, None], axis=1
+                )
+                hidden_full = self._project(variables, aux_sel)
+                h_out, dlog_out, n_dck, n_dcv = self._draft(
+                    variables, emitted, hidden_full, d_ck, d_cv, d_len
+                )
+                n_last_h = jnp.take_along_axis(
+                    h_out, acc[:, None, None], axis=1
+                )
+                n_last_dl = jnp.take_along_axis(
+                    dlog_out, acc[:, None, None], axis=1
+                )[:, 0]
+                hit = _fused_stop_hit_rows(
+                    emitted, idx[None] <= acc[:, None], stop_ids
+                )
+
                 a1 = active[:, None]
                 t_ck = jnp.where(
                     active[None, :, None, None, None], n_tck, t_ck

@@ -805,3 +805,51 @@ def test_tree_verify_per_row_lengths_matches_scalar(target):
             np.testing.assert_allclose(
                 np.asarray(lg_b[b]), want[b], rtol=2e-4, atol=2e-4
             )
+
+
+@pytest.mark.parametrize("tree_style", ["root", "beam"])
+def test_batched_tree_matches_per_row(target, draft, tree_style):
+    """Batched TREE/BEAM speculation (per-row tree masks in one verify
+    forward, per-row winner compaction) emits exactly each row's
+    single-row generate_fused output and accept lengths."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, V, size=n).tolist() for n in (12, 7, 15)]
+    singles = [
+        decoder.generate_fused(
+            p, max_new_tokens=16, topk=2, tree_style=tree_style
+        )
+        for p in prompts
+    ]
+    batched = decoder.generate_batch_fused(
+        prompts, max_new_tokens=16, topk=2, tree_style=tree_style
+    )
+    for single, row in zip(singles, batched):
+        np.testing.assert_array_equal(row.output_ids, single.output_ids)
+        assert row.accept_lengths == single.accept_lengths
+
+
+def test_adaptive_batched_chain_greedy_equivalent(target, draft):
+    """Adaptive batched chain (dynamic draft depth + one-way plain
+    fallback): with an untrained draft the accept EMA decays and the loop
+    falls back to plain rounds — output must STILL be exactly the fixed
+    loop's greedy sequence for every row."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, V, size=n).tolist() for n in (12, 7, 15, 9)]
+    fixed = decoder.generate_batch_fused(prompts, max_new_tokens=40)
+    adapt = decoder.generate_batch_fused(
+        prompts, max_new_tokens=40, adaptive=True
+    )
+    for f_r, a_r in zip(fixed, adapt):
+        np.testing.assert_array_equal(a_r.output_ids, f_r.output_ids)
