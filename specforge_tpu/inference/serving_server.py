@@ -190,12 +190,21 @@ class SpecServingServer:
                 kwargs["tree_style"] = body["tree_style"]
         if body.get("adaptive"):
             kwargs["adaptive"] = True
+        stream_batch = int(body.get("stream_batch", 0))
         t0 = time.monotonic()
         with self._device_lock:
-            results = self.decoder.generate_batch_fused(
-                [list(p) for p in prompts], max_new_tokens=max_new,
-                stop_token_ids=stop, **kwargs,
-            )
+            if stream_batch > 0:
+                # continuous batching: fixed device batch width, rows
+                # refill from the request's prompt queue as they finish
+                results = self.decoder.generate_stream_fused(
+                    [list(p) for p in prompts], max_new_tokens=max_new,
+                    batch=stream_batch, stop_token_ids=stop,
+                )
+            else:
+                results = self.decoder.generate_batch_fused(
+                    [list(p) for p in prompts], max_new_tokens=max_new,
+                    stop_token_ids=stop, **kwargs,
+                )
         wall = time.monotonic() - t0
         new = sum(len(r.output_ids) - len(p)
                   for r, p in zip(results, prompts))

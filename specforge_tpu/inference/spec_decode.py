@@ -826,6 +826,147 @@ class Eagle3SpecDecoder:
             ))
         return results
 
+    def generate_stream_fused(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int,
+        batch: int = 8,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> List[SpecDecodeResult]:
+        """CONTINUOUS-BATCHING chain speculation: decode a prompt QUEUE at
+        a fixed batch width, refilling each row the moment it completes.
+
+        A fixed batch runs for max-over-rows rounds — low-accept rows drag
+        the whole batch while finished rows idle (measured bs8: 89 rounds
+        vs 40 for the median row — the entire speculative deficit at bs8).
+        Here the fused loop exits as soon as ANY row completes (stream
+        variant of the same while-loop body), the host harvests the row,
+        prefills the next prompt into its slot, and resumes: device work
+        is proportional to live rows only — how speculative decoding is
+        actually served (the reference measures its serving grids against
+        SGLang's continuous-batching scheduler, benchmarks/README.md).
+
+        Per-row outputs equal ``generate_fused`` on the same prompt
+        (parity-tested). Results return in input order."""
+        stop_ids = tuple(
+            sorted(set(int(s) for s in (stop_token_ids or ())))
+        )
+        n = len(prompts)
+        if n == 0:
+            return []
+        batch = min(batch, n)
+        budget = self.max_len
+        k = self.k
+        for p in prompts:
+            if len(p) + k + 1 >= budget:
+                raise ValueError(
+                    f"prompt of {len(p)} tokens leaves no room for a "
+                    f"speculation round within max_len={budget}"
+                )
+        results: List[Optional[SpecDecodeResult]] = [None] * n
+
+        def prefill(pid):
+            prompt = np.asarray(prompts[pid], np.int64)[None]
+            return self._prefill_device(prompt, budget)
+
+        states = [prefill(i) for i in range(batch)]
+        row_pid: List[Optional[int]] = list(range(batch))
+        next_pid = batch
+        t_ck = jnp.concatenate([s[1].cache_k for s in states], axis=1)
+        t_cv = jnp.concatenate([s[1].cache_v for s in states], axis=1)
+        t_len = jnp.asarray([s[1].length for s in states], jnp.int32)
+        d_ck = jnp.concatenate([s[2].cache_k for s in states], axis=0)
+        d_cv = jnp.concatenate([s[2].cache_v for s in states], axis=0)
+        d_len = jnp.asarray([s[2].length for s in states], jnp.int32)
+        cur = jnp.stack([s[0] for s in states])
+        last_h = jnp.concatenate([s[3] for s in states], axis=0)
+        last_dl = jnp.concatenate([s[4] for s in states], axis=0)
+        out_buf = jnp.zeros((batch, budget + k + 1), jnp.int32)
+        out_buf = out_buf.at[:, 0].set(cur)
+        out_cnt = jnp.ones((batch,), jnp.int32)
+        acc_buf = jnp.zeros((batch, budget), jnp.int32)
+        n_rounds = jnp.zeros((batch,), jnp.int32)
+        done = jnp.zeros((batch,), bool)
+
+        stream_loop = self._fused.batch_chain(batch, stop_ids, stream=True)
+        drain_loop = self._fused.batch_chain(batch, stop_ids)
+        max_new = jnp.asarray(max_new_tokens, jnp.int32)
+
+        def harvest(b, buf_h, cnt_h, acc_h, rounds_h):
+            pid = row_pid[b]
+            results[pid] = SpecDecodeResult(
+                output_ids=np.concatenate([
+                    np.asarray(prompts[pid], np.int64),
+                    buf_h[b, : cnt_h[b]],
+                ]),
+                accept_lengths=[int(a) for a in acc_h[b, : rounds_h[b]]],
+                steps=int(rounds_h[b]),
+            )
+            row_pid[b] = None
+
+        while True:
+            carry = stream_loop(
+                self.target_params, self.draft_variables, t_ck, t_cv,
+                t_len, d_ck, d_cv, d_len, cur, last_h, last_dl, out_buf,
+                out_cnt, acc_buf, max_new, n_rounds, done,
+            )
+            (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+             out_buf, out_cnt, acc_buf, n_rounds, done) = carry
+            t_len_h = np.asarray(t_len)
+            cnt_h = np.asarray(out_cnt)
+            done_h = np.asarray(done)
+            rounds_h = np.asarray(n_rounds)
+            live = (
+                (~done_h)
+                & (cnt_h < max_new_tokens)
+                & (t_len_h + k + 1 < budget)
+            )
+            finished = [
+                b for b in np.where(~live)[0] if row_pid[b] is not None
+            ]
+            if finished:
+                buf_h = np.asarray(out_buf)
+                acc_h = np.asarray(acc_buf)
+                for b in finished:
+                    harvest(int(b), buf_h, cnt_h, acc_h, rounds_h)
+            refilled = False
+            for b in finished:
+                if next_pid >= n:
+                    break
+                pc, t_state, d_state, lh, ldl = prefill(next_pid)
+                row_pid[int(b)] = next_pid
+                next_pid += 1
+                (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                 last_dl, out_buf, out_cnt, acc_buf, n_rounds, done) = (
+                    _splice_stream_row(
+                        t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                        last_dl, out_buf, out_cnt, acc_buf, n_rounds, done,
+                        jnp.asarray(int(b), jnp.int32),
+                        t_state.cache_k, t_state.cache_v,
+                        jnp.asarray(t_state.length, jnp.int32),
+                        d_state.cache_k, d_state.cache_v, pc, lh, ldl,
+                    )
+                )
+                refilled = True
+            if not refilled:
+                break
+
+        if any(pid is not None for pid in row_pid):
+            # queue exhausted: drain the remaining live rows (cond = any)
+            buf, cnt, accs, rnds = drain_loop(
+                self.target_params, self.draft_variables, t_ck, t_cv,
+                t_len, d_ck, d_cv, d_len, cur, last_h, last_dl, out_buf,
+                out_cnt, acc_buf, max_new, n_rounds, done,
+            )
+            buf_h = np.asarray(buf)
+            cnt_h = np.asarray(cnt)
+            acc_h = np.asarray(accs)
+            rounds_h = np.asarray(rnds)
+            for b in range(batch):
+                if row_pid[b] is not None:
+                    harvest(b, buf_h, cnt_h, acc_h, rounds_h)
+        return results  # type: ignore[return-value]
+
     def _generate_tree(
         self,
         prompt_ids: Sequence[int],
@@ -955,6 +1096,32 @@ def _move_cache_rows(cache, src, dst, n: int):
     ``src`` to ``dst`` — tree-cache compaction onto the accepted path."""
     seg = jax.lax.dynamic_slice_in_dim(cache, src, n, axis=3)
     return jax.lax.dynamic_update_slice_in_dim(cache, seg, dst, axis=3)
+
+
+@jax.jit
+def _splice_stream_row(t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
+                       last_dl, out_buf, out_cnt, acc_buf, n_rounds, done,
+                       b, new_tck, new_tcv, p_len, new_dck, new_dcv,
+                       new_cur, new_lh, new_ldl):
+    """Continuous batching refill: install a freshly prefilled prompt's
+    bs1 state into row ``b`` of the batched stream carry."""
+    t_ck = t_ck.at[:, b].set(new_tck[:, 0])
+    t_cv = t_cv.at[:, b].set(new_tcv[:, 0])
+    t_len = t_len.at[b].set(p_len)
+    d_ck = d_ck.at[b].set(new_dck[0])
+    d_cv = d_cv.at[b].set(new_dcv[0])
+    d_len = d_len.at[b].set(p_len)
+    cur = cur.at[b].set(new_cur)
+    last_h = last_h.at[b].set(new_lh[0])
+    last_dl = last_dl.at[b].set(new_ldl[0])
+    row = jnp.zeros((out_buf.shape[1],), jnp.int32).at[0].set(new_cur)
+    out_buf = out_buf.at[b].set(row)
+    out_cnt = out_cnt.at[b].set(1)
+    acc_buf = acc_buf.at[b].set(jnp.zeros((acc_buf.shape[1],), jnp.int32))
+    n_rounds = n_rounds.at[b].set(0)
+    done = done.at[b].set(False)
+    return (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
+            out_buf, out_cnt, acc_buf, n_rounds, done)
 
 
 def _move_cache_rows_batched(cache, src, dst, n: int):
@@ -1355,15 +1522,17 @@ class _FusedEagleLoops:
 
     # -- batched chain mode ------------------------------------------------
 
-    def batch_chain(self, batch: int, stop_ids: Tuple[int, ...]):
-        key = ("batch_chain", batch, stop_ids)
+    def batch_chain(self, batch: int, stop_ids: Tuple[int, ...],
+                    stream: bool = False):
+        key = ("batch_chain", batch, stop_ids, stream)
         if key not in self._cache:
             self._cache[key] = jax.jit(
-                self._build_batch_chain(batch, stop_ids)
+                self._build_batch_chain(batch, stop_ids, stream)
             )
         return self._cache[key]
 
-    def _build_batch_chain(self, batch: int, stop_ids: Tuple[int, ...]):
+    def _build_batch_chain(self, batch: int, stop_ids: Tuple[int, ...],
+                           stream: bool = False):
         """B prompts decoded together: rows are RIGHT-padded (slot ==
         position, so each row's math is exactly its unpadded math — stale
         pad slots are overwritten before they become attendable, the same
@@ -1371,7 +1540,15 @@ class _FusedEagleLoops:
         (scatter writes), one batched target verify serves the whole batch
         per round, and finished rows are frozen by where-selecting the old
         carry. The reference grid's batch dimension
-        (benchmarks/README.md:11-67), served natively."""
+        (benchmarks/README.md:11-67), served natively.
+
+        ``stream=True`` builds the CONTINUOUS-BATCHING variant: the loop
+        runs only while EVERY row is live and returns the FULL carry, so
+        the host can harvest any finished row, splice in the next prompt
+        from the queue, and resume — the fix for lockstep round-count
+        waste (measured: a fixed bs8 batch takes max-row rounds, 89 vs 40,
+        while frozen rows idle; a refilled stream pays only for live
+        work). The while-loop body is byte-identical in both variants."""
         d = self.decoder
         k = d.k
         d2t = jnp.asarray(d._d2t, jnp.int32)
@@ -1393,7 +1570,7 @@ class _FusedEagleLoops:
 
         def loop(target_params, variables, t_ck, t_cv, t_len, d_ck, d_cv,
                  d_len, cur, last_h, last_dl, out_buf, out_cnt, acc_buf,
-                 max_new):
+                 max_new, n_rounds=None, done=None):
             budget = t_ck.shape[3]
 
             def active_rows(t_len, out_cnt, done):
@@ -1405,7 +1582,10 @@ class _FusedEagleLoops:
 
             def cond(carry):
                 t_len, out_cnt, done = carry[2], carry[10], carry[13]
-                return jnp.any(active_rows(t_len, out_cnt, done))
+                live = active_rows(t_len, out_cnt, done)
+                # stream: hand control back as soon as ANY row completes so
+                # the host can refill its slot from the queue
+                return jnp.all(live) if stream else jnp.any(live)
 
             def body(carry):
                 (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
@@ -1482,10 +1662,13 @@ class _FusedEagleLoops:
             init = (
                 t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
                 out_buf, out_cnt, acc_buf,
-                jnp.zeros((batch,), jnp.int32),
-                jnp.zeros((batch,), bool),
+                jnp.zeros((batch,), jnp.int32) if n_rounds is None
+                else n_rounds,
+                jnp.zeros((batch,), bool) if done is None else done,
             )
             final = jax.lax.while_loop(cond, body, init)
+            if stream:
+                return final           # full carry: the host resumes with it
             return final[9], final[10], final[11], final[12]
 
         return loop

@@ -853,3 +853,28 @@ def test_adaptive_batched_chain_greedy_equivalent(target, draft):
     )
     for f_r, a_r in zip(fixed, adapt):
         np.testing.assert_array_equal(a_r.output_ids, f_r.output_ids)
+
+
+def test_stream_continuous_batching_matches_singles(target, draft):
+    """Continuous-batching stream (fused loop exits on first row
+    completion, host refills from the queue, drain tail): every prompt's
+    output and accept lengths equal its single-row generate_fused run,
+    in input order."""
+    params, config = target
+    module, variables = draft
+    decoder = Eagle3SpecDecoder(
+        params, config, module, variables, capture_layers=(1, 2, 3),
+        num_draft_tokens=3, max_len=256,
+    )
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, V, size=n).tolist()
+        for n in (12, 7, 15, 9, 11, 6, 13)
+    ]
+    singles = [decoder.generate_fused(p, max_new_tokens=20) for p in prompts]
+    streamed = decoder.generate_stream_fused(
+        prompts, max_new_tokens=20, batch=2
+    )
+    for single, row in zip(singles, streamed):
+        np.testing.assert_array_equal(row.output_ids, single.output_ids)
+        assert row.accept_lengths == single.accept_lengths
