@@ -38,8 +38,10 @@
 // Build: make -C cpp   (g++ -O2 -pthread, no external deps)
 
 #include <arpa/inet.h>
+#include <atomic>
 #include <cerrno>
 #include <chrono>
+#include <condition_variable>
 #include <csignal>
 #include <cstdint>
 #include <cstdio>
@@ -51,6 +53,7 @@
 #include <netinet/tcp.h>
 #include <string>
 #include <sys/socket.h>
+#include <sys/time.h>
 #include <thread>
 #include <unistd.h>
 #include <unordered_map>
@@ -79,10 +82,40 @@ struct Store {
   uint64_t resident_bytes = 0;
   uint64_t max_bytes = 0;  // 0 = unlimited
   uint64_t puts = 0, gets = 0, dels = 0, rejected = 0, swept = 0;
+  uint64_t timeouts = 0;   // connections dropped by a mid-frame I/O stall
   std::string secret;  // empty = auth disabled
 };
 
 Store g_store;
+
+// Fan-in guards (multi-trainer-host hardening):
+//  - connection cap with ACCEPT BACKPRESSURE: the accept loop blocks while
+//    the cap is reached, so excess peers queue in the kernel backlog
+//    instead of spawning unbounded threads (the graceful path — a peer
+//    sees a slow connect, not a dropped one);
+//  - per-frame I/O timeout: a peer that stalls MID-FRAME (truncated frame,
+//    dead socket, pathologically slow reader of a GET response) is
+//    dropped after --frame-timeout-seconds instead of pinning its thread
+//    forever. Idle-at-frame-boundary connections are NOT subject to it —
+//    consumers legitimately idle between requests, so the wait for the
+//    next op byte carries no timeout.
+int g_max_connections = 64;
+int g_frame_timeout_s = 60;
+std::mutex g_conn_mu;
+std::condition_variable g_conn_cv;
+int g_active_connections = 0;
+
+void set_recv_timeout(int fd, int seconds) {
+  timeval tv{};
+  tv.tv_sec = seconds;
+  ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+}
+
+void set_send_timeout(int fd, int seconds) {
+  timeval tv{};
+  tv.tv_sec = seconds;
+  ::setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof(tv));
+}
 
 bool read_exact(int fd, void* buf, size_t n) {
   auto* p = static_cast<uint8_t*>(buf);
@@ -90,6 +123,12 @@ bool read_exact(int fd, void* buf, size_t n) {
     ssize_t r = ::recv(fd, p, n, 0);
     if (r <= 0) {
       if (r < 0 && (errno == EINTR)) continue;
+      if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+        // SO_RCVTIMEO expired mid-frame: truncated frame or dead peer
+        std::lock_guard<std::mutex> lock(g_store.mu);
+        g_store.timeouts++;
+        return false;
+      }
       return false;
     }
     p += r;
@@ -104,6 +143,12 @@ bool write_exact(int fd, const void* buf, size_t n) {
     ssize_t r = ::send(fd, p, n, MSG_NOSIGNAL);
     if (r <= 0) {
       if (r < 0 && errno == EINTR) continue;
+      if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+        // SO_SNDTIMEO expired: slow consumer stalled a response write
+        std::lock_guard<std::mutex> lock(g_store.mu);
+        g_store.timeouts++;
+        return false;
+      }
       return false;
     }
     p += r;
@@ -137,10 +182,14 @@ bool send_response(int fd, char status, const void* payload, uint64_t len) {
 void handle_connection(int fd) {
   int one = 1;
   ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  if (g_frame_timeout_s > 0) set_send_timeout(fd, g_frame_timeout_s);
   bool authed = g_store.secret.empty();
   for (;;) {
     uint8_t op;
+    set_recv_timeout(fd, 0);  // idle between frames is legitimate
     if (!read_exact(fd, &op, 1)) break;
+    // the frame has started: a stall from here on is a fault
+    if (g_frame_timeout_s > 0) set_recv_timeout(fd, g_frame_timeout_s);
     if (op == 'Q') break;
     uint32_t key_len = 0;
     if (!read_exact(fd, &key_len, 4)) break;
@@ -296,9 +345,10 @@ void handle_connection(int fd) {
                             (unsigned long long)removed);
       if (!send_response(fd, '0', buf, static_cast<uint64_t>(n))) break;
     } else if (op == 'S') {
-      char buf[320];
+      char buf[400];
       uint64_t count, pinned = 0;
-      uint64_t resident, puts, gets, dels, rejected, swept;
+      uint64_t resident, puts, gets, dels, rejected, swept, timeouts;
+      int active;
       {
         std::lock_guard<std::mutex> lock(g_store.mu);
         count = g_store.objects.size();
@@ -311,16 +361,23 @@ void handle_connection(int fd) {
         dels = g_store.dels;
         rejected = g_store.rejected;
         swept = g_store.swept;
+        timeouts = g_store.timeouts;
+      }
+      {
+        std::lock_guard<std::mutex> lock(g_conn_mu);
+        active = g_active_connections;
       }
       int n = std::snprintf(
           buf, sizeof(buf),
           "{\"objects\":%llu,\"resident_bytes\":%llu,\"puts\":%llu,"
           "\"gets\":%llu,\"dels\":%llu,\"rejected\":%llu,"
-          "\"pinned\":%llu,\"swept\":%llu}",
+          "\"pinned\":%llu,\"swept\":%llu,\"timeouts\":%llu,"
+          "\"active_connections\":%d,\"max_connections\":%d}",
           (unsigned long long)count, (unsigned long long)resident,
           (unsigned long long)puts, (unsigned long long)gets,
           (unsigned long long)dels, (unsigned long long)rejected,
-          (unsigned long long)pinned, (unsigned long long)swept);
+          (unsigned long long)pinned, (unsigned long long)swept,
+          (unsigned long long)timeouts, active, g_max_connections);
       if (!send_response(fd, '0', buf, static_cast<uint64_t>(n))) break;
     } else {
       send_response(fd, '3', nullptr, 0);
@@ -328,6 +385,11 @@ void handle_connection(int fd) {
     }
   }
   ::close(fd);
+  {
+    std::lock_guard<std::mutex> lock(g_conn_mu);
+    g_active_connections--;
+  }
+  g_conn_cv.notify_one();
 }
 
 }  // namespace
@@ -344,9 +406,16 @@ int main(int argc, char** argv) {
       max_bytes = std::strtoull(argv[++i], nullptr, 10);
     } else if (!std::strcmp(argv[i], "--secret") && i + 1 < argc) {
       g_store.secret = argv[++i];
+    } else if (!std::strcmp(argv[i], "--max-connections") && i + 1 < argc) {
+      g_max_connections = std::atoi(argv[++i]);
+    } else if (!std::strcmp(argv[i], "--frame-timeout-seconds") &&
+               i + 1 < argc) {
+      g_frame_timeout_s = std::atoi(argv[++i]);
     } else {
       std::fprintf(
-          stderr, "usage: %s [--port N] [--max-bytes N] [--secret S]\n",
+          stderr,
+          "usage: %s [--port N] [--max-bytes N] [--secret S] "
+          "[--max-connections N] [--frame-timeout-seconds N]\n",
           argv[0]);
       return 2;
     }
@@ -380,11 +449,23 @@ int main(int argc, char** argv) {
   std::fflush(stdout);
 
   for (;;) {
+    if (g_max_connections > 0) {
+      // accept backpressure: block until a slot frees; queued peers wait
+      // in the kernel backlog instead of spawning unbounded threads
+      std::unique_lock<std::mutex> lock(g_conn_mu);
+      g_conn_cv.wait(lock, [] {
+        return g_active_connections < g_max_connections;
+      });
+    }
     int fd = ::accept(listener, nullptr, nullptr);
     if (fd < 0) {
       if (errno == EINTR) continue;
       std::perror("accept");
       break;
+    }
+    {
+      std::lock_guard<std::mutex> lock(g_conn_mu);
+      g_active_connections++;
     }
     std::thread(handle_connection, fd).detach();
   }
