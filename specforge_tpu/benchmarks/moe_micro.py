@@ -74,6 +74,68 @@ def main():
         "experts": e, "topk": k, "tokens": toks,
     }))
 
+    # deepseek / gptoss variant rows (gathered path — the single-chip form
+    # of the multi-variant EP capture, ref schema.py:93-98): same expert
+    # scale, each variant's own router + expert math
+    from specforge_tpu.models.target.transformer import (
+        _moe_deepseek,
+        _moe_gptoss,
+    )
+
+    ds_cfg = TargetConfig(
+        vocab_size=1, hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=1, num_attention_heads=1, num_key_value_heads=1,
+        num_experts=e, num_experts_per_tok=k, moe_intermediate_size=inter,
+        moe_variant="deepseek", scoring_func="sigmoid",
+        topk_method="noaux_tc", n_group=8, topk_group=4,
+        norm_topk_prob=True, routed_scaling_factor=2.5,
+    )
+    ds_params = dict(params)
+    ds_params["L.mlp.gate.e_score_correction_bias"] = jnp.zeros(
+        (e,), jnp.float32
+    )
+    jitted = jax.jit(lambda p, x: _moe_deepseek(p, ds_cfg, "L", x))
+    _ = float(jnp.sum(jitted(ds_params, y).astype(jnp.float32)))
+    t0 = time.monotonic()
+    for _i in range(10):
+        out = jitted(ds_params, y)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    dt_ds = (time.monotonic() - t0) / 10
+
+    go_cfg = TargetConfig(
+        vocab_size=1, hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=1, num_attention_heads=1, num_key_value_heads=1,
+        num_experts=e, num_experts_per_tok=k, moe_intermediate_size=inter,
+        moe_variant="gptoss",
+    )
+    go_params = {
+        "L.mlp.router.weight": params["L.mlp.gate.weight"],
+        "L.mlp.router.bias": jnp.zeros((e,), jnp.bfloat16),
+        "L.mlp.experts.gate_up_proj": jnp.asarray(
+            (rng.normal(size=(e, h, 2 * inter)) * 0.02).astype(np.float32)
+        ).astype(jnp.bfloat16),
+        "L.mlp.experts.gate_up_proj_bias": jnp.zeros(
+            (e, 2 * inter), jnp.bfloat16),
+        "L.mlp.experts.down_proj": jnp.asarray(
+            (rng.normal(size=(e, inter, h)) * 0.02).astype(np.float32)
+        ).astype(jnp.bfloat16),
+        "L.mlp.experts.down_proj_bias": jnp.zeros((e, h), jnp.bfloat16),
+    }
+    jitted = jax.jit(lambda p, x: _moe_gptoss(p, go_cfg, "L", x))
+    _ = float(jnp.sum(jitted(go_params, y).astype(jnp.float32)))
+    t0 = time.monotonic()
+    for _i in range(10):
+        out = jitted(go_params, y)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    dt_go = (time.monotonic() - t0) / 10
+    print(json.dumps({
+        "metric": "moe_variant_gathered_ms",
+        "deepseek_ms": round(dt_ds * 1e3, 2),
+        "gptoss_ms": round(dt_go * 1e3, 2),
+        "qwen_ms": round(dt_gathered * 1e3, 2),
+        "experts": e, "topk": k, "tokens": toks,
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -912,10 +912,11 @@ class Eagle3SpecDecoder:
             )
             (t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h, last_dl,
              out_buf, out_cnt, acc_buf, n_rounds, done) = carry
-            t_len_h = np.asarray(t_len)
-            cnt_h = np.asarray(out_cnt)
-            done_h = np.asarray(done)
-            rounds_h = np.asarray(n_rounds)
+            status = np.asarray(
+                _pack_stream_status(t_len, out_cnt, n_rounds, done)
+            )
+            t_len_h, cnt_h, rounds_h = status[0], status[1], status[2]
+            done_h = status[3].astype(bool)
             live = (
                 (~done_h)
                 & (cnt_h < max_new_tokens)
@@ -1096,6 +1097,14 @@ def _move_cache_rows(cache, src, dst, n: int):
     ``src`` to ``dst`` — tree-cache compaction onto the accepted path."""
     seg = jax.lax.dynamic_slice_in_dim(cache, src, n, axis=3)
     return jax.lax.dynamic_update_slice_in_dim(cache, seg, dst, axis=3)
+
+
+@jax.jit
+def _pack_stream_status(t_len, out_cnt, n_rounds, done):
+    """One [4, B] device array so the stream driver pays ONE host fetch
+    per refill cycle instead of four (each fetch is a full round trip on
+    a remote-device link)."""
+    return jnp.stack([t_len, out_cnt, n_rounds, done.astype(jnp.int32)])
 
 
 @jax.jit

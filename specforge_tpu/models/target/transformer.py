@@ -936,22 +936,31 @@ def _expert_mix_gathered(xs_tokens, top_w, top_i, num_experts,
 
 
 def _deepseek_route(params, cfg: "TargetConfig", prefix: str, x32):
+    return _deepseek_route_w(
+        params[f"{prefix}.mlp.gate.weight"],
+        params.get(f"{prefix}.mlp.gate.e_score_correction_bias"),
+        cfg, x32,
+    )
+
+
+def _deepseek_route_w(gate_w, correction_bias, cfg: "TargetConfig", x32):
     """Deepseek v2/v3 router (HF DeepseekV2MoEGate / DeepseekV3TopkRouter):
     fp32 scores (softmax v2 / sigmoid v3), optional group-limited selection,
     v3 noaux_tc correction bias for CHOICE only, norm_topk_prob, then
-    routed_scaling_factor."""
+    routed_scaling_factor. Weight-leaf form so the EP path can close over
+    just the routing leaves inside ``shard_map``."""
     e, k = cfg.num_experts, cfg.num_experts_per_tok
-    logits = x32 @ params[f"{prefix}.mlp.gate.weight"].astype(jnp.float32).T
+    logits = x32 @ gate_w.astype(jnp.float32).T
     if cfg.scoring_func == "sigmoid":
         scores = jax.nn.sigmoid(logits)
     else:
         scores = jax.nn.softmax(logits, axis=-1)
 
     if cfg.topk_method == "noaux_tc":
-        bias_key = f"{prefix}.mlp.gate.e_score_correction_bias"
-        correction = params.get(
-            bias_key, jnp.zeros((e,), jnp.float32)
-        ).astype(jnp.float32)
+        correction = (
+            jnp.zeros((e,), jnp.float32) if correction_bias is None
+            else correction_bias.astype(jnp.float32)
+        )
         choice = scores + correction
         grp = choice.reshape(-1, cfg.n_group, e // cfg.n_group)
         group_scores = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)
@@ -1194,10 +1203,17 @@ def _moe_assignments(router_weight, cfg, x, token_valid=None):
 
     Returns ``(order [m], token_of [m], flat_weight [m], group_sizes [E])``.
     """
-    e, k = cfg.num_experts, cfg.num_experts_per_tok
-    t = x.shape[0]
-    m = t * k
     top_w, top_i = _moe_route_w(router_weight, cfg, x)
+    return _assignments_from(
+        top_w, top_i, cfg.num_experts, cfg.num_experts_per_tok, token_valid
+    )
+
+
+def _assignments_from(top_w, top_i, e: int, k: int, token_valid=None):
+    """Sorted-assignment machinery shared by every router variant: see
+    ``_moe_assignments``."""
+    t = top_i.shape[0]
+    m = t * k
     flat_expert = top_i.reshape(m)
     flat_weight = top_w.reshape(m)
     if token_valid is not None:
@@ -1311,6 +1327,15 @@ def stack_moe_expert_params(params, cfg, mesh=None, ep_axis: str = "fsdp"):
         if not cfg.is_moe_layer(i):
             continue
         prefix = f"model.layers.{i}"
+        if cfg.moe_variant == "gptoss":
+            # gpt-oss ships fused [E, ...] expert tensors already — no
+            # restacking, just shard the expert dim over ep_axis
+            for name in ("gate_up_proj", "gate_up_proj_bias",
+                         "down_proj", "down_proj_bias"):
+                key = f"{prefix}.mlp.experts.{name}"
+                if ns is not None and key in out:
+                    out[key] = jax.device_put(out[key], ns)
+            continue
         for name in ("gate", "up", "down"):
             key = f"{prefix}.mlp.experts.{name}_stacked"
             if key in out:
@@ -1367,21 +1392,94 @@ def _moe_mlp_ep(
     else:
         cap = max(1, min(m, int(np.ceil(capacity_factor * m / ep))))
 
-    gate_w = params[f"{prefix}.mlp.experts.gate_stacked"]
-    up_w = params[f"{prefix}.mlp.experts.up_stacked"]
-    down_w = params[f"{prefix}.mlp.experts.down_stacked"]
-    router_w = params[f"{prefix}.mlp.gate.weight"]
     act = _act(cfg.hidden_act)
+    variant = cfg.moe_variant
+
+    # per-variant routing (replicated leaves) + windowed expert compute
+    # (ep-sharded leaves). The window/capacity/overflow machinery below is
+    # variant-free.
+    if variant == "qwen":
+        route_leaves = (params[f"{prefix}.mlp.gate.weight"],)
+
+        def route_fn(x, leaves):
+            return _moe_route_w(leaves[0], cfg, x)
+
+    elif variant == "deepseek":
+        corr = params.get(f"{prefix}.mlp.gate.e_score_correction_bias")
+        route_leaves = (
+            params[f"{prefix}.mlp.gate.weight"],
+            jnp.zeros((e,), jnp.float32) if corr is None else corr,
+        )
+
+        def route_fn(x, leaves):
+            return _deepseek_route_w(
+                leaves[0], leaves[1], cfg, x.astype(jnp.float32)
+            )
+
+    elif variant == "gptoss":
+        route_leaves = (
+            params[f"{prefix}.mlp.router.weight"],
+            params[f"{prefix}.mlp.router.bias"],
+        )
+
+        def route_fn(x, leaves):
+            logits = x @ leaves[0].T + leaves[1]
+            top_v, top_i = jax.lax.top_k(logits, k)
+            return jax.nn.softmax(top_v, axis=-1), top_i
+
+    else:
+        raise ValueError(
+            f"moe_impl='ep' supports qwen/deepseek/gptoss MoE variants "
+            f"(got {variant!r})"
+        )
+
+    if variant == "gptoss":
+        weight_leaves = (
+            params[f"{prefix}.mlp.experts.gate_up_proj"],       # [E, h, 2i]
+            params[f"{prefix}.mlp.experts.gate_up_proj_bias"],  # [E, 2i]
+            params[f"{prefix}.mlp.experts.down_proj"],          # [E, i, h]
+            params[f"{prefix}.mlp.experts.down_proj_bias"],     # [E, h]
+        )
+        alpha, limit = cfg.moe_alpha, cfg.moe_limit
+
+        def expert_fn(window, gsz, leaves, local_eid):
+            guw, gub, dw, db = leaves
+            gu = jax.lax.ragged_dot(window, guw, gsz)
+            gu = gu + jnp.take(gub, local_eid, axis=0)
+            gate, up = gu[..., ::2], gu[..., 1::2]
+            gate = jnp.minimum(gate, limit)
+            up = jnp.clip(up, -limit, limit)
+            glu = gate * jax.nn.sigmoid(gate * alpha)
+            out = jax.lax.ragged_dot(
+                ((up + 1.0) * glu).astype(window.dtype), dw, gsz
+            )
+            return out + jnp.take(db, local_eid, axis=0)
+
+    else:  # qwen / deepseek share the per-expert gate/up/down structure
+        weight_leaves = (
+            params[f"{prefix}.mlp.experts.gate_stacked"],
+            params[f"{prefix}.mlp.experts.up_stacked"],
+            params[f"{prefix}.mlp.experts.down_stacked"],
+        )
+
+        def expert_fn(window, gsz, leaves, local_eid):
+            gw, uw, dw = leaves
+            g_ = jax.lax.ragged_dot(window, gw, gsz)
+            u_ = jax.lax.ragged_dot(window, uw, gsz)
+            return jax.lax.ragged_dot(
+                (act(g_) * u_).astype(window.dtype), dw, gsz
+            )
 
     from jax.sharding import PartitionSpec as P
 
-    def shard_fn(yv, valid, rw, gw, uw, dw):
+    def shard_fn(yv, valid, route_lv, weight_lv):
         x = yv.reshape(t, h)
         # routing is replicated work (tiny): identical on every shard, so
         # the sorted order below is globally agreed without communication;
         # padding tokens (valid == 0) join no group and consume no capacity
-        order, token_of, flat_weight, group_sizes = _moe_assignments(
-            rw, cfg, x, token_valid=valid
+        top_w, top_i = route_fn(x, route_lv)
+        order, token_of, flat_weight, group_sizes = _assignments_from(
+            top_w, top_i, e, k, token_valid=valid
         )
 
         p = jax.lax.axis_index(ep_axis)
@@ -1419,11 +1517,11 @@ def _moe_mlp_ep(
         overflow = local_rows - used
 
         gsz = gs_cl.at[0].add(pre).at[e_local - 1].add(post).astype(jnp.int32)
-        g_ = jax.lax.ragged_dot(window, gw, gsz)
-        u_ = jax.lax.ragged_dot(window, uw, gsz)
-        d_ = jax.lax.ragged_dot(
-            (act(g_) * u_).astype(window.dtype), dw, gsz
+        local_eid = jnp.repeat(
+            jnp.arange(e_local, dtype=jnp.int32), gsz,
+            total_repeat_length=cap,
         )
+        d_ = expert_fn(window, gsz, weight_lv, local_eid)
         row = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
         in_local = (row >= pre) & (row < pre + used)
         weighted = d_ * jnp.where(
@@ -1441,10 +1539,20 @@ def _moe_mlp_ep(
     out, overflow = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(ep_axis), P(ep_axis), P(ep_axis)),
+        in_specs=(
+            P(), P(),
+            tuple(P() for _ in route_leaves),
+            tuple(P(ep_axis) for _ in weight_leaves),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(y, valid, router_w, gate_w, up_w, down_w)
+    )(y, valid, route_leaves, weight_leaves)
+    if variant == "deepseek" and cfg.n_shared_experts:
+        # always-on shared experts are replicated dense work outside the
+        # expert-parallel region (HF DeepseekV3MoE.forward adds them last)
+        out = out + _dense_mlp(
+            params, cfg, f"{prefix}.mlp.shared_experts", y
+        ).astype(out.dtype)
     return out, overflow
 
 
@@ -1608,10 +1716,10 @@ def target_capture_forward(
         if cfg.is_moe_layer(i):
             y_in = y
             if moe_impl == "ep":
-                if cfg.moe_variant != "qwen":
+                if cfg.moe_variant not in ("qwen", "deepseek", "gptoss"):
                     raise ValueError(
-                        "moe_impl='ep' currently supports qwen-style MoE "
-                        f"targets only (got {cfg.moe_variant!r})"
+                        "moe_impl='ep' supports qwen/deepseek/gptoss MoE "
+                        f"targets (got {cfg.moe_variant!r})"
                     )
                 y, overflow = _moe_mlp_ep(
                     params, cfg, prefix, y, moe_mesh,

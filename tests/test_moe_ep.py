@@ -206,3 +206,134 @@ def test_ep_runner_rejects_bad_config(tmp_path):
             target_params={},
             moe_impl="ep",
         )
+
+
+# -- deepseek / gptoss EP variants (reference sglang_ep_size covers every
+# MoE target, ref specforge/config/schema.py:93-98) ------------------------
+
+def _deepseek_cfg(e=8, k=2, h=32, inter=48):
+    return TargetConfig(
+        vocab_size=1, hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=1, num_attention_heads=1, num_key_value_heads=1,
+        num_experts=e, num_experts_per_tok=k, moe_intermediate_size=inter,
+        moe_variant="deepseek", scoring_func="sigmoid",
+        topk_method="noaux_tc", n_group=4, topk_group=2,
+        norm_topk_prob=True, routed_scaling_factor=2.5, n_shared_experts=1,
+    )
+
+
+def _deepseek_params(cfg, rng, prefix="model.layers.0"):
+    params = _moe_params(cfg, rng, prefix)
+    e, h = cfg.num_experts, cfg.hidden_size
+    inter = cfg.moe_intermediate_size
+    params[f"{prefix}.mlp.gate.e_score_correction_bias"] = jnp.asarray(
+        rng.normal(size=(e,)).astype(np.float32) * 0.2
+    )
+    # shared experts (always-on dense)
+    for name, shape in (("gate_proj", (inter, h)), ("up_proj", (inter, h)),
+                        ("down_proj", (h, inter))):
+        params[f"{prefix}.mlp.shared_experts.{name}.weight"] = jnp.asarray(
+            rng.normal(size=shape).astype(np.float32) * 0.1
+        )
+    return params
+
+
+def _gptoss_cfg(e=8, k=2, h=32, inter=48):
+    return TargetConfig(
+        vocab_size=1, hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=1, num_attention_heads=1, num_key_value_heads=1,
+        num_experts=e, num_experts_per_tok=k, moe_intermediate_size=inter,
+        moe_variant="gptoss", hidden_act="silu",
+    )
+
+
+def _gptoss_params(cfg, rng, prefix="model.layers.0"):
+    e, h = cfg.num_experts, cfg.hidden_size
+    inter = cfg.moe_intermediate_size
+    f32 = np.float32
+    return {
+        f"{prefix}.mlp.router.weight": jnp.asarray(
+            rng.normal(size=(e, h)).astype(f32)),
+        f"{prefix}.mlp.router.bias": jnp.asarray(
+            rng.normal(size=(e,)).astype(f32) * 0.1),
+        f"{prefix}.mlp.experts.gate_up_proj": jnp.asarray(
+            rng.normal(size=(e, h, 2 * inter)).astype(f32) * 0.1),
+        f"{prefix}.mlp.experts.gate_up_proj_bias": jnp.asarray(
+            rng.normal(size=(e, 2 * inter)).astype(f32) * 0.1),
+        f"{prefix}.mlp.experts.down_proj": jnp.asarray(
+            rng.normal(size=(e, inter, h)).astype(f32) * 0.1),
+        f"{prefix}.mlp.experts.down_proj_bias": jnp.asarray(
+            rng.normal(size=(e, h)).astype(f32) * 0.1),
+    }
+
+
+def test_ep_deepseek_matches_dense_variant():
+    """EP routed output + replicated shared experts == the deepseek
+    gathered reference path (grouped sigmoid router, noaux_tc group
+    selection, correction bias, routed scaling, shared experts)."""
+    from specforge_tpu.models.target.transformer import _moe_deepseek
+
+    cfg = _deepseek_cfg()
+    rng = np.random.default_rng(5)
+    params = _deepseek_params(cfg, rng)
+    y = jnp.asarray(
+        rng.normal(size=(2, 24, cfg.hidden_size)).astype(np.float32)
+    )
+    ref = _moe_deepseek(params, cfg, "model.layers.0", y)
+
+    mesh = build_mesh(MeshConfig(fsdp=8), devices=jax.devices()[:8])
+    stacked = stack_moe_expert_params(params, cfg, mesh)
+    out, overflow = jax.jit(
+        lambda p, yv: _moe_mlp_ep(p, cfg, "model.layers.0", yv, mesh)
+    )(stacked, y)
+    assert int(overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ep_gptoss_matches_dense_variant():
+    """EP == the gpt-oss gathered reference path (biased router, fused
+    interleaved gate_up with per-expert biases, clamp-swiglu)."""
+    from specforge_tpu.models.target.transformer import _moe_gptoss
+
+    cfg = _gptoss_cfg()
+    rng = np.random.default_rng(6)
+    params = _gptoss_params(cfg, rng)
+    y = jnp.asarray(
+        rng.normal(size=(2, 24, cfg.hidden_size)).astype(np.float32)
+    )
+    ref = _moe_gptoss(params, cfg, "model.layers.0", y)
+
+    mesh = build_mesh(MeshConfig(fsdp=8), devices=jax.devices()[:8])
+    stacked = stack_moe_expert_params(params, cfg, mesh)
+    out, overflow = jax.jit(
+        lambda p, yv: _moe_mlp_ep(p, cfg, "model.layers.0", yv, mesh)
+    )(stacked, y)
+    assert int(overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ep_deepseek_bounded_capacity_overflow_detected():
+    """Capacity accounting stays exact for the deepseek router: skewed
+    routing under a tight capacity_factor must report overflow > 0."""
+    cfg = _deepseek_cfg()
+    rng = np.random.default_rng(7)
+    params = _deepseek_params(cfg, rng)
+    # bias all tokens toward one expert group by inflating its router row
+    gate = np.array(params["model.layers.0.mlp.gate.weight"])
+    gate[0] += 10.0
+    params["model.layers.0.mlp.gate.weight"] = jnp.asarray(gate)
+    y = jnp.asarray(
+        rng.normal(size=(2, 64, cfg.hidden_size)).astype(np.float32)
+    )
+    mesh = build_mesh(MeshConfig(fsdp=8), devices=jax.devices()[:8])
+    stacked = stack_moe_expert_params(params, cfg, mesh)
+    _, overflow = jax.jit(
+        lambda p, yv: _moe_mlp_ep(
+            p, cfg, "model.layers.0", yv, mesh, capacity_factor=1.0
+        )
+    )(stacked, y)
+    assert int(overflow) > 0
