@@ -452,11 +452,12 @@ def _peagle_eval_probe(workdir: str, run_id: str, *, target_dir: str,
 
 def run_peagle(workdir: str, corpus_train, corpus_eval, target_dir: str):
     """P-EAGLE COD convergence: ``train/accuracy`` (set-wide masked-position
-    accuracy over all COD depths) must climb, and a held-out eval probe
+    accuracy over all COD depths) must climb, a held-out eval probe
     (trained weights vs fresh init over EVAL features) must show the gain
-    generalizes. No serving-side comparison — the reference ships no
-    P-EAGLE export/serving path either (its algorithms/peagle/ is
-    training-only)."""
+    generalizes, and the EXPORTED draft must beat a 1-step baseline export
+    through the COD serving loop (PEagleSpecDecoder, greedy-equivalence
+    enforced) — a serving leg the reference does not have (its
+    algorithms/peagle/ is training-only)."""
     capture_layers = (1, 3, 5)  # same eagle-layout capture as EAGLE3
     train_dir = os.path.join(workdir, "features-eagle/train")
     eval_dir = os.path.join(workdir, "features-eagle/eval")
@@ -497,6 +498,28 @@ def run_peagle(workdir: str, corpus_train, corpus_eval, target_dir: str):
         workdir, "convp-eval-fresh", target_dir=target_dir,
         eval_dir=eval_dir, draft_config=draft_config,
     )
+
+    # serving leg: exported trained draft vs a 1-step baseline export,
+    # through the COD serving loop
+    print("peagle serving comparison (export → COD decode)...",
+          file=sys.stderr)
+    base_run = _train_draft(
+        workdir, "convp-base", algorithm="peagle", target_dir=target_dir,
+        train_dir=train_dir, eval_dir=None, draft_config=draft_config,
+        total_steps=1, num_epochs=1,
+    )
+    export_dir = _export(workdir, run_dir, "convp", draft_config, "hf")
+    base_export = _export(workdir, base_run, "convp-base", draft_config,
+                          "hf")
+    prompts = [list(map(int, s[:24])) for s in corpus_eval[:4]]
+    accept_trained = _measure_peagle_accept(
+        target_dir, export_dir, prompts, capture_layers,
+        mask_token_id=VOCAB - 1, num_depths=4,
+    )
+    accept_untrained = _measure_peagle_accept(
+        target_dir, base_export, prompts, capture_layers,
+        mask_token_id=VOCAB - 1, num_depths=4,
+    )
     return {
         "climb_metric": "train/accuracy",
         "series": [
@@ -504,12 +527,53 @@ def run_peagle(workdir: str, corpus_train, corpus_eval, target_dir: str):
         ],
         "first": round(float(series[0][1]), 4),
         "last": round(float(series[-1][1]), 4),
-        # eval-side generalization proof reuses the accept_* verdict slots
-        # (same pass rule: trained >= untrained + min_accept_gain)
-        "accept_metric": "eval_cod_accuracy",
-        "accept_untrained": round(eval_fresh, 4),
-        "accept_trained": round(eval_trained, 4),
+        "eval_cod_accuracy_fresh": round(eval_fresh, 4),
+        "eval_cod_accuracy_trained": round(eval_trained, 4),
+        "accept_metric": "cod_serving_accept",
+        "accept_untrained": round(accept_untrained, 4),
+        "accept_trained": round(accept_trained, 4),
     }
+
+
+def _measure_peagle_accept(target_dir, export_dir, prompts, capture_layers,
+                           *, mask_token_id, num_depths,
+                           max_new_tokens: int = 48):
+    """Mean accept length of an exported P-EAGLE draft through the COD
+    serving loop, with the greedy-equivalence invariant enforced."""
+    import numpy as _np
+
+    from specforge_tpu.inference.serving_loaders import (
+        load_exported_peagle_draft,
+    )
+    from specforge_tpu.inference.spec_decode import (
+        PEagleSpecDecoder,
+        greedy_target_decode,
+    )
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        load_target_params,
+    )
+
+    config = TargetConfig.from_file(target_dir)
+    params = load_target_params(target_dir, config)
+    module, variables = load_exported_peagle_draft(export_dir)
+    decoder = PEagleSpecDecoder(
+        params, config, module, variables, capture_layers,
+        mask_token_id=mask_token_id, num_depths=num_depths, max_len=192,
+    )
+    accepts = []
+    for p in prompts:
+        res = decoder.generate(p, max_new_tokens=max_new_tokens)
+        oracle = greedy_target_decode(
+            params, config, p, max_new_tokens, max_len=192,
+        )
+        n = min(len(res.output_ids), len(oracle))
+        if not _np.array_equal(res.output_ids[:n], oracle[:n]):
+            raise SystemExit(
+                "GATE FAILED: peagle COD serving broke greedy equivalence"
+            )
+        accepts.extend(res.accept_lengths)
+    return float(_np.mean(accepts)) if accepts else 0.0
 
 
 def run_eagle3_online(workdir: str, corpus_eval, target_dir: str,

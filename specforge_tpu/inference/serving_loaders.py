@@ -199,3 +199,57 @@ def load_exported_dflash_draft(export_dir: str):
         params,
     )
     return module, {"params": params, "buffers": buffers}
+
+
+def load_exported_peagle_draft(export_dir: str):
+    """Load an HF-layout P-EAGLE export into (module, variables) for COD
+    block speculation (PEagleSpecDecoder). P-EAGLE trains its own
+    embeddings, so the export is self-contained; variables init routes
+    through embed/project/mask_hidden/backbone/logits so the torch→flax
+    mapper has the full template tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from specforge_tpu.models.draft.peagle import (
+        PEagleConfig,
+        PEagleDraftModel,
+    )
+    from specforge_tpu.models.model_loading import _load_from_safetensors
+
+    with open(os.path.join(export_dir, "config.json")) as f:
+        config = PEagleConfig.from_dict(json.load(f))
+    module = PEagleDraftModel(
+        config, dtype=jnp.bfloat16, attention_backend="dense"
+    )
+    t = 8
+    fc_in = 3 * config.resolved_target_hidden_size
+
+    def init_all(mod, ids, hidden3h, allow, pos):
+        emb = mod.embed_input_ids(ids)
+        hid = mod.project_hidden_states(hidden3h)
+        mod.get_mask_hidden()
+        mod.get_vocab_maps()
+        h = mod.backbone(emb, hid, allow, pos)
+        return mod.compute_logits(h)
+
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, t), jnp.int32),
+        jnp.zeros((1, t, fc_in), jnp.float32),
+        jnp.ones((1, t, t), bool),
+        jnp.zeros((1, t), jnp.int32),
+        method=init_all,
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    buffers = dict(variables.get("buffers", {}))
+    params, buffers = _load_from_safetensors(
+        os.path.join(export_dir, "model.safetensors"), params, buffers
+    )
+    import jax.numpy as _jnp
+
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(_jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+        params,
+    )
+    return module, {"params": params, "buffers": buffers}

@@ -3089,3 +3089,186 @@ class DFlashSpecDecoder:
             accept_lengths=[int(a) for a in np.asarray(accs)[:n_rounds]],
             steps=n_rounds,
         )
+
+
+# --------------------------------------------------------------------------
+# P-EAGLE COD block speculative decoding
+# --------------------------------------------------------------------------
+
+class PEagleSpecDecoder:
+    """COD-style serving for a trained P-EAGLE draft (greedy, batch 1).
+
+    The reference ships no P-EAGLE serving path (its peagle/model.py is
+    training-only); this decoder serves the TRAINED contract directly: a
+    depth-d mask row anchored at position a attends the committed trunk
+    (depth-0 rows ≤ a) plus its own lower-depth mask chain
+    (ops/peagle_pallas.cod_allow_dense) and predicts the token at
+    a + d + 1. One draft forward therefore proposes ``num_depths - 1``
+    tokens in parallel — conditioned on features up to the anchor only,
+    exactly as trained — and one target forward verifies the chain
+    (greedy-equivalence invariant, tested like every other family).
+
+    Per round the draft re-attends the full fixed-size trunk buffer
+    (static shapes, one compile); trunk slots at or beyond the committed
+    length are masked invalid, so garbage there is unreachable.
+    """
+
+    def __init__(
+        self,
+        target_params,
+        target_config: TargetConfig,
+        draft_module,                 # PEagleDraftModel
+        draft_variables,
+        capture_layers: Sequence[int],
+        *,
+        mask_token_id: int = 0,
+        num_depths: int = 4,
+        max_len: int = 512,
+    ) -> None:
+        self.target_params = jax.device_put(target_params)
+        self.target_config = target_config
+        self.draft = draft_module
+        self.draft_variables = jax.device_put(draft_variables)
+        self.capture_layers = tuple(capture_layers)
+        self.mask_token_id = int(mask_token_id)
+        self.num_depths = int(num_depths)
+        self.max_len = max_len
+        self._d2t = Eagle3SpecDecoder._resolve_d2t(draft_variables)
+
+        d = self.num_depths
+        t_slots = max_len + d - 1
+
+        def draft_block(variables, trunk_ids, features, start):
+            """One COD proposal forward: trunk rows 0..start-1 (committed
+            token + its feature) + D-1 mask rows anchored at start-1.
+            Returns draft-vocab logits of the mask rows [D-1, Vd]."""
+            mod = self.draft
+
+            def run(m):
+                anchor = jnp.concatenate([
+                    jnp.arange(max_len, dtype=jnp.int32),
+                    jnp.full((d - 1,), start - 1, jnp.int32),
+                ])
+                depth = jnp.concatenate([
+                    jnp.zeros((max_len,), jnp.int32),
+                    jnp.arange(1, d, dtype=jnp.int32),
+                ])
+                valid = jnp.concatenate([
+                    jnp.arange(max_len) < start,
+                    jnp.ones((d - 1,), bool),
+                ])
+                doc = jnp.where(valid, 0, -1)
+                from specforge_tpu.ops.peagle_pallas import cod_allow_dense
+
+                allow = cod_allow_dense(
+                    anchor, depth, doc, valid.astype(jnp.int32)
+                )[None]
+                positions = anchor + depth
+
+                ids = jnp.concatenate([
+                    trunk_ids,
+                    jnp.full((d - 1,), self.mask_token_id, jnp.int32),
+                ])[None]
+                emb = m.embed_input_ids(ids)
+                mask_h = m.get_mask_hidden()[0, 0]
+                feats = jnp.concatenate([
+                    features,
+                    jnp.broadcast_to(
+                        mask_h.astype(features.dtype),
+                        (d - 1, features.shape[-1]),
+                    ),
+                ])[None]
+                hidden = m.project_hidden_states(feats)
+                h = m.backbone(emb, hidden, allow, positions[None])
+                logits = m.compute_logits(h)
+                return logits[0, max_len:]
+
+            return mod.apply(variables, method=run)
+
+        self._draft_block = jax.jit(draft_block)
+        del t_slots
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> SpecDecodeResult:
+        stop = set(stop_token_ids or ())
+        d = self.num_depths
+        k = d - 1  # proposals per round
+        prompt = np.asarray(prompt_ids, np.int64)[None]
+        p_len = prompt.shape[1]
+        n_capture = len(self.capture_layers)
+        h = self.target_config.hidden_size
+
+        t_state = init_target_state(self.target_config, 1, self.max_len)
+        logits, aux, ck, cv = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(prompt, jnp.int32),
+            t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
+            self.capture_layers,
+        )
+        t_state = TargetState(ck, cv, p_len)
+        features = np.zeros((self.max_len, n_capture * h), np.float32)
+        features[:p_len] = np.asarray(aux[0], np.float32)
+        trunk_ids = np.zeros((self.max_len,), np.int32)
+        trunk_ids[:p_len] = prompt[0]
+        cur = int(np.asarray(logits[0, -1]).argmax())
+        output = list(prompt_ids) + [cur]
+
+        accept_lengths: List[int] = []
+        steps = 0
+        start = p_len      # features cover [0, start); cur sits at start
+        while (
+            len(output) - p_len < max_new_tokens
+            and start + k + 1 < self.max_len
+        ):
+            steps += 1
+            dlogits = np.asarray(self._draft_block(
+                self.draft_variables, jnp.asarray(trunk_ids),
+                jnp.asarray(features, jnp.float32),
+                jnp.asarray(start, jnp.int32),
+            ))                                           # [k, Vd]
+            dts = dlogits.argmax(axis=-1)
+            proposals = [int(t) + int(self._d2t[int(t)]) for t in dts]
+
+            block = np.asarray([[cur, *proposals]], np.int64)
+            logits, aux, ck, cv = target_cached_forward(
+                self.target_params, self.target_config,
+                jnp.asarray(block, jnp.int32),
+                t_state.cache_k, t_state.cache_v,
+                jnp.asarray(t_state.length, jnp.int32),
+                self.capture_layers,
+            )
+            posterior = np.asarray(logits[0]).argmax(axis=-1)
+            accepted = 0
+            for j in range(k):
+                if proposals[j] == int(posterior[j]):
+                    accepted += 1
+                else:
+                    break
+            emitted = [*proposals[:accepted], int(posterior[accepted])]
+            output.extend(emitted)
+            accept_lengths.append(accepted + 1)
+
+            t_state = TargetState(
+                cache_k=ck, cache_v=cv,
+                length=t_state.length + accepted + 1,
+            )
+            # the block's first accepted+1 rows are now committed: their
+            # tokens and features join the trunk
+            feats_new = np.asarray(aux[0, : accepted + 1], np.float32)
+            features[start: start + accepted + 1] = feats_new
+            trunk_ids[start] = cur
+            for j in range(accepted):
+                trunk_ids[start + 1 + j] = proposals[j]
+            start += accepted + 1
+            cur = int(posterior[accepted])
+            if stop & set(emitted):
+                break
+        return SpecDecodeResult(
+            output_ids=np.asarray(output),
+            accept_lengths=accept_lengths,
+            steps=steps,
+        )
