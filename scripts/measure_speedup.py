@@ -369,6 +369,10 @@ def main():
     parser.add_argument("--chain-vocab", type=int, default=2000,
                         help="token subset the Markov chain runs over "
                              "(model vocab stays --vocab; see build_corpus)")
+    parser.add_argument("--seq", type=int, default=96,
+                        help="corpus sequence length — the draft's training "
+                             "context bounds its serving accept horizon "
+                             "(docs/benchmarks.md accept-decay note)")
     parser.add_argument("--target-steps", type=int, default=400)
     parser.add_argument("--target-batch", type=int, default=8)
     parser.add_argument("--target-lr", type=float, default=1e-2)
@@ -393,6 +397,9 @@ def main():
                              "same trained target + device-resident params")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
+
+    global SEQ
+    SEQ = args.seq
     algorithms = [a.strip() for a in args.algorithms.split(",") if a.strip()]
 
     os.makedirs(args.workdir, exist_ok=True)

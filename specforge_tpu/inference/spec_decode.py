@@ -1133,6 +1133,22 @@ def _splice_stream_row(t_ck, t_cv, t_len, d_ck, d_cv, d_len, cur, last_h,
             out_buf, out_cnt, acc_buf, n_rounds, done)
 
 
+def _gather_scatter_cache_rows(cache, src_idx, dst_idx):
+    """Move arbitrary per-row slot sets in ONE gather + ONE scatter:
+    ``cache[l, b, :, dst_idx[b, j]] = cache[l, b, :, src_idx[b, j]]`` for
+    cache [L, B, KVH, M, D]. Replaces sequences of per-depth
+    ``_move_cache_rows`` calls (k sequential whole-cache updates per round
+    — the beam loops' dominant bookkeeping cost)."""
+    b = cache.shape[1]
+    seg = jnp.take_along_axis(
+        cache, src_idx[None, :, None, :, None], axis=3
+    )                                                       # [L,B,KVH,n,D]
+    rows = jnp.arange(b)
+    return cache.at[:, rows[:, None], :, dst_idx].set(
+        seg.transpose(1, 3, 0, 2, 4), mode="drop"
+    )
+
+
 def _move_cache_rows_batched(cache, src, dst, n: int):
     """Per-row tree-cache compaction: move ``n`` slots of row ``b`` from
     ``src[b]`` to ``dst[b]`` (axis 3 of [L, B, KVH, M, D]) — the batched
@@ -1488,14 +1504,14 @@ class _FusedEagleLoops:
                     acc_buf, (acc + 1)[None], (n_rounds,)
                 )
 
-                # compact the accepted path onto canonical cache slots (one
-                # row per depth; rejected-depth moves land past the new
-                # length and are overwritten before becoming attendable)
-                for depth in range(k):
-                    src = base_len + path_slots[depth]
-                    dst = base_len + 1 + depth
-                    t_ck = _move_cache_rows(t_ck, src, dst, 1)
-                    t_cv = _move_cache_rows(t_cv, src, dst, 1)
+                # compact the accepted path onto canonical cache slots in
+                # ONE gather+scatter (rejected-depth moves land past the
+                # new length and are overwritten before becoming
+                # attendable)
+                src_idx = (base_len + path_slots)[None]        # [1, k]
+                dst_idx = (base_len + 1 + jnp.arange(k))[None]
+                t_ck = _gather_scatter_cache_rows(t_ck, src_idx, dst_idx)
+                t_cv = _gather_scatter_cache_rows(t_cv, src_idx, dst_idx)
 
                 # draft re-extension over slot 0 + the accepted path slots
                 slots = jnp.concatenate([
@@ -2098,13 +2114,12 @@ class _FusedEagleLoops:
                     jnp.where(active, acc + 1, old_acc), mode="drop"
                 )
 
-                # per-row compaction of the accepted path (one slot per
-                # depth; rejected depths land past the new length)
-                for depth in range(k):
-                    src = t_len + path_slots[:, depth]
-                    dst = t_len + 1 + depth
-                    n_tck = _move_cache_rows_batched(n_tck, src, dst, 1)
-                    n_tcv = _move_cache_rows_batched(n_tcv, src, dst, 1)
+                # per-row compaction of the accepted path in ONE
+                # gather+scatter (rejected depths land past the new length)
+                src_idx = t_len[:, None] + path_slots          # [B, k]
+                dst_idx = t_len[:, None] + 1 + jnp.arange(k)[None]
+                n_tck = _gather_scatter_cache_rows(n_tck, src_idx, dst_idx)
+                n_tcv = _gather_scatter_cache_rows(n_tcv, src_idx, dst_idx)
 
                 slots = jnp.concatenate(
                     [jnp.zeros((batch, 1), jnp.int32), path_slots], axis=1
