@@ -86,10 +86,10 @@ def test_backward_matches_dense(n_branches):
 
 
 def test_adaptive_512_tiles_at_long_seq_non_multiple():
-    """s >= 1024 defaults to 512 tiles (measured faster on v5e); a length
-    that is NOT a multiple of 512 must still match the dense oracle fwd+bwd
-    (grid remainder masking)."""
-    s = 1152  # 2 full 512-tiles + a 128 remainder
+    """Seq-adaptive tile defaults (r5 sweep: 2048-wide tiles under the 96M
+    scoped-vmem budget); a length that is NOT a tile multiple must still
+    match the dense oracle fwd+bwd (grid remainder masking)."""
+    s = 1152  # one full 1024-tile + a 128 remainder
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.normal(size=(B, H, s, D)).astype(np.float32))
     keys = [jnp.asarray(rng.normal(size=(B, KVH, s, D)).astype(np.float32))
@@ -103,9 +103,10 @@ def test_adaptive_512_tiles_at_long_seq_non_multiple():
 
     from specforge_tpu.ops.attention_pallas import _env_tiles
 
-    assert _env_tiles(None, None, s) == (512, 512)
-    assert _env_tiles(None, None, 768) == (256, 256)
-    assert _env_tiles(None, None, 2048) == (1024, 512)
+    assert _env_tiles(None, None, s) == (1024, 1024)
+    assert _env_tiles(None, None, 768) == (768, 768)
+    assert _env_tiles(None, None, 2048) == (2048, 2048)
+    assert _env_tiles(None, None, 4096) == (1024, 2048)
     # s>=4096 drops back to 512x512: 1024-row q tiles exceed the 16M
     # scoped-vmem limit there (measured 17.2M)
     assert _env_tiles(None, None, 4096) == (512, 512)
