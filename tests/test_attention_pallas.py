@@ -107,10 +107,6 @@ def test_adaptive_512_tiles_at_long_seq_non_multiple():
     assert _env_tiles(None, None, 768) == (768, 768)
     assert _env_tiles(None, None, 2048) == (2048, 2048)
     assert _env_tiles(None, None, 4096) == (1024, 2048)
-    # s>=4096 drops back to 512x512: 1024-row q tiles exceed the 16M
-    # scoped-vmem limit there (measured 17.2M)
-    assert _env_tiles(None, None, 4096) == (512, 512)
-    assert _env_tiles(None, None, 8192) == (512, 512)
 
     def flash_sum(q_, ks, vs):
         return jnp.sum(ttt_flash_attention(
