@@ -3043,6 +3043,251 @@ class DFlashSpecDecoder:
         del n_cap  # shape comes in via ctx_feat
         return loop
 
+    def _build_batch_fused(self, batch: int, stop_ids: Tuple[int, ...]):
+        """Batched block speculation: B rows propose/verify whole blocks
+        together with per-row cache lengths and per-row anchors (the
+        index-based DFlash mask rule is already per-row), finished rows
+        freeze — the dflash-family counterpart of the eagle batched chain
+        loop. Row outputs match ``generate_fused`` (parity-tested)."""
+        bs = self.block_size
+        projector = self._projector
+        shift = bool(getattr(self.draft.config, "shift_label", False))
+        idx = jnp.arange(bs, dtype=jnp.int32)
+        rows = jnp.arange(batch, dtype=jnp.int32)
+
+        def draft_fwd(variables, noise, ctx, ctx_pos, draft_pos, anchors,
+                      keep):
+            return self.draft.apply(
+                variables, noise, ctx, ctx_pos, draft_pos, anchors, keep
+            )
+
+        def head_fwd(variables, base4, hidden4, prev_emb, prev_ids):
+            return self.draft.apply(
+                variables, base4, prev_token_ids=prev_ids,
+                prev_token_embeddings=prev_emb, hidden_states=hidden4,
+                method="apply_logits_head",
+            )
+
+        def propose(variables, embed, lm_head, draft_hidden, cur):
+            base = jnp.einsum(
+                "bsh,vh->bsv", draft_hidden.astype(jnp.float32),
+                lm_head.astype(jnp.float32),
+            )                                               # [B, bs, V]
+            if projector == "dflash":
+                sel = base[:, :-1] if shift else base[:, 1:]
+                return jnp.argmax(sel, axis=-1).astype(jnp.int32)
+
+            hidden4 = draft_hidden[:, None]
+            base4 = base[:, None]
+            if projector == "domino":
+                completed = jnp.full(
+                    (batch, bs), self.mask_token_id, jnp.int32
+                )
+                completed = completed.at[:, 0].set(cur)
+                for pos in range(1, bs):
+                    prev_emb = jnp.take(
+                        embed.astype(jnp.float32), completed, axis=0
+                    )[:, None]                              # [B, 1, bs, e]
+                    final = head_fwd(variables, base4, hidden4, prev_emb,
+                                     None)
+                    head_pos = pos - 1 if shift else pos
+                    completed = completed.at[:, pos].set(
+                        jnp.argmax(
+                            final[:, 0, head_pos], axis=-1
+                        ).astype(jnp.int32)
+                    )
+                return completed[:, 1:]
+
+            prev_ids = jnp.zeros((batch, 1, bs), jnp.int32)
+            out = []
+            for j in range(1, bs):
+                pos = j - 1
+                prev_ids = prev_ids.at[:, 0, pos].set(
+                    out[-1] if out else cur
+                )
+                final = head_fwd(variables, base4, hidden4, None, prev_ids)
+                out.append(
+                    jnp.argmax(final[:, 0, pos], axis=-1).astype(jnp.int32)
+                )
+            return jnp.stack(out, axis=1)                   # [B, bs-1]
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, ctx_feat,
+                 cur, out_buf, out_cnt, acc_buf, max_new):
+            budget = t_ck.shape[3]
+            embed = target_params["model.embed_tokens.weight"]
+            lm_head = target_params["lm_head.weight"]
+            ctx_pos = jnp.broadcast_to(
+                jnp.arange(budget, dtype=jnp.int32)[None], (batch, budget)
+            )
+
+            def active_rows(t_len, out_cnt, done):
+                return (
+                    (~done) & (out_cnt < max_new) & (t_len + bs < budget)
+                )
+
+            def cond(carry):
+                t_len, out_cnt, done = carry[2], carry[6], carry[9]
+                return jnp.any(active_rows(t_len, out_cnt, done))
+
+            def body(carry):
+                (t_ck, t_cv, t_len, ctx_feat, cur, out_buf, out_cnt,
+                 acc_buf, n_rounds, done) = carry
+                active = active_rows(t_len, out_cnt, done)
+
+                block0 = jnp.full(
+                    (batch, bs), self.mask_token_id, jnp.int32
+                )
+                block0 = block0.at[:, 0].set(cur)
+                noise = jnp.take(embed, block0, axis=0).astype(jnp.bfloat16)
+                draft_pos = t_len[:, None] + idx[None]
+                draft_hidden = draft_fwd(
+                    variables, noise, ctx_feat.astype(jnp.bfloat16),
+                    ctx_pos, draft_pos, t_len[:, None],
+                    jnp.ones((batch, 1), bool),
+                )
+                proposals = propose(
+                    variables, embed, lm_head, draft_hidden, cur
+                )                                           # [B, bs-1]
+
+                block = jnp.concatenate([cur[:, None], proposals], axis=1)
+                logits, aux2, n_tck, n_tcv = target_cached_forward(
+                    target_params, self.target_config, block, t_ck, t_cv,
+                    t_len, self.capture_layers,
+                )
+                posterior = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                matches = (
+                    proposals == posterior[:, : bs - 1]
+                ).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)  # [B]
+                bonus = jnp.take_along_axis(
+                    posterior, acc[:, None], axis=1
+                )[:, 0]
+                props_p = jnp.concatenate(
+                    [proposals, bonus[:, None]], axis=1
+                )
+                emitted = jnp.where(
+                    idx[None] < acc[:, None], props_p, bonus[:, None]
+                )                                           # [B, bs]
+
+                pos = out_cnt[:, None] + idx[None]
+                old_out = out_buf[rows[:, None], pos]
+                out_buf = out_buf.at[rows[:, None], pos].set(
+                    jnp.where(active[:, None], emitted, old_out),
+                    mode="drop",
+                )
+                old_acc = acc_buf[rows, n_rounds]
+                acc_buf = acc_buf.at[rows, n_rounds].set(
+                    jnp.where(active, acc + 1, old_acc), mode="drop"
+                )
+
+                # per-row feature landing at each row's own start; stale
+                # slots past acc+1 sit at or beyond the next anchor and
+                # the index-based mask hides them (single-row comment)
+                slots = t_len[:, None] + idx[None]          # [B, bs]
+                new_ctx = ctx_feat.at[rows[:, None], slots].set(
+                    aux2.astype(ctx_feat.dtype), mode="drop"
+                )
+                hit = _fused_stop_hit_rows(
+                    emitted, idx[None] <= acc[:, None], stop_ids
+                )
+
+                t_ck = jnp.where(
+                    active[None, :, None, None, None], n_tck, t_ck
+                )
+                t_cv = jnp.where(
+                    active[None, :, None, None, None], n_tcv, t_cv
+                )
+                ctx_feat = jnp.where(
+                    active[:, None, None], new_ctx, ctx_feat
+                )
+                step = jnp.where(active, acc + 1, 0)
+                return (
+                    t_ck, t_cv, t_len + step, ctx_feat,
+                    jnp.where(active, bonus, cur), out_buf,
+                    out_cnt + step, acc_buf,
+                    n_rounds + active.astype(jnp.int32),
+                    done | (active & hit),
+                )
+
+            init = (t_ck, t_cv, t_len, ctx_feat, cur, out_buf, out_cnt,
+                    acc_buf, jnp.zeros((batch,), jnp.int32),
+                    jnp.zeros((batch,), bool))
+            final = jax.lax.while_loop(cond, body, init)
+            return final[5], final[6], final[7], final[8]
+
+        return loop
+
+    def generate_batch_fused(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> List[SpecDecodeResult]:
+        """Batched block speculation for a BATCH of prompts in one fused
+        program (right-padded rows, per-row lengths/anchors, frozen
+        finished rows) — per-row outputs match ``generate_fused``
+        (parity-tested)."""
+        stop_ids = tuple(
+            sorted(set(int(s) for s in (stop_token_ids or ())))
+        )
+        batch = len(prompts)
+        lens = np.asarray([len(p) for p in prompts], np.int32)
+        p_max = int(lens.max())
+        bs = self.block_size
+        budget = self.max_len
+        padded = np.zeros((batch, p_max), np.int64)
+        for i, p in enumerate(prompts):
+            padded[i, : len(p)] = p
+
+        if not hasattr(self, "_batch_fused_cache"):
+            self._batch_fused_cache = {}
+        key = (batch, stop_ids)
+        loop = self._batch_fused_cache.get(key)
+        if loop is None:
+            loop = jax.jit(self._build_batch_fused(batch, stop_ids))
+            self._batch_fused_cache[key] = loop
+
+        n_capture = len(self.capture_layers)
+        h = self.target_config.hidden_size
+        t_state = init_target_state(self.target_config, batch, budget)
+        logits, aux, t_ck0, t_cv0 = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(padded, jnp.int32),
+            t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
+            self.capture_layers,
+        )
+        lens_d = jnp.asarray(lens)
+        cur = jnp.take_along_axis(
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            lens_d[:, None] - 1, axis=1,
+        )[:, 0]
+        ctx_feat = jnp.zeros((batch, budget, n_capture * h), jnp.float32)
+        ctx_feat = jax.lax.dynamic_update_slice(
+            ctx_feat, aux.astype(jnp.float32), (0, 0, 0)
+        )
+        out_buf = jnp.zeros((batch, budget + bs), jnp.int32)
+        out_buf = out_buf.at[:, 0].set(cur)
+        acc_buf = jnp.zeros((batch, budget), jnp.int32)
+        buf, out_cnt, accs, n_rounds = loop(
+            self.target_params, self.draft_variables, t_ck0, t_cv0,
+            lens_d, ctx_feat, cur, out_buf, jnp.ones((batch,), jnp.int32),
+            acc_buf, jnp.asarray(max_new_tokens, jnp.int32),
+        )
+        buf = np.asarray(buf)
+        out_cnt = np.asarray(out_cnt)
+        accs = np.asarray(accs)
+        n_rounds = np.asarray(n_rounds)
+        return [
+            SpecDecodeResult(
+                output_ids=np.concatenate(
+                    [np.asarray(p, np.int64), buf[i, : out_cnt[i]]]
+                ),
+                accept_lengths=[int(a) for a in accs[i, : n_rounds[i]]],
+                steps=int(n_rounds[i]),
+            )
+            for i, p in enumerate(prompts)
+        ]
+
     def generate_fused(
         self,
         prompt_ids: Sequence[int],

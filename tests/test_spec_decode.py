@@ -878,3 +878,76 @@ def test_stream_continuous_batching_matches_singles(target, draft):
     for single, row in zip(singles, streamed):
         np.testing.assert_array_equal(row.output_ids, single.output_ids)
         assert row.accept_lengths == single.accept_lengths
+
+
+@pytest.mark.parametrize("projector", ["dflash", "domino", "dspark"])
+def test_batched_dflash_matches_per_row(target, projector):
+    """Batched block speculation (per-row anchors/lengths, one batched
+    verify per round, every family head vectorized over rows) emits
+    exactly each row's single-row generate_fused output."""
+    from specforge_tpu.inference.spec_decode import DFlashSpecDecoder
+    from specforge_tpu.models.draft.dflash import DFlashConfig, DFlashDraftModel
+    from specforge_tpu.models.draft.domino import DominoDraftModel
+    from specforge_tpu.models.draft.dspark import DSparkDraftModel
+
+    params, config = target
+    head = {
+        "dflash": {},
+        "domino": {"pure_draft_prefix_len": 1, "emb_dim": 16,
+                   "gru_hidden_dim": 16, "shift_label": True,
+                   "projector_type": "domino"},
+        "dspark": {"markov_rank": 8, "markov_head_type": "gated",
+                   "enable_confidence_head": True,
+                   "projector_type": "dspark"},
+    }[projector]
+    cfg = DFlashConfig.from_dict({
+        "architectures": ["DFlashDraftModel"],
+        "vocab_size": V, "hidden_size": H, "intermediate_size": 64,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2, "num_target_layers": 6, "block_size": 4,
+        "max_position_embeddings": 512,
+        "dflash_config": {"mask_token_id": V - 1,
+                          "target_layer_ids": [1, 4], **head},
+    })
+    cls = {"dflash": DFlashDraftModel, "domino": DominoDraftModel,
+           "dspark": DSparkDraftModel}[projector]
+    module = cls(cfg, dtype=jnp.float32, attn_chunk_blocks=1)
+    n_capture = len(cfg.resolved_target_layer_ids)
+    bs = cfg.block_size
+
+    def init_all(mod, noise, ctx, ctx_pos, draft_pos, anchors, keep,
+                 prev_emb, prev_ids):
+        hidden = mod(noise, ctx, ctx_pos, draft_pos, anchors, keep)
+        hs = hidden[:, None]
+        base = jnp.zeros((1, 1, bs, V), jnp.float32)
+        mod.apply_logits_head(
+            base, prev_token_ids=prev_ids,
+            prev_token_embeddings=prev_emb, hidden_states=hs,
+        )
+        mod.predict_confidence(hs, prev_token_ids=prev_ids)
+        return hidden
+
+    variables = module.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, bs, H), jnp.float32),
+        jnp.zeros((1, 16, n_capture * H), jnp.float32),
+        jnp.zeros((1, 16), jnp.int32),
+        jnp.zeros((1, bs), jnp.int32),
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1, 1), bool),
+        jnp.zeros((1, 1, bs, H), jnp.float32),
+        jnp.zeros((1, 1, bs), jnp.int32),
+        method=init_all,
+    )
+    decoder = DFlashSpecDecoder(
+        params, config, module, variables, max_len=256,
+    )
+    rng = np.random.default_rng(5)
+    prompts = [
+        rng.integers(0, V - 1, size=n).tolist() for n in (10, 7, 13)
+    ]
+    singles = [decoder.generate_fused(p, max_new_tokens=16) for p in prompts]
+    batched = decoder.generate_batch_fused(prompts, max_new_tokens=16)
+    for single, row in zip(singles, batched):
+        np.testing.assert_array_equal(row.output_ids, single.output_ids)
+        assert row.accept_lengths == single.accept_lengths
