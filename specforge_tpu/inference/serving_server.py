@@ -15,8 +15,12 @@ Endpoints:
                             "plain"?: true}
                            → {"output_ids", "new_tokens", "accept_lengths",
                               "mean_accept_length", "rounds", "wall_ms"}
-  POST /generate_batch   — {"prompts": [[ids], ...], "max_new_tokens": N}
-                           (eagle3 chain only) → {"results": [...]}
+  POST /generate_batch   — {"prompts": [[ids], ...], "max_new_tokens": N,
+                            "topk"?, "tree_style"?, "adaptive"?,
+                            "stream_batch"?: W}
+                           (eagle3: chain/tree/beam/adaptive + continuous
+                           batching via stream_batch; dflash family: block
+                           mode) → {"results": [...]}
 
 Requests serialize on a device lock (one chip, one program at a time);
 the fused loops make each generate a single dispatch, so the lock is held
