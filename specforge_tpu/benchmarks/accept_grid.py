@@ -35,7 +35,8 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
              family: str = "eagle3", max_len: int = 2048,
              tokenizer_path: str = None,
              batch_sizes: List[int] = (1,),
-             tree_style: str = "root") -> Dict:
+             tree_style: str = "root", adaptive: bool = False,
+             stream: bool = False) -> Dict:
     from specforge_tpu.benchmarks.accept_length import (
         build_decoder,
         load_spec_models,
@@ -178,16 +179,21 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
         for k in draft_tokens:
             for bs in batch_sizes:
                 for topk in topks:
-                    if bs > 1 and (topk != 1 or family == "dflash"):
-                        continue  # batched mode is eagle chain only
+                    if bs > 1 and topk != 1 and family == "dflash":
+                        continue  # block mode has no tree variant
                     if bs > 1:
                         from specforge_tpu.benchmarks.accept_length import (
                             measure_batched,
                         )
 
+                        # dflash-family batched blocks take no mode kwargs
+                        mode_kw = {} if family == "dflash" else dict(
+                            topk=topk, tree_style=tree_style,
+                            adaptive=adaptive, stream=stream,
+                        )
                         report = measure_batched(
                             decoders[k], prompts, batch=bs,
-                            max_new_tokens=max_new_tokens,
+                            max_new_tokens=max_new_tokens, **mode_kw,
                         )
                     else:
                         report = measure_with_decoder(
@@ -199,8 +205,11 @@ def run_grid(target: str, export_dir: str, datasets: Dict[str, str],
                         "dataset": name,
                         "num_draft_tokens": k,
                         "topk": topk,
-                        "tree_style": tree_style if topk > 1 else "chain",
+                        "tree_style": tree_style if topk > 1 else (
+                            "adaptive" if adaptive and bs > 1 else "chain"
+                        ),
                         "batch": bs,
+                        **({"stream": True} if stream and bs > 1 else {}),
                         "prompts": len(report.per_prompt),
                         "mean_accept_length": round(
                             report.mean_accept_length, 4
@@ -257,6 +266,12 @@ def main():
                         choices=["root", "beam"],
                         help="tree layout for topk>1 cells (beam = "
                              "every-depth branching, fused only)")
+    parser.add_argument("--adaptive", action="store_true",
+                        help="batched cells use the adaptive chain "
+                             "(EMA-driven draft depth + plain fallback)")
+    parser.add_argument("--stream", action="store_true",
+                        help="batched cells use continuous batching "
+                             "(generate_stream_fused) at the batch width")
     parser.add_argument("--batch", default="1",
                         help="comma list of serving batch sizes (bs>1 runs "
                              "the single-program batched chain loop)")
@@ -272,7 +287,8 @@ def main():
         family=args.family, max_len=args.max_len,
         tokenizer_path=args.tokenizer,
         batch_sizes=[int(x) for x in args.batch.split(",")],
-        tree_style=args.tree_style,
+        tree_style=args.tree_style, adaptive=args.adaptive,
+        stream=args.stream,
     )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

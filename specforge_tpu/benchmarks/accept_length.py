@@ -125,11 +125,46 @@ def measure_batched(
     batch: int,
     max_new_tokens: int = 128,
     warmup: bool = True,
+    topk: int = 1,
+    tree_style: str = "root",
+    adaptive: bool = False,
+    stream: bool = False,
 ) -> AcceptLengthReport:
-    """Chain speculation over prompt groups of ``batch`` rows through the
+    """Speculation over prompt groups of ``batch`` rows through the
     single-program batched loop — serving throughput at bs > 1 (the
-    reference grid's batch dimension, benchmarks/README.md:11-67)."""
+    reference grid's batch dimension, benchmarks/README.md:11-67).
+    ``topk``/``tree_style``/``adaptive`` select the batched mode (eagle3
+    decoders); ``stream=True`` runs the whole prompt list through
+    continuous batching (``generate_stream_fused``) at width ``batch``
+    instead of fixed lockstep groups."""
     import time
+
+    kw = {}
+    if topk > 1:
+        kw["topk"] = topk
+        if tree_style != "root":
+            kw["tree_style"] = tree_style
+    if adaptive:
+        kw["adaptive"] = True
+
+    if stream:
+        decoder.generate_stream_fused(
+            list(prompts[:batch]), max_new_tokens=max_new_tokens,
+            batch=batch,
+        )
+        t0 = time.monotonic()
+        results = decoder.generate_stream_fused(
+            [list(p) for p in prompts], max_new_tokens=max_new_tokens,
+            batch=batch,
+        )
+        wall = time.monotonic() - t0
+        return AcceptLengthReport(
+            per_prompt=[r.mean_accept_length for r in results],
+            accept_lengths=[
+                a for r in results for a in r.accept_lengths
+            ],
+            num_draft_tokens=decoder.k, topk=topk, wall_seconds=wall,
+        )
 
     groups = [
         list(prompts[i: i + batch])
@@ -138,7 +173,7 @@ def measure_batched(
     groups = [g for g in groups if len(g) == batch]  # static batch shape
     if warmup and groups:
         decoder.generate_batch_fused(
-            groups[0], max_new_tokens=max_new_tokens
+            groups[0], max_new_tokens=max_new_tokens, **kw
         )
     per_prompt: List[float] = []
     all_lengths: List[int] = []
@@ -146,7 +181,7 @@ def measure_batched(
     for group in groups:
         t0 = time.monotonic()
         results = decoder.generate_batch_fused(
-            group, max_new_tokens=max_new_tokens
+            group, max_new_tokens=max_new_tokens, **kw
         )
         wall += time.monotonic() - t0
         for result in results:
@@ -154,7 +189,7 @@ def measure_batched(
             all_lengths.extend(result.accept_lengths)
     return AcceptLengthReport(
         per_prompt=per_prompt, accept_lengths=all_lengths,
-        num_draft_tokens=decoder.k, topk=1, wall_seconds=wall,
+        num_draft_tokens=decoder.k, topk=topk, wall_seconds=wall,
     )
 
 
