@@ -62,11 +62,14 @@ STAT = 8
 STAT_ACC = 128
 # DFlash attention is compute-light (the vocab path dominates the algorithm),
 # so grid-step overhead — not FLOPs — sets the kernel's cost: use large tiles
-# to keep the step count low. (1024, 512) overflows the 16MB VMEM budget in
-# the backward dq kernel (the [tq, tq] draft-diagonal scores are fp32);
-# (512, 512) fits with ~1MB diagonal + ~1MB ctx scores + tiles/stats.
-DEF_TQ = 512
-DEF_TK = 512
+# to keep the step count low. r5: the kernels request a raised scoped-vmem
+# budget (see VMEM_LIMIT — Mosaic's 16M default was the old (1024, 512)
+# blocker; v5e has 128M physical), and the env knobs below allow sweeps.
+import os as _os
+
+DEF_TQ = int(_os.environ.get("SPECFORGE_DFLASH_TQ", "1024"))
+DEF_TK = int(_os.environ.get("SPECFORGE_DFLASH_TK", "512"))
+VMEM_LIMIT = int(_os.environ.get("SPECFORGE_TTT_VMEM_MB", "96")) * 1024 * 1024
 
 
 def _ctx_allow(anchors, keep, o_vec, j, tq, tk, sliding):
@@ -346,6 +349,9 @@ def _fwd_pallas(q, k_ctx, v_ctx, kd, vd, anchor_q, keep_q, amax, amin,
             pltpu.VMEM((tq, STAT_ACC), jnp.float32),
             pltpu.VMEM((tq, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(amax, amin, q, k_ctx, v_ctx, kd, vd, anchor_q, keep_q)
     return out, m[..., :1], l[..., :1]
@@ -382,6 +388,9 @@ def _bwd_pallas(q, k_ctx, v_ctx, kd, vd, anchor_q, keep_q, amax, amin,
             jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(amax, amin, q, k_ctx, v_ctx, kd, vd, anchor_q, keep_q, m_b, l_b, do,
       delta_b)
@@ -413,6 +422,9 @@ def _bwd_pallas(q, k_ctx, v_ctx, kd, vd, anchor_q, keep_q, amax, amin,
             pltpu.VMEM((tk, d), jnp.float32),
             pltpu.VMEM((tk, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=interpret,
     )(amax, amin, q, k_ctx, v_ctx, anchor_q, keep_q, m_b, l_b, do, delta_b)
     return dq, dk, dv, dkd, dvd
