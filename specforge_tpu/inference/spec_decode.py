@@ -3448,6 +3448,140 @@ class PEagleSpecDecoder:
         self._draft_block = jax.jit(draft_block)
         del t_slots
 
+    def _build_fused(self, stop_ids: Tuple[int, ...]):
+        """The whole COD speculation loop as ONE jitted ``lax.while_loop``
+        program — same structure as the other families' fused loops; emits
+        the host loop's tokens and accept lengths (parity-tested)."""
+        d = self.num_depths
+        k = d - 1
+        max_len = self.max_len
+        idx = jnp.arange(k + 1, dtype=jnp.int32)
+        d2t = jnp.asarray(self._d2t, jnp.int32)
+        draft_block = self._draft_block
+
+        def loop(target_params, variables, t_ck, t_cv, t_len, trunk_ids,
+                 features, cur, out_buf, out_cnt, acc_buf, max_new):
+            budget = t_ck.shape[3]
+
+            def cond(carry):
+                (_tck, _tcv, t_len, _ids, _f, _cur, _buf, out_cnt, _accb,
+                 n_rounds, done) = carry
+                return (
+                    (~done) & (out_cnt < max_new)
+                    & (t_len + k + 1 < budget) & (t_len + k + 1 < max_len)
+                )
+
+            def body(carry):
+                (t_ck, t_cv, t_len, trunk_ids, features, cur, out_buf,
+                 out_cnt, acc_buf, n_rounds, done) = carry
+                dlogits = draft_block(
+                    variables, trunk_ids, features, t_len
+                )                                            # [k, Vd]
+                dts = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                proposals = dts + jnp.take(d2t, dts)
+
+                block = jnp.concatenate([cur[None], proposals])[None]
+                logits, aux, t_ck, t_cv = target_cached_forward(
+                    target_params, self.target_config, block, t_ck, t_cv,
+                    t_len, self.capture_layers,
+                )
+                posterior = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                matches = (proposals == posterior[:k]).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(matches))
+                bonus = posterior[acc]
+                props_p = jnp.concatenate([proposals, bonus[None]])
+                emitted = jnp.where(idx < acc, props_p, bonus)  # [k+1]
+
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, emitted, (out_cnt,)
+                )
+                acc_buf = jax.lax.dynamic_update_slice(
+                    acc_buf, (acc + 1)[None], (n_rounds,)
+                )
+                # the block's first acc+1 rows commit: tokens + features
+                # join the trunk (stale entries past acc+1 sit beyond the
+                # new length and the valid mask hides them)
+                tok_block = jnp.concatenate([cur[None], proposals])
+                trunk_ids = jax.lax.dynamic_update_slice(
+                    trunk_ids, tok_block, (t_len,)
+                )
+                features = jax.lax.dynamic_update_slice(
+                    features, aux[0].astype(features.dtype), (t_len, 0)
+                )
+                done = _fused_stop_hit(emitted, idx <= acc, stop_ids)
+                return (
+                    t_ck, t_cv, t_len + acc + 1, trunk_ids, features,
+                    bonus, out_buf, out_cnt + acc + 1, acc_buf,
+                    n_rounds + 1, done,
+                )
+
+            init = (t_ck, t_cv, t_len, trunk_ids, features, cur, out_buf,
+                    out_cnt, acc_buf, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(False))
+            final = jax.lax.while_loop(cond, body, init)
+            return final[6], final[7], final[8], final[9]
+
+        return loop
+
+    def generate_fused(
+        self,
+        prompt_ids: Sequence[int],
+        max_new_tokens: int,
+        stop_token_ids: Optional[Sequence[int]] = None,
+    ) -> SpecDecodeResult:
+        """``generate`` with the whole COD loop in ONE jitted program —
+        same tokens and accept lengths (parity-tested)."""
+        stop_ids = tuple(
+            sorted(set(int(s) for s in (stop_token_ids or ())))
+        )
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        loop = self._fused_cache.get(stop_ids)
+        if loop is None:
+            loop = jax.jit(self._build_fused(stop_ids))
+            self._fused_cache[stop_ids] = loop
+
+        k = self.num_depths - 1
+        prompt = np.asarray(prompt_ids, np.int64)[None]
+        p_len = prompt.shape[1]
+        n_capture = len(self.capture_layers)
+        h = self.target_config.hidden_size
+
+        t_state = init_target_state(self.target_config, 1, self.max_len)
+        logits, aux, t_ck0, t_cv0 = target_cached_forward(
+            self.target_params, self.target_config,
+            jnp.asarray(prompt, jnp.int32),
+            t_state.cache_k, t_state.cache_v, jnp.asarray(0, jnp.int32),
+            self.capture_layers,
+        )
+        cur = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        trunk_ids = jnp.zeros((self.max_len,), jnp.int32)
+        trunk_ids = jax.lax.dynamic_update_slice(
+            trunk_ids, jnp.asarray(prompt[0], jnp.int32), (0,)
+        )
+        features = jnp.zeros((self.max_len, n_capture * h), jnp.float32)
+        features = jax.lax.dynamic_update_slice(
+            features, aux[0].astype(jnp.float32), (0, 0)
+        )
+        out_buf = jnp.zeros((self.max_len + k + 1,), jnp.int32)
+        out_buf = out_buf.at[0].set(cur)
+        acc_buf = jnp.zeros((self.max_len,), jnp.int32)
+        buf, out_cnt, accs, n_rounds = loop(
+            self.target_params, self.draft_variables, t_ck0, t_cv0,
+            jnp.asarray(p_len, jnp.int32), trunk_ids, features, cur,
+            out_buf, jnp.asarray(1, jnp.int32), acc_buf,
+            jnp.asarray(max_new_tokens, jnp.int32),
+        )
+        out_cnt, n_rounds = int(out_cnt), int(n_rounds)
+        return SpecDecodeResult(
+            output_ids=np.concatenate([
+                np.asarray(prompt_ids, np.int64),
+                np.asarray(buf)[:out_cnt],
+            ]),
+            accept_lengths=[int(a) for a in np.asarray(accs)[:n_rounds]],
+            steps=n_rounds,
+        )
+
     def generate(
         self,
         prompt_ids: Sequence[int],

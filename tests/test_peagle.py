@@ -523,3 +523,69 @@ def test_peagle_cod_serving_greedy_equivalent():
                                       max_len=128)
         m = min(len(res.output_ids), len(oracle))
         np.testing.assert_array_equal(res.output_ids[:m], oracle[:m])
+
+
+def test_peagle_fused_matches_host_loop():
+    """The fused single-dispatch COD loop emits exactly the host loop's
+    tokens and accept lengths, and both stay greedy-equivalent."""
+    import tempfile
+
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from specforge_tpu.inference.spec_decode import (
+        PEagleSpecDecoder,
+        greedy_target_decode,
+    )
+    from specforge_tpu.models.target.transformer import (
+        TargetConfig,
+        load_target_params,
+    )
+
+    V, H = 128, 32
+    with tempfile.TemporaryDirectory() as path:
+        torch.manual_seed(0)
+        LlamaForCausalLM(LlamaConfig(
+            vocab_size=V, hidden_size=H, intermediate_size=64,
+            num_hidden_layers=6, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=512,
+        )).save_pretrained(path, safe_serialization=True)
+        config = TargetConfig.from_file(path)
+        params = load_target_params(path, config, dtype=jnp.float32)
+
+    cfg = PEagleConfig(
+        vocab_size=V, draft_vocab_size=V, hidden_size=H,
+        intermediate_size=64, num_attention_heads=4, num_key_value_heads=2,
+        num_hidden_layers=2, max_position_embeddings=512,
+        target_hidden_size=H,
+    )
+    module = PEagleDraftModel(cfg, dtype=jnp.float32,
+                              attention_backend="dense")
+    t = 8
+
+    def init_all(mod, ids, hidden3h, allow, pos):
+        emb = mod.embed_input_ids(ids)
+        hid = mod.project_hidden_states(hidden3h)
+        mod.get_mask_hidden()
+        mod.get_vocab_maps()
+        return mod.compute_logits(mod.backbone(emb, hid, allow, pos))
+
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, t), jnp.int32), jnp.zeros((1, t, 3 * H), jnp.float32),
+        jnp.ones((1, t, t), bool), jnp.zeros((1, t), jnp.int32),
+        method=init_all,
+    )
+    decoder = PEagleSpecDecoder(
+        params, config, module, variables, (1, 2, 3),
+        mask_token_id=V - 1, num_depths=4, max_len=128,
+    )
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, V, size=11).tolist()
+    host = decoder.generate(prompt, max_new_tokens=20)
+    fused = decoder.generate_fused(prompt, max_new_tokens=20)
+    np.testing.assert_array_equal(fused.output_ids, host.output_ids)
+    assert fused.accept_lengths == host.accept_lengths
+    oracle = greedy_target_decode(params, config, prompt, 20, max_len=128)
+    m = min(len(fused.output_ids), len(oracle))
+    np.testing.assert_array_equal(fused.output_ids[:m], oracle[:m])
