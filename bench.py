@@ -300,10 +300,13 @@ def bench_domino(batch, seq, steps, algo="domino"):
     return mfu, f"{algo}_train_step_mfu"
 
 
-def peagle_step_flops(s, cfg, num_depths, dsr, dsr_min):
+def peagle_step_flops(s, cfg, num_depths, dsr, dsr_min, num_docs=1):
     """Matmul FLOPs for one P-EAGLE optimizer step (bs 1): COD queries
     through the 4-layer draft + draft-vocab head (3x trainable), teacher
-    head fwd-only."""
+    head fwd-only. ``num_docs`` > 1 = packed row of equal-length documents:
+    attention is same-document-only, so qk/pv count per-document dense
+    blocks ([T,T]/num_docs) — crediting cross-document tiles the Pallas
+    kernel never computes would inflate MFU."""
     import math as _math
 
     h = cfg.hidden_size
@@ -329,7 +332,7 @@ def peagle_step_flops(s, cfg, num_depths, dsr, dsr_min):
         mm(q, 2 * h, heads * d) + 2 * mm(q, 2 * h, kvh * d)
         + mm(q, heads * d, h) + 3 * mm(q, h, inter)
     )
-    train += layers * 2 * (2.0 * heads * q * q * d)     # qk, pv: dense [T, T]
+    train += layers * 2 * (2.0 * heads * q * q * d) / num_docs  # qk, pv
     train += mm(q, h, vd)                               # draft-vocab head
     teacher = mm(s, h, v)                               # frozen head, fwd-only
     return 3.0 * train + teacher
@@ -352,6 +355,10 @@ def bench_peagle(seq, steps):
     # batched COD (round-3): bs>1 amortizes the 1.5B draft's HBM-bound
     # master-param traffic that made bs1 the MFU floor
     batch = int(os.environ.get("BENCH_PEAGLE_BATCH", "1"))
+    # COD sequence packing (round-5): N equal docs of BENCH_SEQ tokens per
+    # row — the bs1 answer to the same HBM amortization (PackingCollator)
+    pack = int(os.environ.get("BENCH_PEAGLE_PACK", "1"))
+    row_len = seq * pack
     num_depths, dsr, dsr_min = 8, 0.7, 0.2
     draft_config = {
         "architectures": ["PEagleDraftModel"],
@@ -379,7 +386,7 @@ def bench_peagle(seq, steps):
     strategy = providers.build_strategy(model, options)
     rng = jax.random.PRNGKey(0)
     print("initializing peagle params...", file=sys.stderr)
-    variables = providers.init_variables(model, cfg, options, rng, seq)
+    variables = providers.init_variables(model, cfg, options, rng, row_len)
     # row-sparse embedding update (exact under the factored b1=0 regime):
     # the 152k-row table's dense grad/master traffic disappears
     sparse = factored and os.environ.get("BENCH_SPARSE_EMBED", "1") == "1"
@@ -412,21 +419,28 @@ def bench_peagle(seq, steps):
         sparse_embed=plan,
     )
     np_rng = np.random.default_rng(0)
+    loss_mask = (np_rng.random((1, batch, row_len, 1)) > 0.2).astype(np.int32)
+    if pack > 1:
+        # document boundaries: the teacher shift's label at each doc's last
+        # position belongs to the next document (PackingCollator contract)
+        loss_mask[:, :, seq - 1 :: seq] = 0
     batch_tensors = {
         "input_ids": jnp.asarray(
-            np_rng.integers(0, vocab, size=(1, batch, seq))
+            np_rng.integers(0, vocab, size=(1, batch, row_len))
         ),
-        "attention_mask": jnp.ones((1, batch, seq), jnp.int32),
-        "loss_mask": jnp.asarray(
-            (np_rng.random((1, batch, seq, 1)) > 0.2).astype(np.int32)
-        ),
+        "attention_mask": jnp.ones((1, batch, row_len), jnp.int32),
+        "loss_mask": jnp.asarray(loss_mask),
         "hidden_state": jnp.asarray(
-            np_rng.normal(size=(1, batch, seq, 3 * cfg.hidden_size))
+            np_rng.normal(size=(1, batch, row_len, 3 * cfg.hidden_size))
         ).astype(jnp.bfloat16),
         "target": jnp.asarray(
-            np_rng.normal(size=(1, batch, seq, cfg.hidden_size))
+            np_rng.normal(size=(1, batch, row_len, cfg.hidden_size))
         ).astype(jnp.bfloat16),
     }
+    if pack > 1:
+        batch_tensors["lengths"] = jnp.full(
+            (1, batch, pack), seq, jnp.int32
+        )
     head_w = jax.random.normal(
         jax.random.PRNGKey(1), (vocab, cfg.hidden_size), jnp.bfloat16
     ) * 0.02
@@ -443,11 +457,13 @@ def bench_peagle(seq, steps):
         state, metrics = step_fn(state, batch_tensors, frozen)
     final_loss = float(metrics["train/loss"])
     dt = (time.monotonic() - t0) / steps
-    flops = batch * peagle_step_flops(seq, cfg, num_depths, dsr, dsr_min)
+    flops = batch * peagle_step_flops(
+        row_len, cfg, num_depths, dsr, dsr_min, num_docs=pack
+    )
     peak, gen = detect_peak()
     mfu = flops / dt / peak
     print(
-        f"peagle b{batch} step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
+        f"peagle b{batch} pack{pack} step={dt*1000:.1f}ms flops={flops/1e12:.2f}T achieved="
         f"{flops/dt/1e12:.1f}TF/s peak[{gen}]={peak/1e12:.0f}TF/s "
         f"loss={final_loss:.3f}",
         file=sys.stderr,

@@ -173,6 +173,30 @@ class OnlinePEagleModel(nn.Module):
                 self.down_sample_ratio_min,
             )
         )(rngs, loss_mask, doc_ids)                            # fields [B, T]
+        # doc-major layout: cluster each document's sampled entries and push
+        # invalid slots to the tail. Packed rows then present a
+        # block-diagonal [T, T] predicate — cross-document tiles are FULLY
+        # masked, so the Pallas kernel's any-table skips them wholesale
+        # (depth-major interleaving leaves partial tiles at every document
+        # boundary in every depth segment). The loss, metrics, and predicate
+        # are permutation-invariant, so single-document behavior is
+        # unchanged up to entry order.
+        orig0 = sample.anchor_pos + sample.depth
+        qdoc0 = jnp.take_along_axis(doc_ids, orig0, axis=1)
+        # key packs (invalid, doc, depth, position) into int32: positions
+        # < 2^14, depths < 2^5, docs+1 < 2^7 — bounds far above any COD run
+        sort_key = (
+            (1 - sample.valid.astype(jnp.int32)) * (1 << 27)
+            + (qdoc0 + 1) * (1 << 19)
+            + sample.depth * (1 << 14)
+            + orig0
+        )
+        perm = jnp.argsort(sort_key, axis=1)
+        sample = CODSample(
+            anchor_pos=jnp.take_along_axis(sample.anchor_pos, perm, axis=1),
+            depth=jnp.take_along_axis(sample.depth, perm, axis=1),
+            valid=jnp.take_along_axis(sample.valid, perm, axis=1),
+        )
         orig_positions = sample.anchor_pos + sample.depth      # [B, T]
         is_depth0 = sample.depth == 0
 

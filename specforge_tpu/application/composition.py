@@ -356,11 +356,32 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
     else:
         local_batch = t.batch_size
     contract = reg.spec.contract_for(FeatureMode.OFFLINE)
-    collate = PaddingCollator(
-        CollatorConfig(
-            max_length=config.data.max_length, cast_float_dtype="float32"
+    if config.data.pack_documents:
+        if not getattr(strategy, "supports_packed_documents", False):
+            raise ValueError(
+                "data.pack_documents requires a strategy that consumes "
+                f"document boundaries (P-EAGLE); {t.strategy!r} does not"
+            )
+        from specforge_tpu.data.collator import (
+            PackingCollator,
+            PackingCollatorConfig,
         )
-    )
+
+        collate = PackingCollator(
+            PackingCollatorConfig(
+                max_length=config.data.max_length, rows=local_batch,
+                max_docs_per_row=config.data.docs_per_row,
+                cast_float_dtype="float32",
+            )
+        )
+        loader_batch = local_batch * config.data.docs_per_row
+    else:
+        collate = PaddingCollator(
+            CollatorConfig(
+                max_length=config.data.max_length, cast_float_dtype="float32"
+            )
+        )
+        loader_batch = local_batch
     metadata = {"target_repr": contract.target_representation}
 
     def make_loader(root):
@@ -368,7 +389,7 @@ def build_training_run(config: Config, registry=None, frozen_override=None):
         refs = shard_refs_for_process(refs, t.batch_size, mesh=mesh)
         return FeatureDataLoader(
             FileFeatureStore(), collate, refs=refs,
-            batch_size=local_batch, num_workers=config.data.num_workers,
+            batch_size=loader_batch, num_workers=config.data.num_workers,
             prefetch_batches=config.data.prefetch_batches, metadata=metadata,
         )
 

@@ -70,6 +70,11 @@ class DataConfig(StrictModel):
     train_only_last_turn: bool = False
     num_workers: int = Field(default=2, ge=0)
     prefetch_batches: int = Field(default=2, gt=0)
+    #: COD sequence packing: pack ``docs_per_row`` short documents into each
+    #: ``max_length`` row with a per-document ``lengths`` vector. Only valid
+    #: for strategies that consume document boundaries (P-EAGLE).
+    pack_documents: bool = False
+    docs_per_row: int = Field(default=4, gt=0)
 
 
 class TrackingConfig(StrictModel):

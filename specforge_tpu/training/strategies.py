@@ -343,6 +343,9 @@ class PEagleTrainStrategy(DraftTrainStrategy):
     required_features = {
         "input_ids", "attention_mask", "loss_mask", "hidden_state", "target",
     }
+    #: COD consumes per-document ``lengths`` — packed rows are supported
+    #: (data/collator.py PackingCollator; data.pack_documents)
+    supports_packed_documents = True
 
     def __init__(self, model, *, seed: int = 0) -> None:
         self.model = model
